@@ -1,0 +1,188 @@
+"""Batch-vectorized string similarity kernels (numpy).
+
+The north rule requires pair scoring via "batched Jaro-Winkler + token-set
+Levenshtein over normalized text" (BASELINE.json).  No string-similarity
+library (jellyfish / rapidfuzz) exists in this sandbox, so both metrics are
+implemented here directly against the published algorithms:
+
+* Jaro (1989) / Winkler (1990) string comparators, classic formulation
+  with the 0.7 boost threshold and prefix cap 4;
+* Wagner-Fischer Levenshtein distance, with the per-batch DP rows
+  vectorized over the pair axis (the only Python-level loop is over
+  character positions, never over pairs).
+
+All kernels take numpy object arrays of strings (one entry per candidate
+pair side) and return float64 arrays — they are called from Arrow-batched
+pandas UDFs, so a "row" here is already a whole executor batch.
+
+Strings are truncated to ``MAX_LEN`` code points: scoring inputs are
+normalized address renders / field values, which are short; the cap bounds
+the O(B·L²) memory of the batch match tensor.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+MAX_LEN = 64
+_WINKLER_PREFIX_CAP = 4
+_WINKLER_SCALE = 0.1
+_WINKLER_BOOST_THRESHOLD = 0.7
+
+
+def _encode(strings: np.ndarray, max_len: int = MAX_LEN) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate a batch of strings into a (B, max_len) uint32 codepoint
+    matrix + length vector.  0 is the pad (never a real codepoint here)."""
+    batch = len(strings)
+    out = np.zeros((batch, max_len), dtype=np.uint32)
+    lengths = np.zeros(batch, dtype=np.int64)
+    for i, s in enumerate(strings):  # one pass to build the batch tensor
+        if s is None:
+            continue
+        s = s[:max_len]
+        n = len(s)
+        lengths[i] = n
+        if n:
+            out[i, :n] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return out, lengths
+
+
+def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Jaro similarity for B string pairs, vectorized over the batch axis.
+
+    Greedy first-available matching within the Jaro window, exactly the
+    published algorithm; the outer loop runs over the (bounded) string
+    positions only.
+    """
+    S, m = _encode(a)
+    T, n = _encode(b)
+    B, L = S.shape
+
+    maxlen = np.maximum(m, n)
+    window = np.maximum(maxlen // 2 - 1, 0)
+
+    jpos = np.arange(L)
+    # (B, L, L) candidate-match tensor: chars equal, inside window, in range.
+    eq = S[:, :, None] == T[:, None, :]
+    dist_ok = np.abs(jpos[None, :, None] - jpos[None, None, :]) <= window[:, None, None]
+    in_range = (jpos[None, :, None] < m[:, None, None]) & (
+        jpos[None, None, :] < n[:, None, None]
+    )
+    valid = eq & dist_ok & in_range & (S[:, :, None] != 0)
+
+    t_matched = np.zeros((B, L), dtype=bool)
+    s_matched = np.zeros((B, L), dtype=bool)
+    match_j = np.full((B, L), -1, dtype=np.int64)
+    for i in range(L):
+        avail = valid[:, i, :] & ~t_matched
+        found = avail.any(axis=1)
+        j_star = np.argmax(avail, axis=1)
+        rows = np.nonzero(found)[0]
+        t_matched[rows, j_star[rows]] = True
+        s_matched[rows, i] = True
+        match_j[rows, i] = j_star[rows]
+
+    matches = s_matched.sum(axis=1)
+
+    # Transpositions: k-th matched char of s (i-order) vs k-th of t (j-order).
+    s_rank = np.cumsum(s_matched, axis=1) - 1
+    t_rank = np.cumsum(t_matched, axis=1) - 1
+    s_seq = np.zeros((B, L), dtype=np.uint32)
+    t_seq = np.zeros((B, L), dtype=np.uint32)
+    bs, iis = np.nonzero(s_matched)
+    s_seq[bs, s_rank[bs, iis]] = S[bs, iis]
+    bt, jjs = np.nonzero(t_matched)
+    t_seq[bt, t_rank[bt, jjs]] = T[bt, jjs]
+    k = np.arange(L)[None, :]
+    diff = (s_seq != t_seq) & (k < matches[:, None])
+    transpositions = diff.sum(axis=1) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mm = matches.astype(np.float64)
+        jaro = (
+            mm / np.maximum(m, 1)
+            + mm / np.maximum(n, 1)
+            + (mm - transpositions) / np.maximum(mm, 1)
+        ) / 3.0
+    jaro = np.where(matches == 0, 0.0, jaro)
+    # Two empty strings are identical.
+    jaro = np.where((m == 0) & (n == 0), 1.0, jaro)
+    return jaro
+
+
+def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Winkler prefix boost over :func:`jaro_batch` (threshold 0.7, cap 4)."""
+    S, m = _encode(a)
+    T, n = _encode(b)
+    jaro = jaro_batch(a, b)
+
+    cap = np.minimum(np.minimum(m, n), _WINKLER_PREFIX_CAP)
+    agree = (S[:, :_WINKLER_PREFIX_CAP] == T[:, :_WINKLER_PREFIX_CAP]) & (
+        S[:, :_WINKLER_PREFIX_CAP] != 0
+    )
+    # prefix length = leading run of agreement, bounded by cap
+    run = np.cumprod(agree, axis=1)
+    prefix = np.minimum(run.sum(axis=1), cap)
+
+    boost = np.where(jaro > _WINKLER_BOOST_THRESHOLD, 1.0, 0.0)
+    return jaro + boost * prefix * _WINKLER_SCALE * (1.0 - jaro)
+
+
+def levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Levenshtein distance for B string pairs.
+
+    Wagner-Fischer DP; rows vectorized over the batch, the left-neighbor
+    dependency resolved with the distance-transform trick
+    ``min_k (row[k] - k) + j`` via ``np.minimum.accumulate``.
+    """
+    S, m = _encode(a)
+    T, n = _encode(b)
+    B, L = S.shape
+
+    jcol = np.arange(L + 1, dtype=np.float64)
+    row = np.broadcast_to(jcol, (B, L + 1)).copy()
+    # cells beyond n are irrelevant; keep them but mask at the end
+    for i in range(1, L + 1):
+        active = m >= i
+        if not active.any():
+            break
+        cost = (S[:, i - 1 : i] != T).astype(np.float64)  # (B, L)
+        cand = np.empty_like(row)
+        cand[:, 0] = i
+        cand[:, 1:] = np.minimum(row[:, 1:] + 1.0, row[:, :-1] + cost)
+        # left-dependency: new[j] = min_{k<=j} cand[k] + (j - k)
+        shifted = np.minimum.accumulate(cand - jcol[None, :], axis=1) + jcol[None, :]
+        new_row = np.minimum(cand, shifted)
+        row = np.where(active[:, None], new_row, row)
+
+    return row[np.arange(B), n] if L else np.zeros(B)
+
+
+def levenshtein_ratio_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """1 - dist / max(len); 1.0 for two empty strings."""
+    _, m = _encode(a)
+    _, n = _encode(b)
+    dist = levenshtein_batch(a, b)
+    denom = np.maximum(np.maximum(m, n), 1).astype(np.float64)
+    ratio = 1.0 - dist / denom
+    return np.where((m == 0) & (n == 0), 1.0, ratio)
+
+
+def _token_set_key(s: object) -> str:
+    """Sorted unique whitespace tokens, joined — the 'token set' transform."""
+    if s is None:
+        return ""
+    return " ".join(sorted(set(str(s).split())))
+
+
+def token_set_levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Token-set Levenshtein ratio: order-insensitive edit similarity.
+
+    Both sides are reduced to their sorted unique token sets before the
+    edit-distance ratio, making the metric robust to token reordering
+    ('Main St 12' vs '12 Main St') while still catching typos.
+    """
+    ta = np.array([_token_set_key(x) for x in a], dtype=object)
+    tb = np.array([_token_set_key(x) for x in b], dtype=object)
+    return levenshtein_ratio_batch(ta, tb)

@@ -1,0 +1,102 @@
+"""Similarity-kernel tests: published goldens + properties.
+
+Golden Jaro/Jaro-Winkler values are the classic Winkler (1990) examples;
+Levenshtein goldens are textbook.  Property tests (identity, symmetry,
+bounds) run via hypothesis over printable strings.
+"""
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postal_address_spark.core.similarity import (
+    jaro_batch,
+    jaro_winkler_batch,
+    levenshtein_batch,
+    levenshtein_ratio_batch,
+    token_set_levenshtein_batch,
+)
+
+
+def arr(*xs):
+    return np.array(xs, dtype=object)
+
+
+class TestGoldens:
+    def test_jaro_known_values(self):
+        a = arr("MARTHA", "DIXON", "JELLYFISH", "DWAYNE", "ABC", "")
+        b = arr("MARHTA", "DICKSONX", "SMELLYFISH", "DUANE", "ABC", "")
+        got = jaro_batch(a, b)
+        want = [0.944444, 0.766667, 0.896296, 0.822222, 1.0, 1.0]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_jaro_winkler_known_values(self):
+        a = arr("MARTHA", "DIXON", "DWAYNE", "ABC", "ABCDEF")
+        b = arr("MARHTA", "DICKSONX", "DUANE", "ABC", "XYZZYX")
+        got = jaro_winkler_batch(a, b)
+        want = [0.961111, 0.813333, 0.840000, 1.0, 0.0]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_levenshtein_known_values(self):
+        a = arr("kitten", "flaw", "abc", "", "same")
+        b = arr("sitting", "lawn", "", "xyz", "same")
+        got = levenshtein_batch(a, b)
+        np.testing.assert_array_equal(got, [3, 2, 3, 3, 0])
+
+    def test_levenshtein_ratio(self):
+        got = levenshtein_ratio_batch(arr("kitten", ""), arr("sitting", ""))
+        np.testing.assert_allclose(got, [1 - 3 / 7, 1.0])
+
+    def test_token_set(self):
+        got = token_set_levenshtein_batch(
+            arr("12 Main St", "12 Main St", None),
+            arr("Main St 12", "13 Main St", "anything"),
+        )
+        assert got[0] == 1.0  # token reorder is free
+        assert 0.8 < got[1] < 1.0  # one-char typo
+        assert got[2] < 1.0
+
+    def test_none_handling(self):
+        got = jaro_winkler_batch(arr(None, None), arr("abc", None))
+        assert got[0] == 0.0
+        assert got[1] == 1.0  # both empty
+
+
+text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF), max_size=40
+)
+
+
+class TestProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(text, text)
+    def test_bounds_and_symmetry(self, a, b):
+        x, y = arr(a), arr(b)
+        jw_ab = jaro_winkler_batch(x, y)[0]
+        jw_ba = jaro_winkler_batch(y, x)[0]
+        assert 0.0 <= jw_ab <= 1.0
+        assert jw_ab == pytest.approx(jw_ba, abs=1e-12)
+        lr = levenshtein_ratio_batch(x, y)[0]
+        assert 0.0 <= lr <= 1.0
+        assert lr == pytest.approx(levenshtein_ratio_batch(y, x)[0], abs=1e-12)
+
+    @settings(max_examples=100, deadline=None)
+    @given(text)
+    def test_identity(self, a):
+        x = arr(a)
+        assert jaro_winkler_batch(x, x)[0] == pytest.approx(1.0)
+        assert levenshtein_batch(x, x)[0] == 0
+        assert token_set_levenshtein_batch(x, x)[0] == pytest.approx(1.0)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=60), st.lists(text, min_size=1, max_size=60))
+    def test_batch_matches_scalar(self, xs, ys):
+        """Batch result == per-pair result (no cross-row leakage)."""
+        n = min(len(xs), len(ys))
+        xs, ys = xs[:n], ys[:n]
+        batch = jaro_winkler_batch(arr(*xs), arr(*ys))
+        single = [jaro_winkler_batch(arr(x), arr(y))[0] for x, y in zip(xs, ys)]
+        np.testing.assert_allclose(batch, single, atol=1e-12)
+        batch_l = levenshtein_batch(arr(*xs), arr(*ys))
+        single_l = [levenshtein_batch(arr(x), arr(y))[0] for x, y in zip(xs, ys)]
+        np.testing.assert_array_equal(batch_l, single_l)
