@@ -1,0 +1,135 @@
+"""JVM-side Column implementations of the reference's scalar operators,
+plus mechanically-generated ANSI-SQL (DuckDB) equivalents.
+
+Two render targets, one source of truth:
+
+* ``*_col(...)`` — pyspark Column expression chains (whole-stage codegen,
+  no Python), mirroring address.py N1/N2 and the territory lookup chains
+  (territory.py:212-293) as map-literal lookups;
+* ``*_sql(...)`` — the same semantics rendered as SQL strings for the
+  DuckDB oracle in ``__spark_entry__.py``; the CASE arms are generated
+  from the SAME vendored refdata dicts, so Spark and oracle can only agree
+  if the engine's behavior is right, not because code was pasted twice.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..refdata import (
+    DEFAULT_SUBDIVISION,
+    SUBDIVISIONS,
+    SUBDIV_COUNTRY,
+    SUPPORTED_TERRITORY_CODES,
+    normalize_territory_code,
+)
+from ..refdata.build import META_CITY
+from ..refdata.territory_tables import FOREIGN_TERRITORIES_MAPPING
+
+# ---------------------------------------------------------------------------
+# N1 — postal-code canonicalization (address.py:326-335)
+# ---------------------------------------------------------------------------
+
+
+def postal_canon_col(col: Column) -> Column:
+    out = F.upper(col)
+    out = F.regexp_replace(out, r"[^A-Z0-9 -]", "")
+    out = F.regexp_replace(out, r"[^A-Z0-9]*-+[^A-Z0-9]*", "-")
+    out = F.regexp_replace(out, r"^-+|-+$", "")
+    return out
+
+
+def postal_canon_sql(expr: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(upper("
+        + expr
+        + "), '[^A-Z0-9 -]', '', 'g'), '[^A-Z0-9]*-+[^A-Z0-9]*', '-', 'g'),"
+        " '^-+|-+$', '', 'g')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2/N3 — whitespace collapse + blank-to-null (address.py:337-346)
+# ---------------------------------------------------------------------------
+
+
+def ws_norm_col(col: Column) -> Column:
+    out = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.when(out == "", None).otherwise(out)
+
+
+def ws_norm_sql(expr: str) -> str:
+    return (
+        "nullif(trim(regexp_replace(" + expr + ", '\\s+', ' ', 'g')), '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Territory lookup chains as data (one dict -> Column map + SQL CASE)
+# ---------------------------------------------------------------------------
+
+
+def _total_map(resolve_aliases: bool, resolve_top_country: bool) -> Dict[str, str]:
+    """code -> fully-resolved code for every supported territory code."""
+    return {
+        code: normalize_territory_code(
+            code,
+            resolve_aliases=resolve_aliases,
+            resolve_top_country=resolve_top_country,
+        )
+        for code in sorted(SUPPORTED_TERRITORY_CODES)
+    }
+
+
+NORMALIZE_NOALIAS: Dict[str, str] = _total_map(False, False)
+NORMALIZE_ALIAS: Dict[str, str] = _total_map(True, False)
+NORMALIZE_TOP: Dict[str, str] = _total_map(True, True)
+
+
+def map_lookup_col(table: Mapping[str, Optional[str]], key: Column) -> Column:
+    """Literal-map lookup (JVM side); missing key -> NULL."""
+    pairs = []
+    for k, v in table.items():
+        if v is None:
+            continue
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), key)
+
+
+def map_lookup_sql(table: Mapping[str, Optional[str]], expr: str) -> str:
+    """Same lookup as a generated CASE expression."""
+    arms = "\n".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in table.items() if v is not None
+    )
+    return f"(CASE {expr}\n{arms}\nELSE NULL END)"
+
+
+def territory_normalize_col(code: Column, mode: str = "noalias") -> Column:
+    """strip/upper then total-map lookup; unknown -> NULL
+    (territory.py:212-235 with errors-as-null, address.py:357-363)."""
+    table = {
+        "noalias": NORMALIZE_NOALIAS,
+        "alias": NORMALIZE_ALIAS,
+        "top": NORMALIZE_TOP,
+    }[mode]
+    return map_lookup_col(table, F.upper(F.trim(code)))
+
+
+def territory_normalize_sql(expr: str, mode: str = "noalias") -> str:
+    table = {
+        "noalias": NORMALIZE_NOALIAS,
+        "alias": NORMALIZE_ALIAS,
+        "top": NORMALIZE_TOP,
+    }[mode]
+    return map_lookup_sql(table, f"upper(trim({expr}))")
+
+
+TOP_COUNTRY: Dict[str, str] = dict(FOREIGN_TERRITORIES_MAPPING)
+SUBDIV_TO_COUNTRY: Dict[str, str] = dict(SUBDIV_COUNTRY)
+DEFAULT_SUBDIV: Dict[str, str] = dict(DEFAULT_SUBDIVISION)
+SUBDIV_CITY_NAME: Dict[str, str] = dict(META_CITY)
+SUBDIV_OWN_COUNTRY: Dict[str, str] = {
+    c: s.country_code for c, s in SUBDIVISIONS.items()
+}

@@ -1,0 +1,112 @@
+"""Transitive closure: iterative large-star / small-star connected
+components over the match-edge set, as pure DataFrame operations.
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC 2014) — alternate
+
+* large-star: for every node u, connect every strictly-larger neighbor to
+  the minimum of N(u) u {u};
+* small-star: for every node u over its smaller-or-equal neighborhood,
+  connect all of them (and u) to the minimum;
+
+until the edge set is a fixed point.  Converges in O(log n) rounds and, at
+the fixed point, every node points directly at its component's minimum
+node — deterministic cluster ids (= min rec_id) for free.
+
+Driver involvement is the convergence loop only; each round is shuffled
+group-by work.  ``localCheckpoint`` truncates lineage per round so plans
+don't grow with iterations (SURVEY §4).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bidirectional(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges_bi: DataFrame) -> DataFrame:
+    # m(u) = min(N(u) u {u}); emit (v, m) for neighbors v > u.
+    mins = edges_bi.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        edges_bi.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # Orient each edge large->small, group by the large end: connect the
+    # whole small neighborhood and u itself to the minimum.
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    to_min = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_to_min = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        to_min.unionByName(self_to_min)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """edges (src, dst string ids) -> (rec_id, cluster_id).
+
+    cluster_id is the component's minimum id.  Nodes appearing only as a
+    component minimum are included; isolated vertices are the caller's
+    concern (see ``assign_clusters``).
+    """
+    # canonical store: undirected edges oriented large->small, deduped
+    current = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        after_large = _large_star(_bidirectional(current))
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # Fixed point: identical edge sets (both are distinct'ed).
+        delta = after_small.exceptAll(current).limit(1).count()
+        same_size = after_small.count() == current.count()
+        current = after_small
+        if delta == 0 and same_size:
+            break
+    labels = current.select(
+        F.col("src").alias("rec_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = current.select(F.col("dst").alias("rec_id")).distinct().withColumn(
+        "cluster_id", F.col("rec_id")
+    )
+    return labels.unionByName(roots).groupBy("rec_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def assign_clusters(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """All vertices (rec_id) -> (rec_id, cluster_id); singletons get their
+    own id.  Left join against the CC labels, coalesce to self."""
+    labels = connected_components(edges)
+    return (
+        vertices.select("rec_id")
+        .join(labels, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("cluster_id", "rec_id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``embeddings(vec_id, embedding array<float>, ...)``:
+
+* ``brute_force_topk`` — exact cosine top-k: the query set is broadcast
+  (it is small by construction), the dot product is a JVM-side
+  ``aggregate(zip_with(...))`` so the scan stays in codegen, and the
+  top-k is a per-query window.  This is the correctness baseline and the
+  DuckDB-oracle-checkable path.
+
+* ``lsh_topk`` — random-hyperplane (sign) LSH: seeded hyperplanes are
+  broadcast inside one pandas UDF that computes the bit signature per
+  vector in a single numpy matmul; candidates = bucket collisions across
+  ``n_tables`` independent tables; exact cosine re-rank on candidates
+  only.  The scale path: the self-join is on (table, bucket), never a
+  cross join.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _norm_col(vec) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_col(a, b) -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / F.greatest(_norm_col(a) * _norm_col(b), F.lit(1e-30))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (excluding self-matches).
+
+    Output: query_id, neighbor_id, cosine, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim)).astype(np.float64)
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``buckets array<long>`` — one sign-LSH bucket id per table.
+
+    One numpy matmul per Arrow batch: (batch x dim) @ (dim x tables*bits).
+    """
+    planes = _hyperplanes(dim, n_tables, bits, seed)
+    flat = planes.reshape(n_tables * bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf(returnType=ArrayType(LongType()))
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (mat @ flat) > 0  # (n, T*B)
+        signs = signs.reshape(len(mat), len(planes), bits)
+        codes = (signs * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(codes))
+
+    return df.withColumn("buckets", bucket_udf(vec_col))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 4,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates from bucket collisions in any table,
+    exact cosine re-rank.  Recall is tunable via (n_tables, bits)."""
+    cb = with_lsh_buckets(corpus, dim, n_tables, bits, seed, vec_col)
+    qb = with_lsh_buckets(queries, dim, n_tables, bits, seed, vec_col)
+
+    def flat(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            F.posexplode("buckets").alias("table_idx", "bucket"),
+        )
+
+    cands = (
+        flat(qb, "query")
+        .join(flat(cb, "neighbor"), ["table_idx", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("query_vec"), F.col("neighbor_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 6,
+    bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verification (the embedding analogue of MinHash dedup)."""
+    b = with_lsh_buckets(df, dim, n_tables, bits, seed, vec_col)
+    flatted = b.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode("buckets").alias("table_idx", "bucket"),
+    )
+    a = flatted.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        "table_idx", "bucket",
+    )
+    c = flatted.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        "table_idx", "bucket",
+    )
+    return (
+        a.join(c, ["table_idx", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            cosine_col(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is JVM-side expression work (split / regexp / array functions /
+xxhash64) inside whole-stage codegen — zero Python UDFs, so these scale
+linearly with input and survive a 100x scale-up unchanged.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small: language ID here is a cheap router, not a classifier.
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "una", "por", "con"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/NULL-ish text)."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation and
+    counts ~4-char chunks of long words — a cheap, deterministic stand-in
+    for a BPE tokenizer's token count."""
+    pieces = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"[\s\p{Punct}]+")
+    pieces = F.filter(pieces, lambda p: p != "")
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / 4).cast("int"), F.lit(1)),
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[\p{Punct}]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + low punctuation + stopword
+    presence — the classic cheap pre-filter for web-scale corpora."""
+    n_chars = F.length(F.coalesce(text, F.lit("")))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(
+        F.when(n_chars > 0, 0.3).otherwise(0.0)
+    )
+    low_punct = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    has_stop = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round(0.4 * len_ok + 0.3 * low_punct + 0.3 * has_stop, 6)
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hit ratios; 'und' when no marker
+    hits at all."""
+    toks = tokens_col(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (_marker_hits(toks, lang) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: min xxhash64 over each window
+    of word 3-gram hashes, distinct-collected — a compact content signature
+    for shift-robust near-dup detection."""
+    toks = tokens_col(text)
+    count = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - F.lit(window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+        )
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass enrichment with every text-analysis column."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.round(stopword_ratio(t), 6).alias("en_stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -279,3 +279,11 @@ for _code in SUBDIVISIONS:
 COUNTRY_ALIASES_OF: Dict[str, List[str]] = {
     code: sorted(country_aliases(code)) for code in SUPPORTED_TERRITORY_CODES
 }
+
+# subdivision code -> derived city_name when a city-typed parent exists
+# (the SUBDIVISION_METADATA_WHITELIST collision path, address.py:122)
+META_CITY: Dict[str, str] = {
+    code: meta["city_name"]
+    for code, meta in SUBDIV_METADATA.items()
+    if "city_name" in meta
+}

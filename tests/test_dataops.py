@@ -1,0 +1,213 @@
+"""Training-data-pipeline operator tests: dedup (exact / MinHash-LSH /
+SimHash / Jaccard), ANN search, text analysis, multimodal plumbing.
+
+Run against the driver-provided sf0.001 documents/embeddings tables plus
+small synthetic corners.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postal_address_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_dedup,
+)
+from postal_address_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from postal_address_spark.operators.similarity_search import (
+    brute_force_topk,
+    embedding_near_dup,
+    lsh_topk,
+)
+from postal_address_spark.operators.text_analysis import analyze_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique doc")],
+        ["doc_id", "text"],
+    )
+    got = {r["rep_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark, documents):
+    # Plant near-duplicates: copy docs with a one-word change.
+    base = documents.limit(10).collect()
+    planted = [(r["doc_id"] + 100000, r["text"] + " extra", "en", "dup", 0)
+               for r in base]
+    df = documents.select("doc_id", "text", "lang", "source", "n_chars").union(
+        spark.createDataFrame(planted, ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    pairs = minhash_dedup(df, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted_pairs = {(r["doc_id"], r["doc_id"] + 100000) for r in base}
+    # LSH with 8 bands of 4 rows at jaccard ~0.9 catches essentially all.
+    assert len(planted_pairs & found) >= 8
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_signature_determinism(spark, documents):
+    s1 = minhash_signatures(documents.limit(20)).collect()
+    s2 = minhash_signatures(documents.limit(20)).collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["sig"])) for r in s1))) == sorted(
+        map(tuple, ((r["doc_id"], tuple(r["sig"])) for r in s2))
+    )
+
+
+def test_simhash_near_dups(spark, documents):
+    base = documents.limit(10).collect()
+    planted = [(r["doc_id"] + 100000, r["text"] + " zz", "en", "dup", 0)
+               for r in base]
+    df = documents.select("doc_id", "text", "lang", "source", "n_chars").union(
+        spark.createDataFrame(planted, ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    pairs = simhash_dedup(df, max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted_pairs = {(r["doc_id"], r["doc_id"] + 100000) for r in base}
+    assert len(planted_pairs & found) >= 7
+
+
+def test_jaccard_verify_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_verify(df, cands, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_brute_force_topk(spark, embeddings):
+    queries = embeddings.limit(5)
+    got = brute_force_topk(embeddings, queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {r["vec_id"] for r in queries.collect()}
+    for rows in by_query.values():
+        assert len(rows) == 3
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_brute_force_matches_numpy(spark, embeddings):
+    rows = embeddings.collect()
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = (mat @ mat.T) / (norms * norms.T)
+    qid = ids[7]
+    order = np.argsort(-sims[7])
+    want = [ids[j] for j in order if ids[j] != qid][:3]
+    got = (
+        brute_force_topk(embeddings, embeddings.where(F.col("vec_id") == qid), k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == want
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    """LSH ANN must recover most of the exact top-3 neighbors.
+
+    The sf embeddings are weakly clustered (top neighbors at moderate
+    cosine), so short codes + many tables: p_bit ~ 1-theta/pi ~ 0.6,
+    16 tables x 4 bits -> expected recall ~0.9."""
+    queries = embeddings.limit(10)
+    exact = brute_force_topk(embeddings, queries, k=3).collect()
+    approx = lsh_topk(
+        embeddings, queries, dim=64, k=3, n_tables=16, bits=4
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+
+
+def test_embedding_near_dup_self(spark, embeddings):
+    # Plant exact duplicates: cosine 1.0 must surface.
+    dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    df = embeddings.select("vec_id", "embedding", "label").union(
+        dup.select("vec_id", "embedding", "label")
+    )
+    got = embedding_near_dup(df, dim=64, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    want = {(i, i + 100000) for i in range(5)}
+    assert want <= pairs
+
+
+def test_text_analysis(spark, documents):
+    got = analyze_documents(documents.limit(50)).collect()
+    for r in got:
+        n_ws = len(r["text"].split())
+        assert r["n_tokens"] == n_ws
+        assert r["n_subword_tokens"] >= n_ws
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["lang_pred"] in {"en", "fr", "de", "es", "und"}
+        assert len(r["fingerprint"]) >= 1
+
+
+def test_lang_id_signal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in the house"),
+            (2, "le chat est dans la maison et les oiseaux dans le jardin"),
+            (3, "der hund ist nicht mit der katze und ein vogel"),
+            (4, "el perro es grande y la casa de los gatos es pequeña"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in analyze_documents(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es"}
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # determinism: same payload -> same features
+    again = {r["media_id"]: tuple(r["feature"]) for r in extract_features(media).collect()}
+    first = {r["media_id"]: tuple(r["feature"]) for r in feats}
+    assert first == again
+    # real decode is stubbed with a clear error
+    with pytest.raises(Exception) as err:
+        extract_features(media, use_real_decode=True).collect()
+    assert "NotImplementedError" in str(err.value) or "decode" in str(err.value)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(plan) == len(vids) * 5  # 5000ms / 1000ms
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in plan)
