@@ -98,10 +98,16 @@ def map_lookup_col(table: Mapping[str, Optional[str]], key: Column) -> Column:
     return F.element_at(F.create_map(*pairs), key)
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def map_lookup_sql(table: Mapping[str, Optional[str]], expr: str) -> str:
     """Same lookup as a generated CASE expression."""
     arms = "\n".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in table.items() if v is not None
+        f"WHEN {_sql_str(k)} THEN {_sql_str(v)}"
+        for k, v in table.items()
+        if v is not None
     )
     return f"(CASE {expr}\n{arms}\nELSE NULL END)"
 
