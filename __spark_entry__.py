@@ -532,14 +532,14 @@ def _oracle_er_normalize() -> str:
 
     n5 = lambda e: map_lookup_sql(NORMALIZE_NOALIAS, f"upper(trim({e}))")  # noqa: E731
     return f"""
-    WITH raw AS ({_mentions_sql()}),
-    n1 AS (
+    WITH raw AS MATERIALIZED ({_mentions_sql()}),
+    n1 AS MATERIALIZED (
       SELECT mention_id, line1, line2,
              {postal_canon_sql('postal_code')} AS postal_code,
              city_name, country_code, subdivision_code
       FROM raw
     ),
-    n2 AS (  -- whitespace collapse + blank reset on every field
+    n2 AS MATERIALIZED (  -- whitespace collapse + blank reset on every field
       SELECT mention_id,
              {ws_norm_sql('line1')} AS line1,
              {ws_norm_sql('line2')} AS line2,
@@ -549,20 +549,20 @@ def _oracle_er_normalize() -> str:
              {ws_norm_sql('subdivision_code')} AS subdivision_code
       FROM n1
     ),
-    n4 AS (  -- swap lines if the first is empty
+    n4 AS MATERIALIZED (  -- swap lines if the first is empty
       SELECT mention_id,
              CASE WHEN line1 IS NULL THEN line2 ELSE line1 END AS line1,
              CASE WHEN line1 IS NULL THEN NULL ELSE line2 END AS line2,
              postal_code, city_name, country_code, subdivision_code
       FROM n2
     ),
-    n5 AS (  -- territory-code normalization (no aliases), unknown -> NULL
+    n5 AS MATERIALIZED (  -- territory-code normalization (no aliases), unknown -> NULL
       SELECT mention_id, line1, line2, postal_code, city_name,
              {n5('country_code')} AS country_code,
              {n5('subdivision_code')} AS subdivision_code
       FROM n4
     ),
-    n6 AS (  -- default subdivision guess; country reset for re-derivation
+    n6 AS MATERIALIZED (  -- default subdivision guess; country reset for re-derivation
       SELECT mention_id, line1, line2, postal_code, city_name,
              CASE WHEN country_code IS NOT NULL AND subdivision_code IS NULL
                        AND {map_lookup_sql(DEFAULT_SUBDIV, 'country_code')} IS NOT NULL
@@ -572,7 +572,7 @@ def _oracle_er_normalize() -> str:
                   ELSE subdivision_code END AS subdivision_code
       FROM n5
     ),
-    n7 AS (  -- parent metadata (non-strict): country + city overrides
+    n7 AS MATERIALIZED (  -- parent metadata (non-strict): country + city overrides
       SELECT mention_id, line1, line2, postal_code,
              CASE WHEN subdivision_code IS NOT NULL
                        AND {map_lookup_sql(SUBDIV_CITY_NAME, 'subdivision_code')} IS NOT NULL
@@ -594,8 +594,8 @@ def _oracle_er_normalize() -> str:
 
 def _oracle_blocking_base() -> str:
     return f"""
-    WITH norm AS ({_oracle_er_normalize()}),
-    blocked AS (
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
       SELECT mention_id,
              CASE WHEN top_country IS NOT NULL AND postal_code IS NOT NULL
                   THEN sha256(top_country || '|' || substr(postal_code, 1, 3))
