@@ -598,7 +598,7 @@ def _oracle_blocking_base() -> str:
     blocked AS MATERIALIZED (
       SELECT mention_id,
              CASE WHEN top_country IS NOT NULL AND postal_code IS NOT NULL
-                  THEN sha256(top_country || '|' || substr(postal_code, 1, 3))
+                  THEN sha256(top_country || '|' || postal_code)
              END AS block_key
       FROM norm
     )

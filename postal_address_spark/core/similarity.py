@@ -31,21 +31,43 @@ _WINKLER_SCALE = 0.1
 _WINKLER_BOOST_THRESHOLD = 0.7
 
 
-def _encode(strings: np.ndarray, max_len: int = MAX_LEN) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad/truncate a batch of strings into a (B, max_len) uint32 codepoint
-    matrix + length vector.  0 is the pad (never a real codepoint here)."""
+def _encode(
+    strings: np.ndarray, max_len: int = MAX_LEN
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate a batch of strings into a (B, L) uint32 codepoint
+    matrix + length vector, L = min(max_len, longest string in batch) —
+    the O(B·L²) match tensor scales with actual data, not the cap.
+    0 is the pad (never a real codepoint here)."""
     batch = len(strings)
-    out = np.zeros((batch, max_len), dtype=np.uint32)
     lengths = np.zeros(batch, dtype=np.int64)
-    for i, s in enumerate(strings):  # one pass to build the batch tensor
+    clipped = []
+    for s in strings:
         if s is None:
-            continue
-        s = s[:max_len]
-        n = len(s)
-        lengths[i] = n
-        if n:
-            out[i, :n] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            clipped.append("")
+        else:
+            clipped.append(s[:max_len])
+    for i, s in enumerate(clipped):
+        lengths[i] = len(s)
+    width = max(int(lengths.max()) if batch else 0, 1)
+    out = np.zeros((batch, width), dtype=np.uint32)
+    for i, s in enumerate(clipped):  # one pass to build the batch tensor
+        if s:
+            out[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
     return out, lengths
+
+
+def _encode_pair(a: np.ndarray, b: np.ndarray):
+    """Encode both sides to one common width (>= prefix cap)."""
+    S, m = _encode(a)
+    T, n = _encode(b)
+    width = max(S.shape[1], T.shape[1], _WINKLER_PREFIX_CAP)
+    if S.shape[1] < width:
+        S = np.pad(S, ((0, 0), (0, width - S.shape[1])))
+    if T.shape[1] < width:
+        T = np.pad(T, ((0, 0), (0, width - T.shape[1])))
+    return S, m, T, n
 
 
 def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -55,8 +77,7 @@ def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     published algorithm; the outer loop runs over the (bounded) string
     positions only.
     """
-    S, m = _encode(a)
-    T, n = _encode(b)
+    S, m, T, n = _encode_pair(a, b)
     B, L = S.shape
 
     maxlen = np.maximum(m, n)
@@ -113,8 +134,7 @@ def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Winkler prefix boost over :func:`jaro_batch` (threshold 0.7, cap 4)."""
-    S, m = _encode(a)
-    T, n = _encode(b)
+    S, m, T, n = _encode_pair(a, b)
     jaro = jaro_batch(a, b)
 
     cap = np.minimum(np.minimum(m, n), _WINKLER_PREFIX_CAP)
@@ -136,8 +156,7 @@ def levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     dependency resolved with the distance-transform trick
     ``min_k (row[k] - k) + j`` via ``np.minimum.accumulate``.
     """
-    S, m = _encode(a)
-    T, n = _encode(b)
+    S, m, T, n = _encode_pair(a, b)
     B, L = S.shape
 
     jcol = np.arange(L + 1, dtype=np.float64)

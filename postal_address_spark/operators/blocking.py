@@ -4,13 +4,23 @@ The key composes the reference's own reconciliation machinery so that every
 equivalence-coded mention of one entity lands in the SAME block
 (SURVEY.md §2.C — the alias families define the match classes):
 
-    block_key = sha2(top_country || '|' || substr(postal_norm, 1, 3), 256)
+    block_key = sha2(top_country || '|' || postal_norm, 256)
 
 * ``top_country`` is T3 (territory_attachment, territory.py:238-245)
   applied to the N5/N7-normalized country — computed upstream in the
   normalize UDF.
 * ``postal_norm`` is the N1-canonicalized postal code (address.py:326-335),
   so postal junk can't split a block.
+
+**Scale rationale — full postal, not a prefix.**  The pair scorer weights
+exact-postal agreement such that cross-postal pairs can never reach the
+match threshold; blocking on the full canonical postal therefore loses
+zero recall while bounding block size by the number of mentions per exact
+(country, postal) — a distribution property, not a corpus-size property.
+A 3-char-prefix key would make one metropolitan prefix own a constant
+FRACTION of all mentions, i.e. O(n²) candidate pairs at 10^12 turns.  The
+remaining hot keys (one popular exact postal) are handled by the salted
+self-join + an optional hard block-size cap in ``pairs.py``.
 
 City tokens are deliberately excluded: small city typos must not move a
 mention out of its block (they are the similarity scorer's job).  Both
@@ -21,22 +31,31 @@ Everything here is JVM-side expression work inside whole-stage codegen.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def block_key_col(
-    top_country: Column, postal_code: Column, postal_prefix_len: int = 3
+    top_country: Column,
+    postal_code: Column,
+    postal_prefix_len: Optional[int] = None,
 ) -> Column:
-    raw = F.concat_ws(
-        "|", top_country, F.substring(postal_code, 1, postal_prefix_len)
+    postal_part = (
+        postal_code
+        if postal_prefix_len is None
+        else F.substring(postal_code, 1, postal_prefix_len)
     )
+    raw = F.concat_ws("|", top_country, postal_part)
     return F.when(
         top_country.isNotNull() & postal_code.isNotNull(), F.sha2(raw, 256)
     )
 
 
-def with_block_key(normalized: DataFrame, postal_prefix_len: int = 3) -> DataFrame:
+def with_block_key(
+    normalized: DataFrame, postal_prefix_len: Optional[int] = None
+) -> DataFrame:
     return normalized.withColumn(
         "block_key",
         block_key_col(

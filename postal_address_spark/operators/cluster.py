@@ -81,11 +81,16 @@ def connected_components(
     for _ in range(max_iterations):
         after_large = _large_star(_bidirectional(current))
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # Fixed point: identical edge sets (both are distinct'ed).
-        delta = after_small.exceptAll(current).limit(1).count()
-        same_size = after_small.count() == current.count()
+        # Fixed point: empty symmetric difference — ONE action per round
+        # (both sides are distinct'ed canonical sets).
+        changed = (
+            after_small.exceptAll(current)
+            .unionByName(current.exceptAll(after_small))
+            .limit(1)
+            .count()
+        )
         current = after_small
-        if delta == 0 and same_size:
+        if changed == 0:
             break
     labels = current.select(
         F.col("src").alias("rec_id"), F.col("dst").alias("cluster_id")

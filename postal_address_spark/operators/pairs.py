@@ -41,17 +41,34 @@ def candidate_pairs(
     blocked: DataFrame,
     hot_threshold: int = 20000,
     n_salt: int = 16,
+    max_block_size: Optional[int] = None,
 ) -> DataFrame:
     """blocked mentions (block_key non-null) -> candidate pair rows.
 
     Output: block_key, <field>_a, <field>_b for each PAIR_FIELDS entry.
+
+    ``max_block_size`` is the production guardrail for degenerate keys
+    (e.g. a junk postal shared by millions of rows): blocks above the cap
+    are *excluded from pairing entirely* — within-block pair count is
+    inherently quadratic, and an unlinkable junk key would otherwise own
+    the job's runtime.  Dropped rows stay in the output of the blocking
+    stage (they simply form singleton clusters); the drop is observable
+    via the block histogram.
     """
     blocked = blocked.where(F.col("block_key").isNotNull())
 
+    histogram = blocked.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    if max_block_size is not None:
+        oversized = histogram.where(F.col("block_n") > max_block_size).select(
+            "block_key"
+        )
+        blocked = blocked.join(F.broadcast(oversized), "block_key", "left_anti")
+        histogram = histogram.where(F.col("block_n") <= max_block_size)
+
     hot_keys = (
-        blocked.groupBy("block_key")
-        .agg(F.count(F.lit(1)).alias("block_n"))
-        .where(F.col("block_n") > hot_threshold)
+        histogram.where(F.col("block_n") > hot_threshold)
         .select("block_key")
         .withColumn("__hot", F.lit(True))
     )

@@ -5,15 +5,19 @@ One Arrow-batched pandas UDF over the candidate-pair columns; the kernels
 are the numpy batch implementations in core.similarity.  The combined
 score is a weighted blend of:
 
-* line1 similarity   (0.5 * JW + 0.5 * token-set Levenshtein)  x 0.50
-* city JW            x 0.20
-* exact normalized-postal agreement                            x 0.30
+* line1 similarity   (0.5 * JW + 0.5 * token-set Levenshtein)  x 0.35
+* city JW                                                      x 0.15
+* exact normalized-postal agreement                            x 0.25
+* primary (house) number agreement                             x 0.25
 
-Postal codes are already N1-canonicalized and same-entity fixtures never
-vary the true postal, so exact postal agreement is the high-precision
-anchor; line1 similarity separates same-street-different-number neighbors;
-the weights + default threshold are tuned on the labeled pairs ported from
-the reference test corpus (tests/test_pipeline_e2e.py asserts F1 >= 0.99).
+The primary-number feature is the classic postal-linkage discriminator:
+within a hot block (one popular exact postal), two different buildings on
+the same street differ precisely in the leading number, which string
+similarity alone under-weights.  Same-entity mentions never disagree on
+it, so it buys precision at zero recall cost.  Weights + threshold are
+validated on the labeled pairs ported from the reference test corpus
+(tests/test_pipeline_e2e.py asserts pairwise F1 >= 0.99): same-entity
+pairs score >= ~0.95, cross-entity pairs <= ~0.70.
 """
 from __future__ import annotations
 
@@ -31,9 +35,14 @@ from ..core.similarity import (
 
 DEFAULT_THRESHOLD = 0.82
 
-W_LINE1 = 0.50
-W_CITY = 0.20
-W_POSTAL = 0.30
+W_LINE1 = 0.35
+W_CITY = 0.15
+W_POSTAL = 0.25
+W_HOUSENUM = 0.25
+
+
+def _leading_number(values: pd.Series) -> pd.Series:
+    return values.astype("string").str.extract(r"^(\d+)", expand=False)
 
 
 def score_batch(
@@ -43,29 +52,80 @@ def score_batch(
     city_b: np.ndarray,
     postal_a: np.ndarray,
     postal_b: np.ndarray,
+    threshold: float = DEFAULT_THRESHOLD,
 ) -> np.ndarray:
-    """Pure-numpy pair score in [0, 1] (also unit-tested without Spark)."""
-    s_line1 = 0.5 * jaro_winkler_batch(line1_a, line1_b) + \
-        0.5 * token_set_levenshtein_batch(line1_a, line1_b)
-    s_city = jaro_winkler_batch(city_a, city_b)
+    """Pure-numpy pair score in [0, 1] (also unit-tested without Spark).
+
+    Cheap-feature cascade: exact features (postal, primary number, string
+    equality) are computed first; the O(L²) Jaro-Winkler / Levenshtein
+    kernels only run on pairs whose score UPPER BOUND (string sims assumed
+    1.0) can still reach ``threshold``.  In a hot block, cross-entity pairs
+    almost always disagree on the primary number, so the quadratic pair
+    volume costs equality checks, not edit-distance — this is what keeps
+    within-block scoring ~O(block) instead of O(block²·L²) in practice.
+    Pairs short-circuited by the bound get their (sub-threshold) upper
+    bound as the score, which downstream filtering discards either way.
+    """
     pa = pd.Series(postal_a, dtype=object)
     pb = pd.Series(postal_b, dtype=object)
     s_postal = ((pa == pb) & pa.notna()).to_numpy(dtype=np.float64)
-    return W_LINE1 * s_line1 + W_CITY * s_city + W_POSTAL * s_postal
+    la = pd.Series(line1_a, dtype=object)
+    lb = pd.Series(line1_b, dtype=object)
+    na, nb = _leading_number(la), _leading_number(lb)
+    s_housenum = (
+        ((na == nb) & na.notna()) | (na.isna() & nb.isna())
+    ).to_numpy(dtype=np.float64)
 
+    base = W_POSTAL * s_postal + W_HOUSENUM * s_housenum
+    upper = base + W_LINE1 + W_CITY
+    need = upper >= threshold
 
-@pandas_udf(returnType=DoubleType())
-def pair_score_udf(
-    line1_a: pd.Series, line1_b: pd.Series,
-    city_a: pd.Series, city_b: pd.Series,
-    postal_a: pd.Series, postal_b: pd.Series,
-) -> pd.Series:
-    scores = score_batch(
-        line1_a.to_numpy(dtype=object), line1_b.to_numpy(dtype=object),
-        city_a.to_numpy(dtype=object), city_b.to_numpy(dtype=object),
-        postal_a.to_numpy(dtype=object), postal_b.to_numpy(dtype=object),
+    line1_eq = ((la == lb) & la.notna()).to_numpy(dtype=bool)
+    ca = pd.Series(city_a, dtype=object)
+    cb = pd.Series(city_b, dtype=object)
+    city_eq = (((ca == cb) & ca.notna()) | (ca.isna() & cb.isna())).to_numpy(
+        dtype=bool
     )
-    return pd.Series(scores)
+
+    s_line1 = np.where(line1_eq, 1.0, 0.0)
+    s_city = np.where(city_eq, 1.0, 0.0)
+
+    need_line1 = need & ~line1_eq
+    if need_line1.any():
+        sub_a = line1_a[need_line1]
+        sub_b = line1_b[need_line1]
+        s_line1[need_line1] = 0.5 * jaro_winkler_batch(sub_a, sub_b) + \
+            0.5 * token_set_levenshtein_batch(sub_a, sub_b)
+    need_city = need & ~city_eq
+    if need_city.any():
+        s_city[need_city] = jaro_winkler_batch(
+            city_a[need_city], city_b[need_city]
+        )
+
+    full = base + W_LINE1 * s_line1 + W_CITY * s_city
+    # short-circuited pairs report their (sub-threshold) upper bound
+    return np.where(need, full, upper)
+
+
+def make_pair_score_udf(threshold: float = DEFAULT_THRESHOLD):
+    """Build the scoring UDF with the cascade bound tied to ``threshold``
+    (the short-circuit must never skip a pair the caller's filter keeps)."""
+
+    @pandas_udf(returnType=DoubleType())
+    def pair_score_udf(
+        line1_a: pd.Series, line1_b: pd.Series,
+        city_a: pd.Series, city_b: pd.Series,
+        postal_a: pd.Series, postal_b: pd.Series,
+    ) -> pd.Series:
+        scores = score_batch(
+            line1_a.to_numpy(dtype=object), line1_b.to_numpy(dtype=object),
+            city_a.to_numpy(dtype=object), city_b.to_numpy(dtype=object),
+            postal_a.to_numpy(dtype=object), postal_b.to_numpy(dtype=object),
+            threshold=threshold,
+        )
+        return pd.Series(scores)
+
+    return pair_score_udf
 
 
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
@@ -73,9 +133,10 @@ def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
 
     Output: rec_id_a, rec_id_b, block_key, score.
     """
+    udf = make_pair_score_udf(threshold)
     scored = pairs.withColumn(
         "score",
-        pair_score_udf(
+        udf(
             "line1_a", "line1_b", "city_name_a", "city_name_b",
             "postal_code_a", "postal_code_b",
         ),

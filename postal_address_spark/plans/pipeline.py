@@ -50,9 +50,12 @@ def _fingerprint(*parts: object) -> str:
 class LinkageConfig:
     strict: bool = False
     replace_city_name: bool = True
-    postal_prefix_len: int = 3
+    # None = block on the FULL canonical postal (see blocking.py scale
+    # rationale); an int keeps the coarser prefix variant available.
+    postal_prefix_len: Optional[int] = None
     hot_threshold: int = 20000
     n_salt: int = 16
+    max_block_size: Optional[int] = None
     threshold: float = DEFAULT_THRESHOLD
     checkpoint_root: Optional[str] = None
     input_fingerprint: str = "input"
@@ -69,6 +72,7 @@ class LinkageConfig:
                 "hot_threshold": self.hot_threshold,
                 "n_salt": self.n_salt,
                 "threshold": self.threshold,
+                "max_block_size": self.max_block_size,
             },
             "clusters": {},
         }[stage]
@@ -138,6 +142,7 @@ def run_linkage(
                 blocked,
                 hot_threshold=config.hot_threshold,
                 n_salt=config.n_salt,
+                max_block_size=config.max_block_size,
             ),
             threshold=config.threshold,
         ),

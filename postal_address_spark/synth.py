@@ -159,7 +159,8 @@ def _conv_rng(seed: int, conv_idx: int) -> random.Random:
 def entity_profile(seed: int, entity_idx: int, hot_share: float = 0.05) -> Dict:
     """Canonical ground-truth address of an entity, seeded by index."""
     rng = _entity_rng(seed, entity_idx)
-    if rng.random() < hot_share:
+    hot = rng.random() < hot_share
+    if hot:
         family_idx = _HOT_FAMILY
     else:
         family_idx = rng.randrange(len(_TERRITORY_FAMILIES))
@@ -167,12 +168,17 @@ def entity_profile(seed: int, entity_idx: int, hot_share: float = 0.05) -> Dict:
     street = rng.choice(_STREETS)
     number = rng.randrange(1, 9999)
     postal_suffix = "".join(rng.choice("0123456789") for _ in range(2))
+    # Hot entities all share ONE exact postal: with full-postal blocking
+    # this is the deliberately hot blocking key (~hot_share of mentions)
+    # that exercises the salted self-join; within it, entities are
+    # discriminated by line1 / primary number only.
+    postal = "75001" if hot else fam["postal_prefix"] + postal_suffix
     return {
         "entity_id": f"E{entity_idx:08d}",
         "family": family_idx,
         "line1": f"{number} {street}",
         "line2": rng.choice([None, "Apt " + str(rng.randrange(1, 99)), None, None]),
-        "postal_code": fam["postal_prefix"] + postal_suffix,
+        "postal_code": postal,
         "city_name": rng.choice(fam["city_pool"]),
         "variants": fam["variants"],
     }
@@ -206,10 +212,14 @@ def _postal_junk(rng: random.Random, postal: str) -> str:
 
 
 def _typo(rng: random.Random, value: str) -> str:
-    """One-character substitution, never in the first 2 chars."""
-    if len(value) < 5:
+    """One-character substitution in the word part of the value — never in
+    a leading house number (the scorer's primary-number feature treats the
+    leading digits as an exact-match field, as real postal linkage does)."""
+    space = value.find(" ")
+    start = max(2, space + 2)
+    if len(value) < start + 3:
         return value
-    pos = rng.randrange(2, len(value) - 1)
+    pos = rng.randrange(start, len(value) - 1)
     ch = rng.choice("abcdefghijklmnopqrstuvwxyz")
     return value[:pos] + ch + value[pos + 1 :]
 

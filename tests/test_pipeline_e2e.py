@@ -57,7 +57,7 @@ def truth_block_key(entity_idx):
         subdivision_code=canonical_sub,
     )
     top = FOREIGN_TERRITORIES_MAPPING.get(rec.country_code, rec.country_code)
-    return (top, rec.postal_code[:3])
+    return (top, rec.postal_code)
 
 
 def labeled_pairs(truth_pd: pd.DataFrame) -> pd.DataFrame:
