@@ -26,8 +26,10 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Columns the scorer needs from each side.
-PAIR_FIELDS = ["rec_id", "line1", "city_name", "postal_code", "country_code", "render"]
+# Columns the scorer needs from each side — nothing more rides the pair
+# shuffle (52M pair rows at sf0.1; every surplus column is ~50 bytes x 2
+# sides x pair count of wasted shuffle IO).
+PAIR_FIELDS = ["rec_id", "line1", "city_name", "postal_code"]
 
 
 def _sided(df: DataFrame, side: str, extra: Optional[List[str]] = None) -> DataFrame:

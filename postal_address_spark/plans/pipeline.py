@@ -135,6 +135,11 @@ def run_linkage(
         "blocked",
         lambda: with_block_key(normalized, config.postal_prefix_len),
     )
+    if config.checkpoint_root is None:
+        # blocked feeds the histogram, both self-join sides, and the
+        # cluster vertex set; without a parquet checkpoint it must be
+        # cached or the whole UDF chain recomputes per consumer.
+        blocked = blocked.persist()
     edges = runner.run(
         "edges",
         lambda: score_pairs(
@@ -147,6 +152,8 @@ def run_linkage(
             threshold=config.threshold,
         ),
     )
+    if config.checkpoint_root is None:
+        edges = edges.persist()
     clusters = runner.run(
         "clusters",
         lambda: assign_clusters(
