@@ -51,7 +51,7 @@ def build_session(cpus: int = CPUS):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -73,10 +73,12 @@ def run_er_pipeline(spark, n_convs: int):
     transcripts = transcripts.persist()
     n_turns = transcripts.count()
     started = time.time()
+    # n_salt=64: the hot block's pair volume must fan out past 4N cores,
+    # or the one hot key caps speedup at n_salt tasks.
     result = run_linkage(
         spark,
         transcripts,
-        LinkageConfig(hot_threshold=5000, n_salt=8),
+        LinkageConfig(hot_threshold=5000, n_salt=64),
     )
     agg = result["clusters"].agg(
         F.count(F.lit(1)).alias("n"),

@@ -21,7 +21,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "30000"))
+# Large enough that per-stage compute dominates the CC driver loop's fixed
+# per-round latency — the sandbox proxy for the 10^12-turn regime where the
+# north rule's scaling criterion is defined.
+N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
 OUT_MD = "/root/repo/BENCH/BASELINE.md"
 
 
