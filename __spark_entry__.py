@@ -366,7 +366,7 @@ def _q_exact_dedup(spark, sf_dir):
     doubled = docs.union(
         docs.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
     )
-    return exact_dedup(doubled).orderBy("content_hash")
+    return exact_dedup(doubled).orderBy("rep_id")
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -598,7 +598,7 @@ def _oracle_blocking_base() -> str:
     blocked AS MATERIALIZED (
       SELECT mention_id,
              CASE WHEN top_country IS NOT NULL AND postal_code IS NOT NULL
-                  THEN sha256(top_country || '|' || postal_code)
+                  THEN top_country || '|' || postal_code
              END AS block_key
       FROM norm
     )
@@ -732,10 +732,9 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents
     )
-    SELECT sha256(text) AS content_hash,
-           MIN(doc_id) AS rep_id,
+    SELECT MIN(doc_id) AS rep_id,
            COUNT(*) AS dup_count
-    FROM doubled GROUP BY 1 ORDER BY content_hash
+    FROM doubled GROUP BY text ORDER BY rep_id
     """
 
     shingles = (

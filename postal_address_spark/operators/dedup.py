@@ -23,16 +23,26 @@ _MH_PRIME = (1 << 31) - 1
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash.
 
-    Returns (content_hash, rep_id, dup_count): one row per distinct text,
-    representative = min id.  Map-side partial aggregation makes this a
-    single cheap shuffle on the hash.
+    Returns (rep_id, dup_count): one row per distinct text, representative
+    = min id.  Map-side partial aggregation makes this a single cheap
+    shuffle keyed on a 128-bit content fingerprint (two independently
+    seeded xxhash64 values — collision odds ~n²/2^129, negligible at
+    10^12 docs) instead of the full text bytes.
+
+    xxhash64 rather than ``F.sha2``: MessageDigest-backed hashes serialize
+    on a JVM provider lock at high thread counts (see blocking.py — 8x
+    degradation measured at 32 threads); xxhash64 scales linearly.
     """
     return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        df.groupBy(
+            F.xxhash64(F.lit(0), F.col(text_col)).alias("_h0"),
+            F.xxhash64(F.lit(1), F.col(text_col)).alias("_h1"),
+        )
         .agg(
             F.min(id_col).alias("rep_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+        .select("rep_id", "dup_count")
     )
 
 
@@ -106,15 +116,18 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.sha2(
+                    # xxhash64, not sha2: band hashes are join keys only,
+                    # and MessageDigest hashes throttle at high thread
+                    # counts (blocking.py).  band_idx rides the join key
+                    # too, so cross-band collisions are harmless.
+                    F.xxhash64(
                         F.concat_ws(
                             ",",
                             F.transform(
                                 F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                                 lambda x: x.cast("string"),
                             ),
-                        ),
-                        256,
+                        )
                     ).alias("band_hash"),
                 ),
             )

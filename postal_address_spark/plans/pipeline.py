@@ -148,6 +148,7 @@ def run_linkage(
                 hot_threshold=config.hot_threshold,
                 n_salt=config.n_salt,
                 max_block_size=config.max_block_size,
+                threshold=config.threshold,
             ),
             threshold=config.threshold,
         ),
