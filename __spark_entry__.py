@@ -464,6 +464,56 @@ def _q_lsh_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup via sign-LSH buckets + exact verify
+    (numpy matmul signatures -> rows-only, no SQL equivalent)."""
+    from postal_address_spark.operators.similarity_search import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.limit(10).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return (
+        embedding_near_dup(emb.union(planted), dim=64, threshold=0.99)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction + video frame-sampling plan —
+    the multimodal plumbing (decode itself is stubbed; the Spark schema,
+    Arrow batch shape, and mapInPandas signature are the real thing).
+    Deterministic synth input -> rows-only check."""
+    from postal_address_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=96, seed=7)
+    feats = extract_features(media)
+    frames = frame_sample_plan(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id", "kind", "n_bytes",
+            F.round(
+                F.aggregate(
+                    "feature", F.lit(0.0), lambda a, x: a + x.cast("double")
+                ),
+                6,
+            ).alias("feat_sum"),
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_er_link_mentions(spark, sf_dir):
     """Blocking + scoring + CC over the derived mention table — the whole
     linkage engine minus transcript extraction (JW scoring is not
@@ -508,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_topk": _q_lsh_ann,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "multimodal_features": _q_multimodal_features,
         "er_link_mentions": _q_er_link_mentions,
     }
 

@@ -118,6 +118,83 @@ def connected_components(
     )
 
 
+def connected_components_blocked(edges: DataFrame) -> DataFrame:
+    """Transitive closure for BLOCK-LOCAL edge sets, in one shuffle.
+
+    The linkage pipeline's candidate edges carry the ``block_key`` they
+    were generated under, and a mention belongs to exactly one block — so
+    components can NEVER span blocks.  That graph property turns global
+    iterative CC into an embarrassingly-parallel per-block closure: one
+    ``groupBy(block_key).applyInPandas`` running union-find with
+    path-halving over each block's (small, size-capped by the pairing
+    guardrails) edge list.  Versus the ~6-round large/small-star loop this
+    removes ~35 scheduler stages and every driver round-trip — the
+    dominant fixed cost at high parallelism — while producing the
+    identical labeling (asserted against :func:`connected_components` in
+    tests/test_cluster.py).
+
+    Input: (src, dst, block_key).  Output: (rec_id, cluster_id=min id of
+    the component).  Use :func:`connected_components` for general edge
+    sets without the block-disjointness guarantee.
+    """
+    import pandas as pd
+
+    def close_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids: dict = {}
+        parent: list = []
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        srcs = pdf["src"].to_numpy(dtype=object)
+        dsts = pdf["dst"].to_numpy(dtype=object)
+        names: list = []
+        for arr in (srcs, dsts):
+            for v in arr:
+                if v not in ids:
+                    ids[v] = len(names)
+                    names.append(v)
+                    parent.append(len(parent))
+        for a, b in zip(srcs, dsts):
+            ra, rb = find(ids[a]), find(ids[b])
+            if ra != rb:
+                parent[rb] = ra
+        # min name per root = deterministic cluster id
+        root_min: dict = {}
+        for i, name in enumerate(names):
+            r = find(i)
+            cur = root_min.get(r)
+            if cur is None or name < cur:
+                root_min[r] = name
+        return pd.DataFrame(
+            {
+                "rec_id": names,
+                "cluster_id": [root_min[find(i)] for i in range(len(names))],
+            }
+        )
+
+    return edges.groupBy("block_key").applyInPandas(
+        close_block, schema="rec_id string, cluster_id string"
+    )
+
+
+def assign_clusters_blocked(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """All vertices -> (rec_id, cluster_id) via the per-block closure;
+    singletons (no edge) keep their own id."""
+    labels = connected_components_blocked(edges)
+    return (
+        vertices.select("rec_id")
+        .join(labels, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("cluster_id", "rec_id").alias("cluster_id"),
+        )
+    )
+
+
 def assign_clusters(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """All vertices (rec_id) -> (rec_id, cluster_id); singletons get their
     own id.  Left join against the CC labels, coalesce to self."""

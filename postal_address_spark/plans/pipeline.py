@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.blocking import with_block_key
-from ..operators.cluster import assign_clusters
+from ..operators.cluster import assign_clusters_blocked
 from ..operators.extract import extract_mentions
 from ..operators.normalize_op import normalize_mentions
 from ..operators.pairs import candidate_pairs
@@ -155,12 +155,17 @@ def run_linkage(
     )
     if config.checkpoint_root is None:
         edges = edges.persist()
+    # Pair edges are block-local by construction, so the per-block closure
+    # (one shuffle, no iterative rounds) replaces global star CC here; the
+    # general operator remains in operators/cluster.py for arbitrary graphs.
     clusters = runner.run(
         "clusters",
-        lambda: assign_clusters(
+        lambda: assign_clusters_blocked(
             blocked.where(F.col("block_key").isNotNull()),
             edges.select(
-                F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst")
+                F.col("rec_id_a").alias("src"),
+                F.col("rec_id_b").alias("dst"),
+                "block_key",
             ),
         ),
     )

@@ -82,3 +82,46 @@ def test_empty_edges(spark):
         for r in assign_clusters(vertices, edges).collect()
     )
     assert got == {"a": "a", "b": "b"}
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_blocked_cc_matches_star_cc(spark, seed):
+    """Per-block union-find closure == global large/small-star CC when
+    edges are block-local (the pipeline's guarantee)."""
+    from postal_address_spark.operators.cluster import (
+        assign_clusters_blocked,
+        connected_components_blocked,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for b in range(12):
+        n = rng.randrange(2, 30)
+        ids = [f"b{b:02d}#n{i:03d}" for i in range(n)]
+        for _ in range(rng.randrange(1, 3 * n)):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                rows.append((ids[u], ids[v], f"block{b:02d}"))
+    edges = spark.createDataFrame(rows, ["src", "dst", "block_key"])
+
+    star = {
+        r["rec_id"]: r["cluster_id"]
+        for r in connected_components(edges.select("src", "dst")).collect()
+    }
+    blocked = {
+        r["rec_id"]: r["cluster_id"]
+        for r in connected_components_blocked(edges).collect()
+    }
+    assert blocked == star
+
+    # assign variant: singleton vertices keep their own id
+    verts = edges.select(F.col("src").alias("rec_id")).union(
+        edges.select("dst")
+    ).union(spark.createDataFrame([("zz#lonely",)], ["rec_id"])).distinct()
+    assigned = {
+        r["rec_id"]: r["cluster_id"]
+        for r in assign_clusters_blocked(verts, edges).collect()
+    }
+    assert assigned["zz#lonely"] == "zz#lonely"
+    for k, v in star.items():
+        assert assigned[k] == v
