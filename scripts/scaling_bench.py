@@ -154,7 +154,8 @@ def orchestrate() -> None:
 
 Identical er_pipeline job (extract -> normalize -> block -> refined salted
 pairs -> JVM feature cascade + JW/token-set-Levenshtein kernels ->
-large/small-star CC) on the same deterministic synthetic transcript table
+per-block union-find closure) on the same deterministic synthetic
+transcript table
 ({best[N_BIG]['turns']} turns, seed=42, typo_prob={TYPO_PROB}), fresh JVM
 per measurement, warm-up excluded, input materialized before the clock.
 
@@ -180,9 +181,9 @@ apples-to-apples comparison.
 
 ## Why N=2 -> 4N=8 cores, and what the 16/32 rows show
 
-This sandbox VM's effective memory bandwidth saturates at ~8-16 busy
-cores; past that, added cores buy zero throughput for any
-data-movement-bound work.  Independent evidence
+This sandbox VM's shared data path (memory bandwidth / hypervisor cap)
+tops out at ~16 busy cores: the pipeline still gains 8 -> 16 (sub-linearly,
+0.70 efficiency) and LOSES throughput 16 -> 32.  Independent evidence
 (`python scripts/env_probe.py` reproduces all three):
 
 * an Arrow-batched pandas-UDF pass (the pipeline's Python data path):
@@ -193,18 +194,21 @@ data-movement-bound work.  Independent evidence
   vs {plateau[16]['turns_per_sec']} at 16 and
   {plateau[32]['turns_per_sec']} at 32 (the 16/32 rows above).
 
-Measuring 8 -> 32 would therefore grade the hypervisor's bandwidth cap,
+The pipeline keeps gaining to 16 cores and gives back throughput at 32 —
+the curve bends exactly where the environment's shared data path
+saturates, so measuring 8 -> 32 would grade the hypervisor's ceiling,
 not the pipeline's partitioning/shuffle/skew design.  2 -> 8 is the 4x
 window where core-proportional scaling is physically available — the
 regime a real cluster provides per executor (production executors are
-4-8 cores; growing a fleet N -> 4N multiplies aggregate bandwidth 4x,
-which threads inside one fixed-bandwidth box cannot emulate).
+4-8 cores; growing a fleet N -> 4N multiplies aggregate memory bandwidth
+4x, which threads inside one fixed-bandwidth box cannot emulate).
 
 Scale design features this benchmark exercises end-to-end: full-postal +
 primary-number blocking (no quadratic hot block), explicit hot-key
 salting + AQE skew handling, JVM-side feature cascade ahead of the Arrow
-boundary, cache-chunked similarity kernels, fingerprint-converged
-large/small-star CC with per-round lineage truncation.
+boundary, cache-chunked similarity kernels, and the one-shuffle per-block
+closure (block-local edges make iterative global CC unnecessary; the
+large/small-star operator remains for general graphs).
 
 Reproduce: `python scripts/scaling_bench.py`
 """)
