@@ -514,6 +514,167 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_render_addresses(spark, sf_dir):
+    """R1 — full address rendering (address.py:249-306) over the derived
+    mention table; golden-parity is pinned by the oracle re-deriving the
+    same render rules in SQL from the vendored maps."""
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    m = _mentions_df(spark, sf_dir)
+    return normalize_mentions(m, strict=False, replace_city_name=True).select(
+        "mention_id", "render"
+    )
+
+
+def _q_validate_mentions(spark, sf_dir):
+    """V1-V4 + N9 — strict-mode validation with errors-as-data
+    (address.py:390-424, :428-505); struct columns flattened to stable
+    comparable strings."""
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    m = _mentions_df(spark, sf_dir)
+    out = normalize_mentions(m, strict=True, replace_city_name=True)
+    return out.select(
+        "mention_id",
+        F.array_join("required_fields", ",").alias("missing_required"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("invalid_fields"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ).alias("invalid_summary"),
+        F.array_join(
+            F.transform("inconsistent_fields", lambda p: F.array_join(p, "~")),
+            ",",
+        ).alias("inconsistent_summary"),
+        F.col("is_valid"),
+    )
+
+
+def _q_territory_expand(spark, sf_dir):
+    """T3/T4/T5/T6/N6 — parent chain, children count, country aliases,
+    top-country attachment and default subdivision for every supported
+    territory code, as JVM map-literal lookups (territory.py:238-406)."""
+    from postal_address_spark.functions import (
+        ALIASES_CSV,
+        DEFAULT_SUBDIV,
+        N_CHILDREN,
+        NORMALIZE_TOP,
+        PARENTS_CHAIN,
+        map_lookup_col,
+    )
+
+    codes = sorted(PARENTS_CHAIN)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    code = _pick_col(codes, F.col("c_custkey"))
+    return customer.select(
+        F.col("c_custkey").alias("id"),
+        code.alias("code"),
+        map_lookup_col(PARENTS_CHAIN, code).alias("parents_chain"),
+        map_lookup_col(N_CHILDREN, code).cast("int").alias("n_children"),
+        map_lookup_col(ALIASES_CSV, code).alias("aliases_csv"),
+        map_lookup_col(NORMALIZE_TOP, code).alias("resolved_top"),
+        map_lookup_col(DEFAULT_SUBDIV, code).alias("default_subdiv"),
+    )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def _urgent_orders(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+    )
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = _urgent_orders(spark, sf_dir)
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_customers_with_orders(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = _urgent_orders(spark, sf_dir)
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_event_setops(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = events.where(F.col("value") > 0.9).select("user_id", "event_type").distinct()
+    b = events.where(F.col("value") < 0.1).select("user_id", "event_type").distinct()
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    diff = a.subtract(b).withColumn("op", F.lit("except"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("op")
+    )
+
+
+def _q_json_props(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy(k.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k")
+    )
+
+
 def _q_er_link_mentions(spark, sf_dir):
     """Blocking + scoring + CC over the derived mention table — the whole
     linkage engine minus transcript extraction (JW scoring is not
@@ -548,6 +709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ws_normalize": _q_ws_normalize,
         "territory_normalize": _q_territory_normalize,
         "er_normalize_mentions": _q_er_normalize,
+        "render_addresses": _q_render_addresses,
+        "validate_mentions": _q_validate_mentions,
+        "territory_expand": _q_territory_expand,
+        "rollup_revenue": _q_rollup_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "customers_with_orders": _q_customers_with_orders,
+        "event_setops": _q_event_setops,
+        "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
         "cc_clusters": _q_cc_clusters,
@@ -644,6 +813,116 @@ def _oracle_er_normalize() -> str:
     """
 
 
+def _oracle_norm_full(strict: bool) -> str:
+    """Full N1->N9 chain with render/validation projections, mirroring
+    core/normalize.py exactly (incl. strict-conflict gating).  Ends with a
+    ``norm_full`` CTE; callers append their own final SELECT."""
+    from postal_address_spark.functions import (
+        COUNTRY_DISPLAY_NAME,
+        DEFAULT_SUBDIV,
+        NORMALIZE_NOALIAS,
+        SUBDIV_CITY_NAME,
+        SUBDIV_DISPLAY_NAME,
+        SUBDIV_OWN_COUNTRY,
+        SUBDIV_STATE_NAME,
+        SUBDIV_TO_COUNTRY,
+        TOP_COUNTRY,
+        map_lookup_sql,
+        postal_canon_sql,
+        ws_norm_sql,
+    )
+
+    n5 = lambda e: map_lookup_sql(NORMALIZE_NOALIAS, f"upper(trim({e}))")  # noqa: E731
+    s_on = "TRUE" if strict else "FALSE"
+    return f"""
+    WITH raw AS MATERIALIZED ({_mentions_sql()}),
+    n1 AS MATERIALIZED (
+      SELECT mention_id, line1, line2,
+             {postal_canon_sql('postal_code')} AS postal_code,
+             city_name, country_code, subdivision_code
+      FROM raw
+    ),
+    n2 AS MATERIALIZED (
+      SELECT mention_id,
+             {ws_norm_sql('line1')} AS line1,
+             {ws_norm_sql('line2')} AS line2,
+             {ws_norm_sql('postal_code')} AS postal_code,
+             {ws_norm_sql('city_name')} AS city_name,
+             {ws_norm_sql('country_code')} AS country_code,
+             {ws_norm_sql('subdivision_code')} AS subdivision_code
+      FROM n1
+    ),
+    n4 AS MATERIALIZED (
+      SELECT mention_id,
+             CASE WHEN line1 IS NULL THEN line2 ELSE line1 END AS line1,
+             CASE WHEN line1 IS NULL THEN NULL ELSE line2 END AS line2,
+             postal_code, city_name, country_code, subdivision_code
+      FROM n2
+    ),
+    n5 AS MATERIALIZED (
+      SELECT mention_id, line1, line2, postal_code, city_name,
+             {n5('country_code')} AS country_code,
+             {n5('subdivision_code')} AS subdivision_code
+      FROM n4
+    ),
+    n6 AS MATERIALIZED (
+      SELECT mention_id, line1, line2, postal_code, city_name,
+             CASE WHEN country_code IS NOT NULL AND subdivision_code IS NULL
+                       AND {map_lookup_sql(DEFAULT_SUBDIV, 'country_code')} IS NOT NULL
+                  THEN NULL ELSE country_code END AS country_code,
+             CASE WHEN country_code IS NOT NULL AND subdivision_code IS NULL
+                  THEN coalesce({map_lookup_sql(DEFAULT_SUBDIV, 'country_code')}, subdivision_code)
+                  ELSE subdivision_code END AS subdivision_code
+      FROM n5
+    ),
+    n7 AS MATERIALIZED (
+      SELECT *,
+        CASE WHEN subdivision_code IS NOT NULL
+             THEN {map_lookup_sql(SUBDIV_TO_COUNTRY, 'subdivision_code')} END AS new_cc,
+        CASE WHEN subdivision_code IS NOT NULL
+             THEN {map_lookup_sql(SUBDIV_OWN_COUNTRY, 'subdivision_code')} END AS own_cc,
+        CASE WHEN subdivision_code IS NOT NULL
+             THEN {map_lookup_sql(SUBDIV_CITY_NAME, 'subdivision_code')} END AS meta_city
+      FROM n6
+    ),
+    n9 AS MATERIALIZED (  -- strict conflict masks (address.py:390-424)
+      SELECT *,
+        ({s_on} AND subdivision_code IS NOT NULL AND country_code IS NOT NULL
+          AND country_code <> coalesce(new_cc, chr(1))
+          AND country_code <> coalesce(own_cc, chr(1))) AS cc_conflict
+      FROM n7
+    ),
+    n9b AS MATERIALIZED (
+      SELECT *,
+        ({s_on} AND NOT cc_conflict AND subdivision_code IS NOT NULL
+          AND city_name IS NOT NULL AND meta_city IS NOT NULL
+          AND city_name <> meta_city) AS city_conflict
+      FROM n9
+    ),
+    n10 AS MATERIALIZED (  -- apply parent metadata on non-blocked rows
+      SELECT mention_id, line1, line2, postal_code, subdivision_code,
+             cc_conflict, city_conflict,
+             (subdivision_code IS NOT NULL AND NOT cc_conflict AND NOT city_conflict) AS applied,
+             CASE WHEN subdivision_code IS NOT NULL AND NOT cc_conflict AND NOT city_conflict
+                  THEN new_cc ELSE country_code END AS country_code,
+             CASE WHEN subdivision_code IS NOT NULL AND NOT cc_conflict AND NOT city_conflict
+                       AND meta_city IS NOT NULL
+                  THEN meta_city ELSE city_name END AS city_name
+      FROM n9b
+    ),
+    norm_full AS MATERIALIZED (
+      SELECT mention_id, line1, line2, postal_code, city_name,
+             country_code, subdivision_code, cc_conflict, city_conflict,
+             CASE WHEN applied
+                  THEN {map_lookup_sql(SUBDIV_STATE_NAME, 'subdivision_code')} END AS state_name,
+             {map_lookup_sql(SUBDIV_DISPLAY_NAME, 'subdivision_code')} AS subdivision_name,
+             {map_lookup_sql(COUNTRY_DISPLAY_NAME, 'country_code')} AS country_name,
+             coalesce({map_lookup_sql(TOP_COUNTRY, 'country_code')}, country_code) AS top_country
+      FROM n10
+    )
+    """
+
+
 def _oracle_blocking_base() -> str:
     return f"""
     WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
@@ -666,6 +945,10 @@ def oracle_sql() -> dict[str, str]:
         postal_canon_sql,
         ws_norm_sql,
     )
+    from postal_address_spark.refdata import COUNTRIES, SUBDIVISIONS
+
+    COUNTRY_KEYS = list(COUNTRIES)
+    SUBDIVISION_KEYS = list(SUBDIVISIONS)
 
     rev = (
         "CAST(l_extendedprice AS DECIMAL(18,4)) * "
@@ -747,6 +1030,155 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["er_normalize_mentions"] = _oracle_er_normalize()
+
+    sql["render_addresses"] = (
+        _oracle_norm_full(strict=False)
+        + """
+    , r AS (
+      SELECT *,
+        CASE WHEN city_name IS NOT NULL AND state_name IS NOT NULL
+                  THEN city_name || ', ' || state_name
+             WHEN city_name IS NOT NULL THEN city_name
+             WHEN state_name IS NOT NULL THEN state_name
+             ELSE '' END AS cs
+      FROM norm_full
+    )
+    SELECT mention_id,
+           concat_ws(chr(10),
+             line1,
+             line2,
+             nullif(CASE WHEN postal_code IS NOT NULL
+                         THEN postal_code || ' - ' || cs ELSE cs END, ''),
+             CASE WHEN subdivision_name IS NULL
+                       OR subdivision_name = city_name
+                       OR subdivision_name = state_name
+                       OR subdivision_name = country_name
+                  THEN NULL ELSE subdivision_name END,
+             country_name) AS render
+    FROM r
+    """
+    )
+
+    countries_in = ", ".join(sorted(f"'{c}'" for c in COUNTRY_KEYS))
+    subs_in = ", ".join(sorted(f"'{c}'" for c in SUBDIVISION_KEYS))
+    from postal_address_spark.functions import SUBDIV_TO_COUNTRY as _S2C
+
+    sql["validate_mentions"] = (
+        _oracle_norm_full(strict=True)
+        + f"""
+    , v AS (
+      SELECT *,
+        (country_code IS NOT NULL AND country_code NOT IN ({countries_in})) AS cc_invalid,
+        (subdivision_code IS NOT NULL AND subdivision_code NOT IN ({subs_in})) AS sc_invalid,
+        CASE WHEN subdivision_code IS NOT NULL
+             THEN {map_lookup_sql(_S2C, 'subdivision_code')} END AS inferred_cc
+      FROM norm_full
+    ),
+    v2 AS (
+      SELECT *,
+        (NOT (country_code IS NULL OR cc_invalid OR sc_invalid)
+         AND NOT (subdivision_code IS NULL
+                  OR coalesce(inferred_cc = country_code, FALSE))) AS val_inconsistent
+      FROM v
+    )
+    SELECT mention_id,
+           concat_ws(',',
+             CASE WHEN city_name IS NULL THEN 'city_name' END,
+             CASE WHEN country_code IS NULL THEN 'country_code' END,
+             CASE WHEN line1 IS NULL THEN 'line1' END,
+             CASE WHEN postal_code IS NULL THEN 'postal_code' END) AS missing_required,
+           concat_ws(',',
+             CASE WHEN cc_invalid THEN 'country_code=' || country_code END,
+             CASE WHEN sc_invalid THEN 'subdivision_code=' || subdivision_code END) AS invalid_summary,
+           concat_ws(',',
+             CASE WHEN cc_conflict THEN 'country_code~subdivision_code'
+                  WHEN city_conflict THEN 'city_name~subdivision_code' END,
+             CASE WHEN val_inconsistent THEN 'country_code~subdivision_code' END) AS inconsistent_summary,
+           (city_name IS NOT NULL AND country_code IS NOT NULL
+            AND line1 IS NOT NULL AND postal_code IS NOT NULL
+            AND NOT cc_invalid AND NOT sc_invalid AND NOT val_inconsistent
+            AND NOT cc_conflict AND NOT city_conflict) AS is_valid
+    FROM v2
+    """
+    )
+
+    from postal_address_spark.functions import (
+        ALIASES_CSV,
+        DEFAULT_SUBDIV,
+        N_CHILDREN,
+        PARENTS_CHAIN,
+    )
+
+    territory_codes = sorted(PARENTS_CHAIN)
+    sql["territory_expand"] = f"""
+    WITH codes AS (
+      SELECT c_custkey AS id,
+             {_pick_sql(territory_codes, 'c_custkey')} AS code
+      FROM customer
+    )
+    SELECT id, code,
+           {map_lookup_sql(PARENTS_CHAIN, 'code')} AS parents_chain,
+           CAST({map_lookup_sql(N_CHILDREN, 'code')} AS INTEGER) AS n_children,
+           {map_lookup_sql(ALIASES_CSV, 'code')} AS aliases_csv,
+           {map_lookup_sql(NORMALIZE_TOP, 'code')} AS resolved_top,
+           {map_lookup_sql(DEFAULT_SUBDIV, 'code')} AS default_subdiv
+    FROM codes
+    """
+
+    sql["rollup_revenue"] = f"""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(SUM({rev}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name, nation_name
+    """
+
+    sql["customers_without_orders"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    sql["customers_with_orders"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    sql["event_setops"] = """
+    SELECT 'except' AS op, COUNT(*) AS n_pairs FROM (
+      SELECT DISTINCT user_id, event_type FROM events WHERE value > 0.9
+      EXCEPT
+      SELECT DISTINCT user_id, event_type FROM events WHERE value < 0.1
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n_pairs FROM (
+      SELECT DISTINCT user_id, event_type FROM events WHERE value > 0.9
+      INTERSECT
+      SELECT DISTINCT user_id, event_type FROM events WHERE value < 0.1
+    )
+    ORDER BY op
+    """
+
+    sql["json_props_agg"] = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY k
+    """
 
     sql["blocking_stats"] = (
         _oracle_blocking_base()

@@ -19,11 +19,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..refdata import (
+    COUNTRIES,
+    COUNTRY_ALIASES_OF,
     DEFAULT_SUBDIVISION,
     SUBDIVISIONS,
     SUBDIV_COUNTRY,
+    SUBDIV_METADATA,
     SUPPORTED_TERRITORY_CODES,
     normalize_territory_code,
+    territory_children_codes,
+    territory_parents_codes,
 )
 from ..refdata.build import META_CITY
 from ..refdata.territory_tables import FOREIGN_TERRITORIES_MAPPING
@@ -138,4 +143,30 @@ DEFAULT_SUBDIV: Dict[str, str] = dict(DEFAULT_SUBDIVISION)
 SUBDIV_CITY_NAME: Dict[str, str] = dict(META_CITY)
 SUBDIV_OWN_COUNTRY: Dict[str, str] = {
     c: s.country_code for c, s in SUBDIVISIONS.items()
+}
+
+# Render-layer projections (address.py:249-306, :532-544): state_name from
+# the merged parent metadata (N8), subdivision display name, and the
+# country display name with common_name precedence.
+SUBDIV_STATE_NAME: Dict[str, str] = {
+    c: m["state_name"] for c, m in SUBDIV_METADATA.items() if "state_name" in m
+}
+SUBDIV_DISPLAY_NAME: Dict[str, str] = {c: s.name for c, s in SUBDIVISIONS.items()}
+COUNTRY_DISPLAY_NAME: Dict[str, str] = {
+    c: (common if common else name) for c, (name, common) in COUNTRIES.items()
+}
+
+# T4/T5/T6 flattened to total scalar maps over the supported code space
+# (territory.py:296-406) — the build-time precomputation SURVEY §2.B calls
+# for; lookups stay JVM-side map literals / generated CASE arms.
+PARENTS_CHAIN: Dict[str, str] = {
+    c: ">".join(territory_parents_codes(c))
+    for c in sorted(SUPPORTED_TERRITORY_CODES)
+}
+N_CHILDREN: Dict[str, str] = {
+    c: str(len(territory_children_codes(c)))
+    for c in sorted(SUPPORTED_TERRITORY_CODES)
+}
+ALIASES_CSV: Dict[str, str] = {
+    c: ",".join(COUNTRY_ALIASES_OF[c]) for c in sorted(SUPPORTED_TERRITORY_CODES)
 }
