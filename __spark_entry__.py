@@ -109,6 +109,17 @@ def _pick_sql(variants, key_expr, offset=0):
     return f"(ARRAY[{lits}])[(({key_expr} + {offset}) % {len(variants)}) + 1]"
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a table and spread it across the cluster.  The local testdata
+    parquet files hold ONE row-group, so the scan yields one task no
+    matter what ``maxPartitionBytes`` says — every downstream operator
+    would run single-threaded.  At production scale the table has
+    thousands of splits and this round-robin repartition is a cheap
+    rebalance of already-parallel input."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
@@ -362,7 +373,7 @@ def _q_cc_clusters(spark, sf_dir):
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = docs.union(
         docs.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
     )
@@ -372,7 +383,7 @@ def _q_exact_dedup(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from postal_address_spark.operators.dedup import word_shingles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     a = docs.select(
         F.col("doc_id").alias("id_a"),
         word_shingles(F.col("text"), 3).alias("sh_a"),
@@ -400,7 +411,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_cosine_topk(spark, sf_dir):
     from postal_address_spark.operators.similarity_search import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _read_spread(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 8)
@@ -419,7 +430,7 @@ def _q_text_analysis(spark, sf_dir):
         token_count,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_spread(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -435,8 +446,8 @@ def _q_minhash_near_dups(spark, sf_dir):
     # xxhash64 has no DuckDB equivalent -> rows-only check (by design).
     from postal_address_spark.operators.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    planted = docs.limit(20).select(
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
@@ -446,8 +457,8 @@ def _q_minhash_near_dups(spark, sf_dir):
 def _q_simhash_near_dups(spark, sf_dir):
     from postal_address_spark.operators.dedup import simhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    planted = docs.limit(20).select(
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
@@ -457,7 +468,7 @@ def _q_simhash_near_dups(spark, sf_dir):
 def _q_lsh_ann(spark, sf_dir):
     from postal_address_spark.operators.similarity_search import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_spread(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return lsh_topk(emb, queries, dim=64, k=5, n_tables=16, bits=4).select(
         "query_id", "neighbor_id", "rank"
@@ -469,10 +480,10 @@ def _q_embedding_near_dups(spark, sf_dir):
     (numpy matmul signatures -> rows-only, no SQL equivalent)."""
     from postal_address_spark.operators.similarity_search import embedding_near_dup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _read_spread(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    planted = emb.limit(10).select(
+    planted = emb.where(F.col("vec_id") < 10).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
     )
     return (

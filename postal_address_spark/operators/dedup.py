@@ -60,6 +60,41 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Adds ``out_col``: distinct 64-bit hashes of word n-gram shingles
+    (array<long>).
+
+    Hot-path variant of :func:`word_shingles`: each token is xxhash64'd
+    once into an intermediate column, then each gram combines ``n``
+    consecutive token hashes with one more xxhash64 — no per-gram string
+    allocation.  Set semantics are identical to the string version up to
+    64-bit hash collisions (~grams²/2^65 per doc — negligible).
+
+    The token-hash array MUST be a real projected column: inlined into the
+    gram lambda, Catalyst re-expands it into every ``element_at``, and the
+    regex split + token hashing rerun per gram — measured 40x slower on
+    the documents table.
+    """
+    th = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.xxhash64(t),
+    )
+    step = df.withColumn("_th", th)
+    count = F.greatest(F.size("_th") - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("_th"), i + F.lit(k)) for k in range(n)]
+        ),
+    )
+    shingles = F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.xxhash64(F.lower(F.trim(F.col(text_col)))))
+    )
+    return step.withColumn(out_col, shingles).drop("_th")
+
+
 def _minhash_sig_cols(num_hashes: int, seed: int) -> List[Column]:
     """num_hashes min-aggregates over the universal-hash family applied to
     the shingle xxhash64 value (column 'h')."""
@@ -87,10 +122,9 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures; one shuffle (groupBy id)."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select(id_col, F.xxhash64("shingle").alias("h"))
+    exploded = with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col), F.explode("shingles").alias("h")
+    )
     agg = exploded.groupBy(id_col).agg(*_minhash_sig_cols(num_hashes, seed))
     return agg.select(
         id_col,
@@ -158,11 +192,12 @@ def jaccard_verify(
     """Exact shingle-set Jaccard over candidate pairs; keeps pairs >= tau.
 
     The shingle arrays are broadcast-joined per side when small, else
-    shuffled on the ids — either way the set math is JVM array functions.
+    shuffled on the ids — either way the set math is JVM array functions
+    over 64-bit gram hashes (same Jaccard as string shingles up to
+    negligible collisions, several times cheaper to build and intersect).
     """
-    sets = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    sets = with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col), "shingles"
     )
     out = (
         candidates.join(
@@ -232,6 +267,39 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return fingerprint
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) via explode + 64 codegen'd bit-sum aggregates.
+
+    Same majority-vote fingerprint as :func:`simhash_col` (2*ones > n ⟺
+    vote sum > 0, ties -> 0), but the whole computation stays inside
+    whole-stage codegen: the array-aggregate variant's per-token 64-wide
+    ``zip_with`` lambdas are evaluated interpreted, row-at-a-time, and
+    cost ~10x on this shape.  One shuffle (the groupBy), with map-side
+    partial aggregation shrinking it to one row per (partition, doc).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n_tok")]
+    for i in range(64):
+        aggs.append(
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        )
+    counts = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") * 2 > F.col("n_tok"), F.lit(weight).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select(id_col, fp.alias("simhash"))
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -242,9 +310,7 @@ def simhash_dedup(
     """SimHash near-dup: band 64-bit fingerprints into ``chunks`` 16-bit
     pieces (pigeonhole: Hamming<=3 pairs share >=1 of 4 chunks), bucket-join
     on (chunk_idx, chunk_value), verify with bit_count(xor)."""
-    fp = df.select(
-        F.col(id_col), simhash_col(F.col(text_col)).alias("simhash")
-    )
+    fp = simhash_fingerprints(df, text_col, id_col)
     width = 64 // chunks
     mask = (1 << width) - 1
     # shift amounts must be plan-time literals -> unroll the chunk axis
