@@ -442,6 +442,23 @@ def _q_text_analysis(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_doc_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash document fingerprints (xxhash64-based ->
+    rows-only check by design)."""
+    from postal_address_spark.operators.text_analysis import with_doc_fingerprint
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        with_doc_fingerprint(docs)
+        .select(
+            "doc_id",
+            F.size("fingerprint").alias("n_fingerprints"),
+            F.array_min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     # xxhash64 has no DuckDB equivalent -> rows-only check (by design).
     from postal_address_spark.operators.dedup import minhash_dedup
@@ -735,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
+        "doc_fingerprints": _q_doc_fingerprints,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_topk": _q_lsh_ann,

@@ -87,6 +87,11 @@ def run_er_pipeline(spark, n_convs: int, typo_prob: float = 0.15):
     ).collect()[0]
     seconds = time.time() - started
     transcripts.unpersist()
+    # Drop every cached stage (run_linkage persists blocked/edges): the
+    # CacheManager matches by canonicalized plan, so a repeat trial of the
+    # identical pipeline would silently read run-1's cache and measure
+    # nothing.  Each trial must pay the full pipeline.
+    spark.catalog.clearCache()
     return seconds, n_turns, int(agg["n"]), int(agg["k"])
 
 
@@ -103,18 +108,33 @@ def main() -> None:
     sf_tag = _sf_tag()
     n_convs = _SF_CONVS.get(sf_tag, 7000)
 
-    er_sec, n_turns, n_mentions, n_clusters = run_er_pipeline(spark, n_convs)
+    # Warm-up: spin up the Arrow/pandas UDF worker pool + JIT the codegen
+    # stages so the measured window reflects steady-state throughput, not
+    # one-time process startup (scaling_bench.py does the same).
+    run_er_pipeline(spark, 200)
+
+    # Best-of-2 everywhere: this box is a shared VM and tenant interference
+    # is one-sided (it only ever slows a trial down), so the minimum over
+    # repeats is the least-biased estimate of the engine's actual cost
+    # (same estimator as BENCH/BASELINE.md's scaling trials).
+    er_a = run_er_pipeline(spark, n_convs)
+    er_b = run_er_pipeline(spark, n_convs)
+    er_sec, n_turns, n_mentions, n_clusters = min(er_a, er_b)
     queries["er_pipeline"] = round(er_sec, 3)
     extras["er_turns"] = n_turns
     extras["er_mentions"] = n_mentions
     extras["er_clusters"] = n_clusters
     extras["er_turns_per_sec"] = round(n_turns / er_sec, 1)
 
-    def timed(name: str, fn):
-        started = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        queries[name] = round(time.time() - started, 3)
+    def timed(name: str, fn, reps: int = 2):
+        best, n = None, None
+        for _ in range(reps):
+            started = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            elapsed = time.time() - started
+            best = elapsed if best is None else min(best, elapsed)
+        queries[name] = round(best, 3)
         extras[f"{name}_rows"] = n
 
     qmap = entrymod.queries()

@@ -121,9 +121,18 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures; one shuffle (groupBy id)."""
+    """(id, sig array<long>) MinHash signatures; one shuffle (groupBy id).
+
+    ``explode_outer`` rather than ``explode``: the shingle array is never
+    empty (single-hash fallback), but plain explode makes
+    InferFiltersFromGenerate push a ``size(shingles) > 0`` filter below the
+    projections, where the whole shingle expression gets RE-INLINED and
+    every row pays the gram computation twice — once with the 40x
+    re-expansion with_shingle_hashes exists to avoid.  The outer variant
+    admits no such inference and evaluates the array exactly once.
+    """
     exploded = with_shingle_hashes(df, text_col, shingle_n).select(
-        F.col(id_col), F.explode("shingles").alias("h")
+        F.col(id_col), F.explode_outer("shingles").alias("h")
     )
     agg = exploded.groupBy(id_col).agg(*_minhash_sig_cols(num_hashes, seed))
     return agg.select(
@@ -143,9 +152,12 @@ def minhash_lsh_candidates(
     shingle->minhash->band->bucket-join; the self-join key is
     (band_idx, band_hash), so only same-bucket docs ever meet.
     """
+    # explode_outer: the band array has fixed size >= 1, and plain explode
+    # triggers an inferred size>0 filter that re-computes the band hashes
+    # (see minhash_signatures).
     banded = signatures.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
@@ -317,7 +329,7 @@ def simhash_dedup(
     chunked = fp.select(
         id_col,
         "simhash",
-        F.explode(
+        F.explode_outer(  # fixed-size array; see minhash_signatures
             F.array(
                 *[
                     F.struct(

@@ -121,7 +121,9 @@ def candidate_pairs(
     )
     right = (
         _sided(hot, "b")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        # explode_outer: constant non-empty sequence; plain explode would
+        # add an inferred size>0 filter recomputing it (dedup.py rationale).
+        .withColumn("salt", F.explode_outer(F.sequence(F.lit(0), F.lit(n_salt - 1))))
         .withColumn("salt", F.col("salt").cast("long"))
     )
     pairs_hot = (

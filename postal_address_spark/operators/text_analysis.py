@@ -94,29 +94,43 @@ def lang_id(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def doc_fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style rolling fingerprint: min xxhash64 over each window
-    of word 3-gram hashes, distinct-collected — a compact content signature
-    for shift-robust near-dup detection."""
-    toks = tokens_col(text)
-    count = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 3))),
+def with_doc_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Adds ``out_col``: winnowing-style rolling fingerprint — min xxhash64
+    over each window of word 3-gram hashes, distinct-collected.  A compact,
+    shift-robust content signature for near-dup detection.
+
+    The token and gram-hash arrays are materialized as real columns: inlined
+    into the window lambdas, Catalyst re-expands the gram-hash expression
+    into every ``slice``, recomputing every gram (and under it every token
+    split) per window — O(windows x grams x tokens) instead of O(grams)
+    (same pathology as dedup.with_shingle_hashes, measured 40x there).
+    """
+    step = df.withColumn("_toks", tokens_col(F.col(text_col)))
+    count = F.greatest(F.size("_toks") - F.lit(2), F.lit(1))
+    step = step.withColumn(
+        "_gh",
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, 3))),
+        ),
     )
-    n_windows = F.greatest(F.size(gram_hashes) - F.lit(window - 1), F.lit(1))
-    return F.array_distinct(
+    n_windows = F.greatest(F.size("_gh") - F.lit(window - 1), F.lit(1))
+    fp = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+            lambda i: F.array_min(F.slice(F.col("_gh"), i, window)),
         )
     )
+    return step.withColumn(out_col, fp).drop("_toks", "_gh")
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass enrichment with every text-analysis column."""
     t = F.col(text_col)
-    return df.select(
+    enriched = df.select(
         "*",
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_subword_tokens"),
@@ -124,5 +138,5 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
-        doc_fingerprint(t).alias("fingerprint"),
     )
+    return with_doc_fingerprint(enriched, text_col)
