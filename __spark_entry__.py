@@ -690,6 +690,29 @@ def _q_event_setops(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior-or-
+    equal click (union + window-last plan — one shuffle, no range-join
+    pair explosion; operators/asof.py)."""
+    from postal_address_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts_asof").alias("asof_click_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("gap_micros"),
+    ).orderBy("purchase_id")
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -744,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
         "event_setops": _q_event_setops,
+        "events_asof_join": _q_events_asof,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
@@ -1199,6 +1223,16 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT user_id, event_type FROM events WHERE value < 0.1
     )
     ORDER BY op
+    """
+
+    sql["events_asof_join"] = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.ts AS asof_click_ts,
+           date_diff('microsecond', c.ts, p.ts) AS gap_micros
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
     """
 
     sql["json_props_agg"] = """

@@ -16,7 +16,7 @@ EXPECTED_QUERIES = {
     "q1_pricing_summary", "top_revenue_orders", "nation_revenue",
     "window_events_top3", "events_daily", "rollup_revenue",
     "customers_without_orders", "customers_with_orders", "event_setops",
-    "json_props_agg",
+    "events_asof_join", "json_props_agg",
     # reference scalar semantics (SURVEY §2.A)
     "postal_canon", "ws_normalize", "territory_normalize",
     "er_normalize_mentions", "render_addresses", "validate_mentions",
