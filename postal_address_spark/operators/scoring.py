@@ -128,28 +128,32 @@ def make_pair_score_udf(threshold: float = DEFAULT_THRESHOLD):
     return pair_score_udf
 
 
-def _line1_sim_udf():
+def _sim_combo_udf():
+    """One UDF for the weighted line1 + city similarity contribution —
+    a single Arrow round-trip per pair batch instead of two (the transfer,
+    not the kernels, is the scaling-relevant cost; see score_pairs)."""
+
     @pandas_udf(returnType=DoubleType())
-    def line1_sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        aa = a.to_numpy(dtype=object)
-        bb = b.to_numpy(dtype=object)
-        sim = 0.5 * jaro_winkler_batch(aa, bb) + \
-            0.5 * token_set_levenshtein_batch(aa, bb)
+    def sim_combo(
+        l1a: pd.Series, l1b: pd.Series, ca: pd.Series, cb: pd.Series
+    ) -> pd.Series:
+        a = l1a.to_numpy(dtype=object)
+        b = l1b.to_numpy(dtype=object)
+        sim = W_LINE1 * (
+            0.5 * jaro_winkler_batch(a, b)
+            + 0.5 * token_set_levenshtein_batch(a, b)
+        )
+        sim = sim + W_CITY * jaro_winkler_batch(
+            ca.to_numpy(dtype=object), cb.to_numpy(dtype=object)
+        )
         return pd.Series(sim)
 
-    return line1_sim
-
-
-def _city_sim_udf():
-    @pandas_udf(returnType=DoubleType())
-    def city_sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            jaro_winkler_batch(
-                a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-            )
-        )
-
-    return city_sim
+    # The kernel IS deterministic — the marker only disables the optimizer
+    # rewrites (predicate pushdown past the project, projection-through-
+    # union) that each DUPLICATE the Python eval node: measured plan held
+    # 4 ArrowEvalPython copies of this UDF (filter + project, x2 union
+    # branches), i.e. up to 4x the Arrow transfer + kernel work.
+    return sim_combo.asNondeterministic()
 
 
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
@@ -208,11 +212,7 @@ def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
         gate(ca).alias("k_ca"), gate(cb).alias("k_cb"),
     )
 
-    kernel_score = (
-        F.col("base")
-        + F.lit(W_LINE1) * _line1_sim_udf()("k_l1a", "k_l1b")
-        + F.lit(W_CITY) * _city_sim_udf()("k_ca", "k_cb")
-    )
+    kernel_score = F.col("base") + _sim_combo_udf()("k_l1a", "k_l1b", "k_ca", "k_cb")
     scored = featured.withColumn(
         "score",
         F.when(F.col("exact"), F.col("base") + F.lit(W_LINE1 + W_CITY))

@@ -1,0 +1,111 @@
+"""Physical/optimized-plan assertions: the scale properties the engine
+relies on (pushdown, pruning, broadcast selection, no cartesian products,
+no HOF re-inlining) must be visible in the plan, not assumed.
+
+These are regression guards for plan-shape bugs that stay invisible at
+test scale and only hurt at 100x data (e.g. a filter that silently stops
+reaching the parquet scan, or Catalyst re-inlining an array expression
+into every lambda call site — measured 40x on shingling).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["q1_pricing_summary"](spark, SF)
+    plan = physical(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read columns the query never uses
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["nation_revenue"](spark, SF)
+    plan = physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_pair_generation(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    m = em._mentions_df(spark, SF).withColumnRenamed("mention_id", "rec_id")
+    blocked = with_block_key(normalize_mentions(m)).where(
+        F.col("block_key").isNotNull()
+    )
+    plan = physical(candidate_pairs(blocked))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_no_hof_reinlining(spark):
+    """The token-split must appear exactly once in the optimized plan: a
+    second occurrence means Catalyst re-expanded the token-hash array into
+    the gram lambda or an explode-inferred filter (dedup.py rationale)."""
+    from postal_address_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = optimized(minhash_signatures(docs))
+    assert plan.count("split(") == 1, plan[:2000]
+
+
+def test_fingerprint_no_hof_reinlining(spark):
+    from postal_address_spark.operators.text_analysis import with_doc_fingerprint
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = optimized(with_doc_fingerprint(docs))
+    assert plan.count("split(") == 1, plan[:2000]
+
+
+def test_simhash_stays_in_codegen(spark):
+    """Fingerprints must be sums in a hash aggregate, not interpreted
+    per-token zip_with lambdas."""
+    from postal_address_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = physical(simhash_fingerprints(docs))
+    assert "zip_with" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_scoring_single_arrow_boundary(spark):
+    """Scoring ships the pair stream through Arrow ONCE (one fused
+    python-eval stage), with the cheap-feature cascade staying JVM-side.
+    A blocked-shaped frame without the normalize UDF isolates the count."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import score_pairs
+
+    blocked = (
+        em._mentions_df(spark, SF)
+        .select(
+            F.col("mention_id").cast("string").alias("rec_id"),
+            "line1", "city_name", "postal_code",
+        )
+        .withColumn("block_key", F.lit("k"))
+    )
+    plan = physical(score_pairs(candidate_pairs(blocked)))
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
