@@ -1,0 +1,92 @@
+"""Record-linkage job — the ``spark-submit`` deploy surface (north rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+Package the engine and submit::
+
+    (cd /root/repo && zip -qr engine.zip postal_address_spark)
+    spark-submit --py-files engine.zip jobs/link.py \
+        --input  <transcripts>   # parquet path or Iceberg table ref \
+        --output <clusters-out>  # parquet path or Iceberg table ref \
+        --checkpoint <dir>       # content-addressed stage checkpoints \
+        [--strict] [--threshold 0.82] [--hot-threshold 20000] \
+        [--n-salt 16] [--max-block-size N] [--postal-prefix-len N]
+
+No ``master`` is set here — the cluster manager provides it; running
+locally (tests, smoke) inherits whatever session config the caller set.
+The job is idempotent: re-submitting with the same input and checkpoint
+root resumes after the last stage whose ``_SUCCESS`` marker exists and
+produces byte-identical output (plans/pipeline.py).  Per-stage lineage
+(fingerprint, rows, wall ms, resumed flag) lands in
+``<checkpoint>/lineage.jsonl`` and is echoed to stdout as one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="postal-address-spark linkage job")
+    p.add_argument("--input", required=True, help="transcripts table (parquet path or iceberg ref)")
+    p.add_argument("--output", required=True, help="cluster table destination")
+    p.add_argument("--checkpoint", default=None, help="stage checkpoint root (enables resume)")
+    p.add_argument("--strict", action="store_true", help="strict normalize conflicts")
+    p.add_argument("--threshold", type=float, default=0.82)
+    p.add_argument("--hot-threshold", type=int, default=20000)
+    p.add_argument("--n-salt", type=int, default=16)
+    p.add_argument("--max-block-size", type=int, default=None)
+    p.add_argument("--postal-prefix-len", type=int, default=None)
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("postal-address-linkage")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    from postal_address_spark.plans.pipeline import LinkageConfig, run_linkage
+    from postal_address_spark.sources.io import read_table, write_table
+
+    transcripts = read_table(spark, args.input)
+    config = LinkageConfig(
+        strict=args.strict,
+        threshold=args.threshold,
+        hot_threshold=args.hot_threshold,
+        n_salt=args.n_salt,
+        max_block_size=args.max_block_size,
+        postal_prefix_len=args.postal_prefix_len,
+        checkpoint_root=args.checkpoint,
+        input_fingerprint=args.input,
+    )
+    result = run_linkage(spark, transcripts, config)
+    write_table(result["clusters"], args.output)
+
+    from pyspark.sql import functions as F
+
+    agg = result["clusters"].agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).collect()[0]
+    summary = {
+        "input": args.input,
+        "output": args.output,
+        "n_mentions": int(agg["n_mentions"]),
+        "n_clusters": int(agg["n_clusters"]),
+        "stages": result["lineage"],
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

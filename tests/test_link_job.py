@@ -1,0 +1,51 @@
+"""jobs/link.py — the spark-submit deploy surface: runs end-to-end on a
+parquet transcript table, writes clusters, resumes idempotently."""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_link_job_end_to_end(spark, tmp_path):
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    out = str(tmp_path / "clusters")
+    ckpt = str(tmp_path / "ckpt")
+    synth_transcripts_spark(spark, seed=7, n_convs=60, n_entities=25).write.parquet(inp)
+
+    summary = link.main(
+        ["--input", inp, "--output", out, "--checkpoint", ckpt], spark=spark
+    )
+    assert summary["n_mentions"] > 0
+    assert 0 < summary["n_clusters"] <= summary["n_mentions"]
+    assert all(not s["resumed"] for s in summary["stages"])
+
+    first = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # Re-submit: every stage must resume from checkpoint, output identical.
+    summary2 = link.main(
+        ["--input", inp, "--output", out + "2", "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert all(s["resumed"] for s in summary2["stages"])
+    second = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(out + "2").collect()
+    }
+    assert first == second
+
+    # lineage file records every stage run (5 stages x 2 submissions)
+    lineage_lines = [
+        json.loads(line)
+        for line in open(os.path.join(ckpt, "lineage.jsonl"), encoding="utf-8")
+    ]
+    assert len(lineage_lines) == len(summary["stages"]) + len(summary2["stages"])
