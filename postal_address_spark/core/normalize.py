@@ -199,63 +199,83 @@ def normalize_frame(
     return out
 
 
+# Precomputed validation artifacts: per-row Python object construction is
+# the enemy inside an Arrow batch (a list comprehension over the batch was
+# 80% of the whole normalize UDF).  The 16 possible missing-required sets
+# and the two inconsistency values are immutable and SHARED across rows —
+# downstream never mutates them (the Spark layer copies via .map(list) at
+# the Arrow boundary; the scalar shim only reads).
+_REQ_LOOKUP = np.empty(1 << len(REQUIRED_FIELDS), dtype=object)
+for _code in range(1 << len(REQUIRED_FIELDS)):
+    _REQ_LOOKUP[_code] = sorted(
+        f for _bit, f in enumerate(REQUIRED_FIELDS) if (_code >> _bit) & 1
+    )
+_EMPTY_DICT: Dict[str, str] = {}
+_EMPTY_LIST: List[Tuple[str, str]] = []
+_CC_SC_PAIR: List[Tuple[str, str]] = [("country_code", "subdivision_code")]
+_COUNTRY_LIST = list(COUNTRIES)
+_SUBDIVISION_LIST = list(SUBDIVISIONS)
+
+
 def validate_frame(normalized: pd.DataFrame) -> pd.DataFrame:
     """V1-V4 validation as columns (address.py:428-505).
 
     Adds ``required_fields`` (sorted list), ``invalid_fields`` (dict),
     ``inconsistent_fields`` (list of pairs) and ``is_valid`` (bool).
+    Fully vectorized: only the invalid-code minority rows take a Python
+    loop (they need per-row dict values).
     """
     n = len(normalized)
     idx = normalized.index
 
-    req_masks = {f: normalized[f].isna() for f in REQUIRED_FIELDS}
-    required = pd.Series(
-        [
-            sorted(f for f in REQUIRED_FIELDS if req_masks[f].iloc[i])
-            for i in range(n)
-        ],
-        index=idx,
-        dtype=object,
-    )
+    codes = np.zeros(n, dtype=np.int64)
+    cc_required = None
+    for bit, f in enumerate(REQUIRED_FIELDS):
+        mask = normalized[f].isna().to_numpy()
+        if f == "country_code":
+            cc_required = mask
+        codes |= mask.astype(np.int64) << bit
+    required = pd.Series(_REQ_LOOKUP[codes], index=idx, dtype=object)
 
     cc, sc = normalized["country_code"], normalized["subdivision_code"]
-    cc_invalid = cc.notna() & ~cc.isin(list(COUNTRIES))
-    sc_invalid = sc.notna() & ~sc.isin(list(SUBDIVISIONS))
-    invalid = pd.Series(
-        [
-            {
-                **({"country_code": cc.iloc[i]} if cc_invalid.iloc[i] else {}),
-                **({"subdivision_code": sc.iloc[i]} if sc_invalid.iloc[i] else {}),
-            }
-            for i in range(n)
-        ],
-        index=idx,
-        dtype=object,
-    )
+    cc_invalid = (cc.notna() & ~cc.isin(_COUNTRY_LIST)).to_numpy()
+    sc_invalid = (sc.notna() & ~sc.isin(_SUBDIVISION_LIST)).to_numpy()
+    # .fill stores the object reference per element; np.array would try to
+    # interpret a list-of-sequences as a 2-D array.
+    inv = np.empty(n, dtype=object)
+    inv.fill(_EMPTY_DICT)
+    bad = np.nonzero(cc_invalid | sc_invalid)[0]
+    if len(bad):
+        ccv = cc.to_numpy(dtype=object)
+        scv = sc.to_numpy(dtype=object)
+        for i in bad:
+            d = {}
+            if cc_invalid[i]:
+                d["country_code"] = ccv[i]
+            if sc_invalid[i]:
+                d["subdivision_code"] = scv[i]
+            inv[i] = d
+    invalid = pd.Series(inv, index=idx, dtype=object)
 
     # V3 — country vs subdivision consistency (address.py:473-505), only
     # when neither field is already required/invalid.
     inferred = sc.map(SUBDIV_COUNTRY)
-    consistent = sc.isna() | (inferred == cc)
-    gate = ~(req_masks["country_code"] | cc_invalid | sc_invalid)
+    consistent = (sc.isna() | (inferred == cc)).to_numpy()
+    gate = ~(cc_required | cc_invalid | sc_invalid)
     inconsistent_mask = gate & ~consistent
-    inconsistent = pd.Series(
-        [
-            [("country_code", "subdivision_code")] if inconsistent_mask.iloc[i] else []
-            for i in range(n)
-        ],
-        index=idx,
-        dtype=object,
-    )
+    inc = np.empty(n, dtype=object)
+    inc.fill(_EMPTY_LIST)
+    for i in np.nonzero(inconsistent_mask)[0]:  # minority rows only
+        inc[i] = _CC_SC_PAIR
+    inconsistent = pd.Series(inc, index=idx, dtype=object)
 
     out = normalized.copy()
     out["required_fields"] = required
     out["invalid_fields"] = invalid
     out["inconsistent_fields"] = inconsistent
-    out["is_valid"] = (
-        (required.str.len() == 0)
-        & (invalid.str.len() == 0)
-        & (inconsistent.str.len() == 0)
+    out["is_valid"] = pd.Series(
+        (codes == 0) & ~cc_invalid & ~sc_invalid & ~inconsistent_mask,
+        index=idx,
     )
     return out
 

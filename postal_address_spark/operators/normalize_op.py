@@ -8,6 +8,7 @@ errors are data (struct fields), never exceptions.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +24,8 @@ from pyspark.sql.types import (
 
 from ..core.normalize import normalize_frame, render_frame, validate_frame
 from ..refdata.territory_tables import FOREIGN_TERRITORIES_MAPPING
+
+_EMPTY_PAIRS: list = []
 
 NORMALIZED_SCHEMA = StructType(
     [
@@ -78,14 +81,23 @@ def _normalize_batch(
     normalized["top_country"] = top.where(top.notna(), cc)
     # strict-mode normalize conflicts fold into the inconsistent list
     # (the reference raises them from normalize(), address.py:415-424).
+    # Per-row Python only on the conflict minority; clean rows share one
+    # immutable empty list (Arrow copies values at the boundary).
     norm_inc = normalized["norm_inconsistent"]
     val_inc = normalized["inconsistent_fields"]
-    normalized["inconsistent_fields"] = [
-        [list(p) for p in ((a or []) + (b or []))]
-        for a, b in zip(norm_inc, val_inc)
-    ]
+    hot = (
+        norm_inc.notna().to_numpy()
+        | (val_inc.str.len() > 0).to_numpy(dtype=bool)
+    )
+    merged = np.empty(len(frame), dtype=object)
+    merged.fill(_EMPTY_PAIRS)
+    if hot.any():
+        na = norm_inc.to_numpy(dtype=object)
+        vb = val_inc.to_numpy(dtype=object)
+        for i in np.nonzero(hot)[0]:
+            merged[i] = [list(p) for p in ((na[i] or []) + (vb[i] or []))]
+    normalized["inconsistent_fields"] = pd.Series(merged, index=normalized.index)
     normalized["is_valid"] = normalized["is_valid"] & norm_inc.isna()
-    normalized["required_fields"] = normalized["required_fields"].map(list)
     normalized["subdiv_metadata"] = normalized["subdiv_metadata"].where(
         normalized["subdiv_metadata"].notna(), None
     )
