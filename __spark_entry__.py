@@ -650,6 +650,45 @@ def _urgent_orders(spark, sf_dir):
     )
 
 
+def _q_cube_orders(spark, sf_dir):
+    """CUBE over (orderstatus, orderpriority): all four grouping levels in
+    one pass (completes the grouping-sets family next to rollup_revenue)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def _q_events_running(spark, sf_dir):
+    """Running aggregates + lag over an ordered per-user event stream."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(dec).over(wsum).cast("double").alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.row_number().over(w).alias("seq"),
+    ).where(F.col("seq") <= 10)
+
+
 def _q_customers_without_orders(spark, sf_dir):
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     urgent = _urgent_orders(spark, sf_dir)
@@ -764,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_mentions": _q_validate_mentions,
         "territory_expand": _q_territory_expand,
         "rollup_revenue": _q_rollup_revenue,
+        "cube_orders": _q_cube_orders,
+        "events_running": _q_events_running,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
         "event_setops": _q_event_setops,
@@ -1190,6 +1231,31 @@ def oracle_sql() -> dict[str, str]:
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
     ORDER BY region_name, nation_name
+    """
+
+    sql["cube_orders"] = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """
+
+    sql["events_running"] = """
+    SELECT user_id, event_id, running_value, prev_type, seq FROM (
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_value,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS prev_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS seq
+      FROM events
+    ) WHERE seq <= 10
     """
 
     sql["customers_without_orders"] = """
