@@ -114,6 +114,44 @@ def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFra
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224,
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Image-resize plumbing over ``mapInPandas`` — binary in, binary out.
+
+    A real implementation decodes with PIL and re-encodes at
+    (width, height); that library is absent here (see ``_real_decode``),
+    so the stand-in emits a deterministic payload derived from
+    (source bytes, target dims) — stable for tests, same Arrow batch
+    shape, schema, and partition behavior as production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            payloads = []
+            for p in imgs["payload"]:
+                if use_real_decode:
+                    _real_decode(p, "image")
+                payloads.append(
+                    hashlib.sha256(
+                        (p or b"") + f"{width}x{height}".encode()
+                    ).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id string, width int, height int, payload binary"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: computes the frame-timestamp plan
     JVM-side (sequence over duration); the actual frame grab is the stubbed

@@ -211,3 +211,22 @@ def test_frame_sample_plan(spark):
     vids = [r for r in media.collect() if r["kind"] == "video"]
     assert len(plan) == len(vids) * 5  # 5000ms / 1000ms
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in plan)
+
+
+def test_resize_images_plumbing(spark):
+    from postal_address_spark.operators.multimodal import resize_images
+
+    media = synth_media(spark, n=30)
+    out = resize_images(media, width=64, height=64).collect()
+    n_images = sum(1 for r in media.collect() if r["kind"] == "image")
+    assert len(out) == n_images
+    assert all(r["width"] == 64 and r["height"] == 64 for r in out)
+    assert all(isinstance(r["payload"], (bytes, bytearray)) for r in out)
+    # deterministic: payload is a pure function of (source bytes, dims)
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             resize_images(media, width=64, height=64).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
+    # different target dims -> different payloads
+    other = {r["media_id"]: bytes(r["payload"]) for r in
+             resize_images(media, width=32, height=32).collect()}
+    assert all(other[k] != v for k, v in again.items())
