@@ -169,6 +169,10 @@ per measurement, warm-up excluded, input materialized before the clock.
 |---|---|---|
 {curve_rows}
 
+The graded levels are best-of-{TRIALS}; the plateau rows are SINGLE
+probes added for curve transparency — on this shared VM a single probe
+is a lower bound on that level's throughput, not an estimate.
+
 Best of {TRIALS} fresh-JVM trials per graded level (interference noise on
 a shared VM is one-sided — it only slows — so best-of is the least-biased
 estimator); all trials:
