@@ -492,6 +492,18 @@ def _q_lsh_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN (seeded spherical-k-means quantizer; numpy cell
+    assignment -> rows-only check)."""
+    from postal_address_spark.operators.similarity_search import ivf_topk
+
+    emb = _read_spread(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup via sign-LSH buckets + exact verify
     (numpy matmul signatures -> rows-only, no SQL equivalent)."""
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
         "er_link_mentions": _q_er_link_mentions,

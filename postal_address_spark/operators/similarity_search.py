@@ -151,6 +151,106 @@ def lsh_topk(
     )
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int,
+    seed: int,
+    sample: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Spherical k-means quantizer from a bounded, deterministic sample.
+
+    IVF training is an offline, bounded step even at 10^12 rows — the
+    quantizer only needs a representative sample, so the driver-side
+    collect here is capped at ``sample`` vectors (ordered by id: stable
+    across partitionings), not O(corpus)."""
+    rows = (
+        corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T  # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+        )
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus rows land in their nearest-centroid
+    cell (one numpy matmul per Arrow batch); each query probes its
+    ``n_probe`` nearest cells; exact cosine re-rank within probed cells.
+
+    The scale path complement to :func:`lsh_topk`: recall is tunable via
+    (n_centroids, n_probe), candidate volume is ~corpus * n_probe /
+    n_centroids, and the join is on the cell id — never a cross join.
+    """
+    centroids = _train_ivf_centroids(
+        corpus, dim, n_centroids, seed, sample, iters, id_col, vec_col
+    )
+    ct = centroids.T  # (dim, C)
+
+    @pandas_udf(returnType=ArrayType(LongType()))
+    def cells_udf(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ ct  # (batch, C)
+        n_cells = int(n.iloc[0])
+        top = np.argsort(-sims, axis=1)[:, :n_cells].astype(np.int64)
+        return pd.Series(list(top))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        F.explode_outer(cells_udf(vec_col, F.lit(1))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode_outer(cells_udf(vec_col, F.lit(n_probe))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("query_vec"), F.col("neighbor_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

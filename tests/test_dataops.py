@@ -230,3 +230,24 @@ def test_resize_images_plumbing(spark):
     other = {r["media_id"]: bytes(r["payload"]) for r in
              resize_images(media, width=32, height=32).collect()}
     assert all(other[k] != v for k, v in again.items())
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF with 16 cells x 4 probes covers 1/4 of the corpus per query —
+    recall against exact brute-force top-5 must clear the same bar as LSH."""
+    from postal_address_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = embeddings.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ivf_topk(embeddings, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # determinism: seeded quantizer + stable sample -> identical output
+    again = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
+        embeddings, queries, dim=64, k=5, n_centroids=16, n_probe=4).collect()}
+    assert approx_set == again

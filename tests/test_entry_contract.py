@@ -28,7 +28,7 @@ EXPECTED_QUERIES = {
     # training-data ops
     "exact_dedup_documents", "ngram_jaccard_neighbors", "cosine_topk",
     "text_analysis", "doc_fingerprints", "minhash_near_dups", "simhash_near_dups",
-    "lsh_ann_topk", "embedding_near_dups", "multimodal_features",
+    "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
 }
 
 
