@@ -1,0 +1,127 @@
+"""Degenerate-input robustness: empty tables, all-identical content, a
+junk hot key hitting the max_block_size guardrail, unicode payloads.
+
+At 10^12 rows every pathological shape WILL occur in some partition; each
+operator must degrade to empty/bounded output, never to an error or a
+quadratic blowup.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+MENTION_DDL = (
+    "rec_id string, line1 string, line2 string, postal_code string, "
+    "city_name string, country_code string, subdivision_code string"
+)
+
+
+def _empty_mentions(spark):
+    return spark.createDataFrame([], MENTION_DDL)
+
+
+def test_empty_input_through_linkage_operators(spark):
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.cluster import assign_clusters_blocked
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import score_pairs
+
+    blocked = with_block_key(normalize_mentions(_empty_mentions(spark)))
+    assert blocked.count() == 0
+    pairs = candidate_pairs(blocked)
+    assert pairs.count() == 0
+    edges = score_pairs(pairs)
+    assert edges.count() == 0
+    clusters = assign_clusters_blocked(
+        blocked.select("rec_id"),
+        edges.select(
+            F.col("rec_id_a").alias("src"),
+            F.col("rec_id_b").alias("dst"),
+            "block_key",
+        ),
+    )
+    assert clusters.count() == 0
+
+
+def test_empty_documents_through_dedup(spark):
+    from postal_address_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert minhash_dedup(docs).count() == 0
+    assert simhash_dedup(docs).count() == 0
+
+
+def test_all_identical_documents(spark):
+    """One giant exact-dup group: minhash buckets collapse to one cell;
+    output must be the full pair set of the group, not an error."""
+    from postal_address_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text again and again forever") for i in range(40)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 40
+    pairs = minhash_dedup(docs, threshold=0.9).count()
+    assert pairs == 40 * 39 // 2
+
+
+def test_max_block_size_guardrail(spark):
+    """A junk key shared by every row is EXCLUDED from pairing when it
+    exceeds max_block_size — pair volume stays bounded, rows survive to
+    cluster as singletons."""
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    n = 300
+    rows = [
+        (f"r{i:04d}", f"{i} Main Street", None, "99999", "Nowhere", "FR", None)
+        for i in range(n)
+    ]
+    blocked = spark.createDataFrame(rows, MENTION_DDL).withColumn(
+        "block_key", F.lit("junk")
+    )
+    capped = candidate_pairs(blocked, max_block_size=100, threshold=0.5)
+    assert capped.count() == 0
+    uncapped = candidate_pairs(blocked, threshold=0.5)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_unicode_text_through_text_ops(spark):
+    from postal_address_spark.operators.dedup import exact_dedup
+    from postal_address_spark.operators.text_analysis import analyze_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld — ça va? 東京 🚀  nbsp"),
+            (2, "Ça va très bien, merci — naïve façade"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in analyze_documents(docs).collect()}
+    assert got[1]["n_tokens"] > 0
+    assert got[3]["n_tokens"] == 0
+    assert exact_dedup(docs).count() == 4  # no crash, 4 distinct contents
+
+
+def test_asof_empty_right_side(spark):
+    import datetime as dt
+
+    from postal_address_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "p1", dt.datetime(2024, 1, 1))],
+        "user_id string, pid string, ts timestamp",
+    )
+    right = spark.createDataFrame([], "user_id string, ts timestamp")
+    rows = asof_join(left, right, on=["user_id"]).collect()
+    assert len(rows) == 1 and rows[0]["ts_asof"] is None
