@@ -83,6 +83,10 @@ def main(argv=None, spark=None) -> dict:
         "n_mentions": int(agg["n_mentions"]),
         "n_clusters": int(agg["n_clusters"]),
         "stages": result["lineage"],
+        # executor-side observed metrics, populated by the stage actions
+        "metrics": {
+            name: obs.get for name, obs in result["observations"].items()
+        },
     }
     print(json.dumps(summary))
     return summary

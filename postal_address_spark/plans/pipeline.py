@@ -123,6 +123,19 @@ def run_linkage(
     config = config or LinkageConfig()
     runner = StageRunner(spark, config)
 
+    from pyspark.sql import Observation
+
+    observations: Dict[str, Observation] = {}
+
+    def observed(name: str, df: DataFrame, *exprs) -> DataFrame:
+        """Attach named metrics (north rule: per-partition lineage +
+        METRICS): accumulated executor-side during the stage's own action,
+        zero extra jobs.  Read after any action via
+        ``result['observations'][name].get``."""
+        obs = Observation(name)
+        observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"), *exprs)
+
     mentions = runner.run("mentions", lambda: extract_mentions(transcripts))
     normalized = runner.run(
         "normalized",
@@ -133,7 +146,12 @@ def run_linkage(
     )
     blocked = runner.run(
         "blocked",
-        lambda: with_block_key(normalized, config.postal_prefix_len),
+        lambda: observed(
+            "blocked",
+            with_block_key(normalized, config.postal_prefix_len),
+            F.count(F.when(F.col("block_key").isNull(), 1)).alias("null_keys"),
+            F.count(F.when(~F.col("is_valid"), 1)).alias("invalid_mentions"),
+        ),
     )
     if config.checkpoint_root is None:
         # blocked feeds the histogram, both self-join sides, and the
@@ -142,15 +160,20 @@ def run_linkage(
         blocked = blocked.persist()
     edges = runner.run(
         "edges",
-        lambda: score_pairs(
-            candidate_pairs(
-                blocked,
-                hot_threshold=config.hot_threshold,
-                n_salt=config.n_salt,
-                max_block_size=config.max_block_size,
+        lambda: observed(
+            "edges",
+            score_pairs(
+                candidate_pairs(
+                    blocked,
+                    hot_threshold=config.hot_threshold,
+                    n_salt=config.n_salt,
+                    max_block_size=config.max_block_size,
+                    threshold=config.threshold,
+                ),
                 threshold=config.threshold,
             ),
-            threshold=config.threshold,
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
         ),
     )
     if config.checkpoint_root is None:
@@ -176,4 +199,5 @@ def run_linkage(
         "edges": edges,
         "clusters": clusters,
         "lineage": runner.lineage,  # type: ignore[dict-item]
+        "observations": observations,  # type: ignore[dict-item]
     }

@@ -25,6 +25,11 @@ def test_link_job_end_to_end(spark, tmp_path):
     assert summary["n_mentions"] > 0
     assert 0 < summary["n_clusters"] <= summary["n_mentions"]
     assert all(not s["resumed"] for s in summary["stages"])
+    # executor-side observed metrics populated by the stage actions
+    assert summary["metrics"]["blocked"]["rows"] == summary["n_mentions"]
+    assert summary["metrics"]["edges"]["min_score"] is None or (
+        summary["metrics"]["edges"]["min_score"] >= 0.82
+    )
 
     first = {
         tuple(sorted(r.asDict().items()))
