@@ -36,19 +36,24 @@ def _large_star(edges_bi: DataFrame) -> DataFrame:
     mins = edges_bi.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
+    # No distinct here: the only consumer is _small_star, whose min
+    # aggregation is duplicate-idempotent and whose own final distinct
+    # restores the canonical set — dropping it removes one full-width
+    # shuffle per CC round at the cost of modest duplicate inflation
+    # (distinct centers can emit the same (dst, m) pair).
     return (
         edges_bi.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     # Orient each edge large->small, group by the large end: connect the
     # whole small neighborhood and u itself to the minimum.
-    # Input (large-star output) is already distinct with src > dst, so the
-    # reorientation is a no-op guard and cannot introduce duplicates.
+    # Input (large-star output) may contain duplicates (its distinct was
+    # elided — see _large_star); min aggregation is duplicate-idempotent
+    # and the final distinct below restores the canonical set.
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
