@@ -113,13 +113,15 @@ def main() -> None:
     # one-time process startup (scaling_bench.py does the same).
     run_er_pipeline(spark, 200)
 
-    # Best-of-2 everywhere: this box is a shared VM and tenant interference
+    # Best-of-N everywhere: this box is a shared VM and tenant interference
     # is one-sided (it only ever slows a trial down), so the minimum over
     # repeats is the least-biased estimate of the engine's actual cost
-    # (same estimator as BENCH/BASELINE.md's scaling trials).
-    er_a = run_er_pipeline(spark, n_convs)
-    er_b = run_er_pipeline(spark, n_convs)
-    er_sec, n_turns, n_mentions, n_clusters = min(er_a, er_b)
+    # (same estimator as BENCH/BASELINE.md's scaling trials).  Three trials
+    # for the flagship: noise bursts last tens of seconds and regularly
+    # swallow two back-to-back measurements.
+    er_sec, n_turns, n_mentions, n_clusters = min(
+        run_er_pipeline(spark, n_convs) for _ in range(3)
+    )
     queries["er_pipeline"] = round(er_sec, 3)
     extras["er_turns"] = n_turns
     extras["er_mentions"] = n_mentions
