@@ -73,10 +73,39 @@ _TYPE_ID_OF: Dict[str, str] = {
 _SUPPORTED_LIST = list(SUPPORTED_TERRITORY_CODES)
 
 
+def _via_uniques(s: pd.Series, fn) -> pd.Series:
+    """Apply a pure value->value Series transform through dictionary
+    encoding: factorize (C-speed hash pass), transform the distinct
+    values only, fan the results back out.
+
+    Address fields are highly repetitive (cities, countries, postals) —
+    per-row regex work on 10^6-row Arrow batches collapses to per-distinct
+    work.  Skipped when cardinality is near-unique (fn on the raw Series
+    is then cheaper than the factorize round-trip)."""
+    n = len(s)
+    if n < 1024:
+        return fn(s)
+    codes, uniques = s.factorize(use_na_sentinel=True)
+    if len(uniques) > 0.6 * n:
+        return fn(s)
+    transformed = fn(
+        pd.Series(uniques.to_numpy(dtype=object), dtype=object)
+    ).to_numpy(dtype=object)
+    out = np.empty(n, dtype=object)
+    mask = codes >= 0
+    out[mask] = transformed[codes[mask]]
+    out[~mask] = None
+    return pd.Series(out, index=s.index, dtype=object)
+
+
 def _clean_str(s: pd.Series) -> pd.Series:
     """Whitespace collapse + blank reset (address.py:337-346)."""
-    out = s.str.replace(r"\s+", " ", regex=True).str.strip()
-    return out.where(out.notna() & (out != ""), None)
+
+    def run(v: pd.Series) -> pd.Series:
+        out = v.str.replace(r"\s+", " ", regex=True).str.strip()
+        return out.where(out.notna() & (out != ""), None)
+
+    return _via_uniques(s, run)
 
 
 def _map_or_keep(s: pd.Series, table: Dict[str, str]) -> pd.Series:
@@ -105,12 +134,13 @@ def normalize_frame(
     cols = {f: df[f].astype(object) for f in BASE_FIELD_IDS}
 
     # N1 — postal-code canonicalization (address.py:326-335).
-    pc = cols["postal_code"]
-    pc = pc.str.upper()
-    pc = pc.str.replace(r"[^A-Z0-9 -]", "", regex=True)
-    pc = pc.str.replace(r"[^A-Z0-9]*-+[^A-Z0-9]*", "-", regex=True)
-    pc = pc.str.strip("-")
-    cols["postal_code"] = pc
+    def _postal_canon(pc: pd.Series) -> pd.Series:
+        pc = pc.str.upper()
+        pc = pc.str.replace(r"[^A-Z0-9 -]", "", regex=True)
+        pc = pc.str.replace(r"[^A-Z0-9]*-+[^A-Z0-9]*", "-", regex=True)
+        return pc.str.strip("-")
+
+    cols["postal_code"] = _via_uniques(cols["postal_code"], _postal_canon)
 
     # N2 + N3 — whitespace collapse then blank reset (address.py:337-346).
     for f in BASE_FIELD_IDS:
@@ -125,12 +155,14 @@ def normalize_frame(
     # N5 — territory-code normalization, resolve_aliases=False
     # (address.py:352-363 calling territory.py:212-229): membership gate
     # (unknown -> None), then reserved codes, then country aliases.
-    for f in ("country_code", "subdivision_code"):
-        t = cols[f].str.strip().str.upper()
+    def _code_norm(v: pd.Series) -> pd.Series:
+        t = v.str.strip().str.upper()
         t = t.where(t.isin(_SUPPORTED_LIST), None)
         t = _map_or_keep(t, RESERVED_COUNTRY_CODES)
-        t = _map_or_keep(t, COUNTRY_ALIASES)
-        cols[f] = t
+        return _map_or_keep(t, COUNTRY_ALIASES)
+
+    for f in ("country_code", "subdivision_code"):
+        cols[f] = _via_uniques(cols[f], _code_norm)
 
     # N6 — default-subdivision guess; country reset for re-derivation
     # (address.py:365-371, territory.py:270-293).
