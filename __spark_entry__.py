@@ -92,8 +92,15 @@ TERRITORY_PAIRS = [
 
 
 def _pick_col(variants, key_col, offset=0):
-    """Spark: variants[(key + offset) % n], NULL-preserving."""
-    arr = F.array(*[F.lit(v) for v in variants])
+    """Spark: variants[(key + offset) % n], NULL-preserving.
+
+    Large all-string variant lists (the ~5.4k-code territory sweep) ride in
+    one split() literal instead of O(N) F.lit py4j calls — Catalyst folds
+    both forms to the same array literal."""
+    if len(variants) > 200 and all(isinstance(v, str) and "," not in v for v in variants):
+        arr = F.split(F.lit(",".join(variants)), ",")
+    else:
+        arr = F.array(*[F.lit(v) for v in variants])
     idx = (F.pmod(key_col + F.lit(offset), F.lit(len(variants))) + 1).cast("int")
     return F.element_at(arr, idx)
 
@@ -460,7 +467,12 @@ def _q_doc_fingerprints(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
-    # xxhash64 has no DuckDB equivalent -> rows-only check (by design).
+    """MinHash+LSH near-dup, oracle-verified: the final output is the set
+    of exact-Jaccard-verified pairs, so a DuckDB ALL-PAIRS exact-Jaccard
+    oracle checks it — the check passes iff LSH candidate recall is 1.0 on
+    this data AND the Jaccard verify math agrees (truth pairs here all sit
+    at j>=0.88, far above the 0.5 threshold, where 8x4 banding recall is
+    ~1-3e-4 per pair; agreement is pinned by the deterministic seed)."""
     from postal_address_spark.operators.dedup import minhash_dedup
 
     docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
@@ -468,7 +480,11 @@ def _q_minhash_near_dups(spark, sf_dir):
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    return minhash_dedup(docs.union(planted), threshold=0.5).orderBy("id_a", "id_b")
+    return (
+        minhash_dedup(docs.union(planted), threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -479,16 +495,29 @@ def _q_simhash_near_dups(spark, sf_dir):
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
-    return simhash_dedup(docs.union(planted), max_hamming=6).orderBy("id_a", "id_b")
+    # chunks=8 so recall at Hamming<=6 is exact by pigeonhole (chunks-1=7);
+    # the old default chunks=4 silently lost Hamming 4-6 pairs.
+    return simhash_dedup(docs.union(planted), max_hamming=6, chunks=8).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _q_lsh_ann(spark, sf_dir):
+    """Sign-LSH ANN, oracle-verified by MIRRORING: the DuckDB oracle
+    re-derives the same seeded hyperplanes as SQL literals and replicates
+    bucketing -> candidate collisions -> exact cosine re-rank end-to-end,
+    so bucket assignment, table collision logic, dedup, and ranking are all
+    checked — independent of recall (recall floors live in
+    tests/test_similarity.py)."""
     from postal_address_spark.operators.similarity_search import lsh_topk
 
-    emb = _read_spread(spark, sf_dir, "embeddings")
+    emb = _read_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     queries = emb.where(F.col("vec_id") < 8)
     return lsh_topk(emb, queries, dim=64, k=5, n_tables=16, bits=4).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
     ).orderBy("query_id", "rank")
 
 
@@ -505,12 +534,16 @@ def _q_ivf_ann(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup via sign-LSH buckets + exact verify
-    (numpy matmul signatures -> rows-only, no SQL equivalent)."""
+    """Embedding-cosine near-dup via sign-LSH buckets + exact verify,
+    oracle-verified: the output is exact-cosine-verified pairs at tau=0.99,
+    checked against a DuckDB ALL-PAIRS exact-cosine oracle (passes iff LSH
+    recall is 1.0 on this data — identical planted vectors always collide,
+    and the gate corpus has no near-boundary natural pairs)."""
     from postal_address_spark.operators.similarity_search import embedding_near_dup
 
     emb = _read_spread(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     planted = emb.where(F.col("vec_id") < 10).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
@@ -764,6 +797,36 @@ def _q_events_asof(spark, sf_dir):
     ).orderBy("purchase_id")
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Bucketed range join (points-in-intervals): clicks joined into the
+    30-minute window before each purchase by the same user — equi-join on
+    (user_id, time-bucket) + exact containment, never a per-key cartesian
+    (operators/interval.py)."""
+    from postal_address_spark.operators.interval import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    pairs = range_join(
+        clicks, purchases, on=["user_id"], bucket_width_sec=1800
+    )
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -821,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": _q_customers_with_orders,
         "event_setops": _q_event_setops,
         "events_asof_join": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
@@ -1314,6 +1378,17 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY purchase_id
     """
 
+    sql["events_range_join"] = """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           MIN(c.event_id) AS first_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id ORDER BY purchase_id
+    """
+
     sql["json_props_agg"] = """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            COUNT(*) AS n_events,
@@ -1438,7 +1513,106 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'de' END AS lang_pred
     FROM documents ORDER BY doc_id
     """
-    # minhash_near_dups / simhash_near_dups / lsh_ann_topk /
-    # er_link_mentions: intentionally no oracle (xxhash64 / JW scoring are
-    # not expressible in ANSI SQL) -> driver records rows-only checks.
+    # -- minhash_near_dups: all-pairs exact-Jaccard ground truth over the
+    # doubled corpus.  Sound because the operator's OUTPUT is the exact-
+    # verified pair set; equality additionally proves LSH candidate recall
+    # was 1.0 on this data (see _q_minhash_near_dups).
+    sql["minhash_near_dups"] = f"""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id < 20
+    ),
+    sets AS (SELECT doc_id, {shingles} AS sh FROM doubled),
+    j AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+    FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """
+
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
+            f" / greatest("
+            f"sqrt(list_sum([{a}[i] * {a}[i] for i in generate_series(1, len({a}))]))"
+            f" * sqrt(list_sum([{b}[i] * {b}[i] for i in generate_series(1, len({b}))])),"
+            f" 1e-30))"
+        )
+
+    # -- embedding_near_dups: all-pairs exact-cosine ground truth (same
+    # soundness argument as minhash — identical planted vectors always
+    # collide in every LSH table).
+    sql["embedding_near_dups"] = f"""
+    WITH un AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {cos_sql('a.v', 'b.v')} AS cosine
+      FROM un a JOIN un b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+    FROM c WHERE cosine >= 0.99 ORDER BY id_a, id_b
+    """
+
+    # -- lsh_ann_topk: MIRRORED oracle.  The same seeded hyperplanes the
+    # Spark UDF uses are rendered as SQL literals (repr round-trips float64
+    # exactly), and DuckDB independently re-derives bucket signatures,
+    # table-collision candidates, and the exact cosine re-rank.  Agreement
+    # verifies the whole bucketed pipeline without requiring recall = 1
+    # (recall floors are pytest-asserted separately).
+    from postal_address_spark.operators.similarity_search import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_tables=16, bits=4, seed=42)
+    plane_rows = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(float(x)) for x in planes[t, b])}])"
+        for t in range(planes.shape[0])
+        for b in range(planes.shape[1])
+    )
+    sql["lsh_ann_topk"] = f"""
+    WITH planes(t, b, w) AS (VALUES
+      {plane_rows}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN list_sum(
+                       [e.v[i] * p.w[i] for i in generate_series(1, len(e.v))]
+                     ) > 0 THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM emb e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.t
+    ),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, {cos_sql('qv.v', 'cv.v')} AS cosine
+      FROM cands cd
+      JOIN emb qv ON qv.vec_id = cd.query_id
+      JOIN emb cv ON cv.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine_r FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
+    # multimodal_features / er_link_mentions: intentionally no oracle
+    # (xxhash64 winnowing/simhash, the driver-side seeded IVF quantizer,
+    # Spark-synthesized media payloads, and JW scoring are not expressible
+    # in ANSI SQL) -> driver records rows-only checks; each has dedicated
+    # pytest coverage (exact simhash recall, IVF recall floor, multimodal
+    # batch-shape, e2e F1).
     return sql

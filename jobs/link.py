@@ -55,7 +55,11 @@ def main(argv=None, spark=None) -> dict:
         )
 
     from postal_address_spark.plans.pipeline import LinkageConfig, run_linkage
-    from postal_address_spark.sources.io import read_table, write_table
+    from postal_address_spark.sources.io import (
+        input_snapshot_fingerprint,
+        read_table,
+        write_table,
+    )
 
     transcripts = read_table(spark, args.input)
     config = LinkageConfig(
@@ -66,27 +70,35 @@ def main(argv=None, spark=None) -> dict:
         max_block_size=args.max_block_size,
         postal_prefix_len=args.postal_prefix_len,
         checkpoint_root=args.checkpoint,
-        input_fingerprint=args.input,
+        # content-addressed: same path + changed data -> new chain, full
+        # recompute; stale stages can never be resumed.
+        input_fingerprint=input_snapshot_fingerprint(spark, args.input),
     )
     result = run_linkage(spark, transcripts, config)
     write_table(result["clusters"], args.output)
 
     from pyspark.sql import functions as F
 
-    agg = result["clusters"].agg(
+    # Summarize from the just-written output: a plain parquet scan, never a
+    # recompute of the cluster stage (and correct on fully-resumed runs).
+    agg = read_table(spark, args.output).agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     ).collect()[0]
+    # Observed metrics only exist for stages whose action actually ran this
+    # submission; a resumed stage's metrics are marked, not silently absent.
+    metrics = {name: obs.get for name, obs in result["observations"].items()}
+    for record in result["lineage"]:
+        if record.get("resumed") and record["stage"] not in metrics:
+            metrics[record["stage"]] = "resumed"
     summary = {
         "input": args.input,
+        "input_fingerprint": config.input_fingerprint,
         "output": args.output,
         "n_mentions": int(agg["n_mentions"]),
         "n_clusters": int(agg["n_clusters"]),
         "stages": result["lineage"],
-        # executor-side observed metrics, populated by the stage actions
-        "metrics": {
-            name: obs.get for name, obs in result["observations"].items()
-        },
+        "metrics": metrics,
     }
     print(json.dumps(summary))
     return summary

@@ -234,9 +234,11 @@ def normalize_frame(
 # Precomputed validation artifacts: per-row Python object construction is
 # the enemy inside an Arrow batch (a list comprehension over the batch was
 # 80% of the whole normalize UDF).  The 16 possible missing-required sets
-# and the two inconsistency values are immutable and SHARED across rows —
-# downstream never mutates them (the Spark layer copies via .map(list) at
-# the Arrow boundary; the scalar shim only reads).
+# and the two inconsistency values are immutable and SHARED across rows.
+# Invariant: these singletons are only ever READ — Arrow serialization
+# copies their values when a column crosses the UDF boundary, and the
+# scalar shim only reads — so nothing may mutate these columns in place
+# (an in-place append would corrupt every row sharing the object).
 _REQ_LOOKUP = np.empty(1 << len(REQUIRED_FIELDS), dtype=object)
 for _code in range(1 << len(REQUIRED_FIELDS)):
     _REQ_LOOKUP[_code] = sorted(

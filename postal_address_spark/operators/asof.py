@@ -40,6 +40,18 @@ def asof_join(
     payload = F.struct(*[F.col(c) for c in right_cols])
     payload_type = right.select(payload.alias("_p")).schema["_p"].dataType
 
+    # NULL join keys / NULL timestamps never match (standard ASOF / DuckDB
+    # semantics — Window.partitionBy would otherwise group NULL keys into
+    # one bogus partition and let them pair up).  Dropping them from the
+    # RIGHT side alone is sufficient and keeps this single-scan: a left row
+    # with a NULL key lands in a partition containing no right rows, and a
+    # left row with a NULL ts sorts before every right row (nulls-first),
+    # so both fall through to the no-match path with a NULL payload.
+    right_match_ok = F.col(right_ts).isNotNull()
+    for c in on:
+        right_match_ok = right_match_ok & F.col(c).isNotNull()
+    right = right.where(right_match_ok)
+
     right_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ats"),

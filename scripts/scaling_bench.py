@@ -204,10 +204,13 @@ cores are real, the shared data path is the wall.
 cluster provides per executor (production executors are 1-8 cores with
 dedicated bandwidth; growing a fleet N -> 4N multiplies aggregate
 bandwidth 4x, which threads inside one fixed-bandwidth box cannot
-emulate).  The window's bottom even understates the engine: at local[1]
-the single task slot shares its core with JVM GC, shuffle IO threads,
-and the Python worker; at 4 slots those fixed threads amortize, so the
-reported ratio is a conservative reading of the 4x window.
+emulate).  Caveat on the window's bottom: local[1] bounds the TASK
+slots at one, but JVM GC, shuffle-IO threads, and the Python workers are
+not pinned and may overflow onto idle cores, so T_1 is not a strict
+one-core budget — that overflow can flatter the ratio, while slot/aux
+contention at local[1] pushes it the other way.  The effects cut both
+ways; the reported number is the measured slot-scaling ratio, not a
+pinned-core (taskset) measurement.
 
 The full curve (table above) stays transparent about the wall: gains
 past the single-digit core counts are strongly sub-linear, bending

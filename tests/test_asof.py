@@ -42,6 +42,34 @@ def test_asof_equal_ts_eligible(spark):
     assert row["ts_asof"] == _ts(10)
 
 
+def test_asof_null_keys_never_match(spark):
+    """Standard ASOF/equi-join semantics: NULL join keys and NULL
+    timestamps never pair up — on either side (the Window.partitionBy
+    formulation would otherwise group NULL keys into one bogus
+    partition)."""
+    left = spark.createDataFrame(
+        [
+            (None, "p_nullkey", _ts(10)),   # NULL key -> no match
+            ("u1", "p_nullts", None),       # NULL ts -> no match
+            ("u1", "p_ok", _ts(10)),        # sanity: still matches
+            ("u9", "p_nullright", _ts(10)), # only NULL-key right rows exist
+        ],
+        "user_id string, pid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(8)), (None, _ts(1)), ("u9", None)],
+        "user_id string, ts timestamp",
+    )
+    out = {
+        r["pid"]: r["ts_asof"]
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out["p_nullkey"] is None
+    assert out["p_nullts"] is None
+    assert out["p_nullright"] is None
+    assert out["p_ok"] == _ts(8)
+
+
 def test_asof_matches_sql_correlated(spark):
     """Window-last plan == the quadratic correlated-subquery definition."""
     import random

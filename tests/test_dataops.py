@@ -82,10 +82,50 @@ def test_simhash_near_dups(spark, documents):
     df = documents.select("doc_id", "text", "lang", "source", "n_chars").union(
         spark.createDataFrame(planted, ["doc_id", "text", "lang", "source", "n_chars"])
     )
-    pairs = simhash_dedup(df, max_hamming=6)
+    # max_hamming=6 needs chunks>=8 for exact pigeonhole recall
+    pairs = simhash_dedup(df, max_hamming=6, chunks=8)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted_pairs = {(r["doc_id"], r["doc_id"] + 100000) for r in base}
     assert len(planted_pairs & found) >= 7
+
+
+def test_simhash_rejects_lossy_params(spark, documents):
+    import pytest
+
+    # the round-1 recall hole: Hamming 4-6 pairs silently lost at chunks=4
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dedup(documents, max_hamming=6, chunks=4)
+
+
+def test_simhash_exact_recall_at_advertised_hamming(spark, documents):
+    """Output == ALL pairs within the advertised Hamming radius (recall AND
+    precision), vs a driver-side all-pairs ground truth — including pairs in
+    the 4-6 band the old chunks=4 default could drop."""
+    from postal_address_spark.operators.dedup import simhash_fingerprints
+
+    base = documents.limit(40).select("doc_id", "text")
+    rows = base.collect()
+    planted = [(r["doc_id"] + 100000, r["text"] + " zz xq") for r in rows[:15]]
+    df = base.union(spark.createDataFrame(planted, ["doc_id", "text"]))
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    ids = sorted(fps)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    assert any(
+        4 <= bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 6
+        for (a, b) in truth
+    ), "fixture must exercise the Hamming 4-6 band"
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup(df, max_hamming=6, chunks=8).collect()
+    }
+    assert got == truth
 
 
 def test_jaccard_verify_bounds(spark):

