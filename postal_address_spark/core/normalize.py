@@ -422,7 +422,12 @@ class AddressRecord:
     """Scalar view over the vectorized core (1-row frame round-trip).
 
     Only the semantic surface the pipeline relies on is exposed — this is a
-    test shim, not a public object model.
+    test shim, not a public object model — but it now also carries the
+    reference's dict protocol (address.py:203-247): the record proxies a
+    ``_fields`` dict of the six base fields plus the subdivision-injected
+    metadata, with ``__setitem__``/``__setattr__`` accepting raw values
+    (visible immediately, like the reference) and ``normalize()``
+    re-running the pipeline over the current base fields.
     """
 
     def __init__(
@@ -437,25 +442,118 @@ class AddressRecord:
         for key, value in fields.items():
             if not (value is None or isinstance(value, str)):
                 raise TypeError(f"{key} must be str or None")
-        row = {f: fields.get(f) for f in BASE_FIELD_IDS}
-        frame = pd.DataFrame([row], dtype=object)
+        self.__dict__["_strict"] = strict
+        self.__dict__["_replace_city_name"] = replace_city_name
+        self.__dict__["_fields"] = {f: fields.get(f) for f in BASE_FIELD_IDS}
+        self.normalize()
+
+    def normalize(self) -> None:
+        """Re-run the N1-N9 chain over the CURRENT base fields
+        (address.py:308-424's explicit normalize entrypoint)."""
+        base = {f: self._fields.get(f) for f in BASE_FIELD_IDS}
+        frame = pd.DataFrame([base], dtype=object)
         normalized = normalize_frame(
-            frame, strict=strict, replace_city_name=replace_city_name
+            frame, strict=self._strict,
+            replace_city_name=self._replace_city_name,
         )
         inconsistent = normalized["norm_inconsistent"].iloc[0]
         if inconsistent:
             raise InvalidAddressError(inconsistent_fields={tuple(p) for p in inconsistent})
-        self._row = validate_frame(normalized).iloc[0]
+        row = validate_frame(normalized).iloc[0]
+        clean = {
+            f: (None if row[f] is None or (isinstance(row[f], float) and pd.isna(row[f])) else row[f])
+            for f in BASE_FIELD_IDS
+        }
+        meta = row["subdiv_metadata"]
+        meta = dict(meta) if isinstance(meta, dict) else {}
+        # Base fields win: the normalized row already applied every
+        # metadata override the semantics allow (replace_city_name,
+        # strict-conflict gating — address.py:386-414), so raw metadata
+        # must not re-override them here.
+        fields = dict(clean)
+        for key, value in meta.items():
+            if key not in fields:
+                fields[key] = value
+        self.__dict__["_row"] = row
+        self.__dict__["_meta_keys"] = frozenset(
+            k for k in meta if k not in BASE_FIELD_IDS
+        )
+        self.__dict__["_fields"] = fields
+
+    # Display projections are @property in the reference (address.py:
+    # 532-572), and Python properties beat __getattr__ — so a metadata key
+    # that happens to collide (e.g. GB-ENG's country-typed parent injects
+    # 'country_name'='England' under GB-LND) must NOT shadow them.
+    _DISPLAY_PROPS = frozenset(
+        {"country_name", "subdivision_name", "subdivision_type_name",
+         "subdivision_type_id"}
+    )
 
     def __getattr__(self, name: str) -> Any:
-        row = object.__getattribute__(self, "_row")
-        if name in row.index:
+        row = self.__dict__.get("_row")
+        if name in self._DISPLAY_PROPS and row is not None:
             value = row[name]
             return None if (isinstance(value, float) and pd.isna(value)) else value
-        meta = row["subdiv_metadata"]
-        if isinstance(meta, dict) and name in meta:
-            return meta[name]
+        fields = self.__dict__.get("_fields", {})
+        if name in fields:
+            return fields[name]
+        if name in self.__dict__.get("_meta_keys", frozenset()):
+            # metadata key deleted via the dict protocol — gone, like the
+            # reference (tests/test_address.py:95-102)
+            raise AttributeError(name)
+        if row is not None and name in row.index:
+            value = row[name]
+            return None if (isinstance(value, float) and pd.isna(value)) else value
         raise AttributeError(name)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name in BASE_FIELD_IDS:
+            self[name] = value
+            return
+        object.__setattr__(self, name, value)
+
+    # -- dict protocol: proxy to _fields (address.py:203-247) --
+
+    def __len__(self) -> int:
+        return len(self._fields)
+
+    def __iter__(self):
+        yield from self._fields
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._fields
+
+    def __getitem__(self, key: str) -> Any:
+        if not isinstance(key, str):
+            raise TypeError(key)
+        return self._fields[key]
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if not isinstance(key, str):
+            raise TypeError(key)
+        if not (value is None or isinstance(value, str)):
+            raise TypeError(f"{key} must be str or None")
+        if key not in BASE_FIELD_IDS:
+            raise KeyError(key)
+        self._fields[key] = value
+
+    def __delitem__(self, key: str) -> None:
+        if key in BASE_FIELD_IDS:
+            self._fields[key] = None
+        else:
+            del self._fields[key]
+
+    def keys(self):
+        return self._fields.keys()
+
+    def values(self):
+        return self._fields.values()
+
+    def items(self):
+        return self._fields.items()
+
+    def __bool__(self) -> bool:
+        return not self.empty
 
     def validate(self) -> None:
         row = self._row
@@ -472,12 +570,20 @@ class AddressRecord:
 
     @property
     def empty(self) -> bool:
-        return all(
-            self._row[f] is None or pd.isna(self._row[f]) for f in BASE_FIELD_IDS
-        )
+        return all(not value for value in self._fields.values())
 
     def render(self, separator: str = "\n") -> str:
-        return render_frame(self._row.to_frame().T, separator).iloc[0]
+        # Render over the last-normalized row overlaid with any raw field
+        # mutations (the reference renders from the live _fields dict).
+        # Only base fields and the metadata-backed state_name overlay;
+        # subdivision_name/country_name are display projections of the
+        # codes, never of injected metadata (see _DISPLAY_PROPS).
+        row = self._row.copy()
+        for f in BASE_FIELD_IDS:
+            row[f] = self._fields.get(f)
+        if "state_name" in self._meta_keys:
+            row["state_name"] = self._fields.get("state_name")
+        return render_frame(row.to_frame().T, separator).iloc[0]
 
     def __str__(self) -> str:
         return self.render()

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode step needs codec libraries that are NOT in this container, so
+The decode step needs codec libraries that are NOT in this container
+(re-probed 2026-08-17: PIL/cv2/imageio/soundfile/av all absent), so
 decoding is stubbed behind an import-try (``NotImplementedError`` with a
 clear message) and a deterministic fake feature extractor stands in for
 tests — but the Spark-side plumbing is real and exercised: schema, Arrow
-batch shape, ``mapInPandas`` signature, partition-size control.
+batch shape, ``mapInPandas`` signature, partition-size control.  On a
+host with Pillow installed, ``_real_decode`` becomes a genuine image
+decode (grayscale 4x4 thumbnail features); audio/video still need
+torchaudio/pyav and keep raising.
 
 Schema convention::
 
@@ -64,18 +68,27 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
-def _real_decode(payload: bytes, kind: str):
-    """Actual decode would go through PIL / torchaudio / pyav — none of
-    which exist in this container.  STUB: raises with a clear message."""
+def _real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Decode + featurize one payload.  Image path is real behind the
+    Pillow import-try (absent in this container — re-probed 2026-08-17);
+    audio/video would go through torchaudio/pyav and stay stubbed."""
     try:
-        import PIL  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
             "media decode requires an image/audio codec library "
             "(PIL/torchaudio/pyav); not available in this environment — "
             "use deterministic_fake_features for testing the plumbing"
         )
-    raise NotImplementedError("unreachable in this sandbox")
+    if kind != "image":
+        raise NotImplementedError(
+            "only image decode is implemented; audio/video need "
+            "torchaudio/pyav"
+        )
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    return np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
 
 
 def deterministic_fake_features(payload: bytes) -> np.ndarray:
@@ -96,10 +109,11 @@ def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFra
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 if use_real_decode:
-                    _real_decode(payload, "any")
-                feats.append(deterministic_fake_features(payload))
+                    feats.append(_real_decode(payload, kind))
+                else:
+                    feats.append(deterministic_fake_features(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

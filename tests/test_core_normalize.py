@@ -36,6 +36,86 @@ class TestAddressIO:
     def test_emptiness(self):
         a = addr()
         assert a.empty is True
+        assert not a
+        a.line1 = "10, avenue des Champs Elysées"
+        assert a.empty is False
+        assert a
+
+    # reference: tests/test_address.py:80-102
+    def test_field_deletion(self):
+        a = addr(
+            line1="1 Infinite Loop",
+            postal_code="95014",
+            city_name="Cupertino",
+            subdivision_code="US-CA",
+        )
+        assert a["line1"] is not None
+        assert a.line1 is not None
+        del a["line1"]
+        assert a["line1"] is None
+        assert a.line1 is None
+        # territory-metadata field deletion removes the key entirely
+        assert a["state_name"] is not None
+        assert a.state_name is not None
+        del a["state_name"]
+        with pytest.raises(KeyError):
+            a["state_name"]
+        with pytest.raises(AttributeError):
+            a.state_name
+
+    # reference: tests/test_address.py:104-133
+    def test_dict_access(self):
+        a = addr(
+            line1="10, avenue des Champs Elysées",
+            postal_code="75008",
+            city_name="Paris",
+            country_code="FR",
+        )
+        assert {
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        } == set(a)
+        assert len(a) == 6
+        assert {
+            "10, avenue des Champs Elysées", "75008", "Paris", "FR", None,
+        } == set(a.values())
+        assert {
+            "line1": "10, avenue des Champs Elysées",
+            "line2": None,
+            "postal_code": "75008",
+            "city_name": "Paris",
+            "country_code": "FR",
+            "subdivision_code": None,
+        } == dict(a.items())
+        for key in a:
+            assert getattr(a, key) == a[key]
+
+    # reference: tests/test_address.py:55-78 (setter paths)
+    def test_mutation_type_checks(self):
+        from decimal import Decimal
+
+        a = addr(line1="x", postal_code="75008", city_name="Paris",
+                 country_code="FR")
+        with pytest.raises(KeyError):
+            a["bad_field"] = "Blah blah blah"
+        with pytest.raises(TypeError):
+            a.line1 = Decimal()
+        with pytest.raises(TypeError):
+            a["line1"] = Decimal()
+        with pytest.raises(TypeError):
+            a[Decimal()]
+        with pytest.raises(TypeError):
+            a[Decimal()] = "Blah blah blah"
+
+    def test_renormalize_after_mutation(self):
+        """__setitem__ stores the raw value (reference semantics); an
+        explicit normalize() re-runs the chain over the mutated fields."""
+        a = addr(line1="x", postal_code="75008", city_name="Paris",
+                 country_code="FR")
+        a["country_code"] = "  fr "
+        assert a.country_code == "  fr "  # raw until re-normalized
+        a.normalize()
+        assert a.country_code == "FR"
 
     # reference: tests/test_address.py:45-67
     def test_unknown_field(self):
