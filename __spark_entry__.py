@@ -717,6 +717,29 @@ def _q_cube_orders(spark, sf_dir):
     )
 
 
+def _q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (completes the rollup/cube family with the
+    third grouping-set form): per-region totals, per-mktsegment totals,
+    and the grand total in one pass."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).createOrReplaceTempView("_cust_geo")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        FROM _cust_geo
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        ORDER BY region_name, segment
+        """
+    )
+
+
 def _q_events_running(spark, sf_dir):
     """Running aggregates + lag over an ordered per-user event stream."""
     from pyspark.sql import Window
@@ -879,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "territory_expand": _q_territory_expand,
         "rollup_revenue": _q_rollup_revenue,
         "cube_orders": _q_cube_orders,
+        "grouping_sets_customers": _q_grouping_sets,
         "events_running": _q_events_running,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -1318,6 +1342,18 @@ def oracle_sql() -> dict[str, str]:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
+    """
+
+    sql["grouping_sets_customers"] = """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    ORDER BY region_name, segment
     """
 
     sql["events_running"] = """

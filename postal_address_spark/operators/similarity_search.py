@@ -136,7 +136,12 @@ def lsh_topk(
     def flat_ids(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.posexplode("buckets").alias("table_idx", "bucket"),
+            # posexplode_outer: the bucket array is never empty (one entry per
+            # table), and plain posexplode infers a size>0 filter that gets
+            # pushed below the repartition Exchange — duplicating the
+            # ArrowEvalPython bucket-UDF node (the HOF re-inlining family;
+            # observed doubling bucket_udf in the physical plan).
+            F.posexplode_outer("buckets").alias("table_idx", "bucket"),
         )
 
     cand_ids = (
@@ -331,7 +336,12 @@ def embedding_near_dup(
     b = with_lsh_buckets(df, dim, n_tables, bits, seed, vec_col)
     flatted = b.select(
         F.col(id_col).alias("id"),
-        F.posexplode("buckets").alias("table_idx", "bucket"),
+        # posexplode_outer: the bucket array is never empty (one entry per
+            # table), and plain posexplode infers a size>0 filter that gets
+            # pushed below the repartition Exchange — duplicating the
+            # ArrowEvalPython bucket-UDF node (the HOF re-inlining family;
+            # observed doubling bucket_udf in the physical plan).
+            F.posexplode_outer("buckets").alias("table_idx", "bucket"),
     )
     a = flatted.select(F.col("id").alias("id_a"), "table_idx", "bucket")
     c = flatted.select(F.col("id").alias("id_b"), "table_idx", "bucket")

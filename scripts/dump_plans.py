@@ -108,6 +108,22 @@ def main() -> None:
             "materialization.",
             em.queries()["events_asof_join"](spark, SF),
         ),
+        (
+            "events_range_join — bucketed interval containment",
+            "Look for: an equi-join keyed on (user_id, _bucket) with the "
+            "containment predicate as a post-join Filter — never a "
+            "BroadcastNestedLoopJoin/CartesianProduct over the range "
+            "predicate.",
+            em.queries()["events_range_join"](spark, SF),
+        ),
+        (
+            "lsh_ann_topk — id-only bucket explosion",
+            "Look for: Generate posexplode nodes whose output is "
+            "(id, table_idx, bucket) WITHOUT the embedding column — vectors "
+            "join back once after candidate-id dedup instead of riding the "
+            "xn_tables shuffle.",
+            em.queries()["lsh_ann_topk"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:

@@ -225,6 +225,25 @@ boundary, cache-chunked similarity kernels, and the one-shuffle per-block
 closure (block-local edges make iterative global CC unnecessary; the
 large/small-star operator remains for general graphs).
 
+## Arrow batch-size experiment (round 2, negative result)
+
+The round-1 verdict asked whether smaller Arrow record batches would lift
+the 16->32-core number.  Measured (best-of-3, fresh JVM per config,
+560k-turn job, `SPARK_GRAFT_ARROW_BATCH` knob in bench.py):
+
+| config | best turns/s |
+|---|---|
+| local[16], batch 100k | 77,667 |
+| local[32], batch 100k | 74,435 |
+| local[32], batch 5k | 48,811 |
+| local[32], batch 2k | 36,159 |
+
+Shrinking batches is monotonically WORSE (more per-batch Python/Arrow
+framing overhead, no bandwidth relief), and at this job size local[32]
+matches local[16] within tenant noise — consistent with the env_probe
+finding that the plateau is the VM's shared data path, not a tunable.
+The default batch size stays 100k.
+
 Reproduce: `python scripts/scaling_bench.py`
 """)
     print(f"wrote {OUT_MD}")

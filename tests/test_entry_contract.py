@@ -15,7 +15,7 @@ EXPECTED_QUERIES = {
     # relational / dataflow
     "q1_pricing_summary", "top_revenue_orders", "nation_revenue",
     "window_events_top3", "events_daily", "rollup_revenue", "cube_orders",
-    "events_running",
+    "grouping_sets_customers", "events_running",
     "customers_without_orders", "customers_with_orders", "event_setops",
     "events_asof_join", "events_range_join", "json_props_agg",
     # reference scalar semantics (SURVEY §2.A)

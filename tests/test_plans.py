@@ -115,6 +115,23 @@ def test_lsh_explode_carries_no_vectors(spark):
                 assert "embedding" not in line, line
 
 
+def test_lsh_bucket_udf_evaluated_once_per_side(spark):
+    """Plain posexplode infers a size>0 filter that pushes below the
+    repartition Exchange and DUPLICATES the ArrowEvalPython bucket-UDF
+    node (observed: 4 evals instead of 2).  posexplode_outer admits no
+    such inference; each side pays the numpy matmul exactly once."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.similarity_search import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 4)
+    plan = physical(lsh_topk(emb, queries, dim=64, k=3, n_tables=4, bits=4))
+    assert plan.count("ArrowEvalPython") == 2, plan[:3000]
+
+
 def test_range_join_no_cartesian(spark):
     """The bucketed range join must plan as an equi-join on
     (key, bucket) — never a nested-loop over the range predicate."""
