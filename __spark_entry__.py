@@ -850,6 +850,16 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_streaming_daily(spark, sf_dir):
+    """events_daily computed by Structured Streaming (readStream ->
+    windowed agg -> availableNow drain) instead of batch — the oracle
+    grades a streaming execution against plain SQL, proving the two
+    runtimes agree (streaming/ingest.py)."""
+    from postal_address_spark.streaming.ingest import streaming_daily_rollup
+
+    return streaming_daily_rollup(spark, f"{sf_dir}/events.parquet")
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_setops": _q_event_setops,
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "streaming_events_daily": _q_streaming_daily,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
@@ -1412,6 +1423,17 @@ def oracle_sql() -> dict[str, str]:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY purchase_id
+    """
+
+    # streaming_events_daily: same ground truth as the batch daily rollup —
+    # the Spark side runs through the Structured Streaming runtime, and
+    # agreement proves batch/streaming semantic parity.
+    sql["streaming_events_daily"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY day, event_type
     """
 
     sql["events_range_join"] = """

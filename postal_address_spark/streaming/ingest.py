@@ -57,6 +57,69 @@ def streaming_block_histogram(
     )
 
 
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def streaming_daily_rollup(
+    spark: SparkSession,
+    events_path: str,
+    name: str = "streaming_daily_rollup_sink",
+) -> DataFrame:
+    """Daily per-type event rollup computed BY THE STREAMING RUNTIME:
+    readStream -> windowed aggregation -> complete-mode memory sink,
+    drained with an availableNow trigger, then returned as a plain
+    DataFrame.  The result is bit-identical to the batch GROUP BY — one
+    semantics, two runtimes — which is what lets the DuckDB oracle grade
+    a Structured Streaming execution.
+
+    Scale note: a complete-mode memory sink is the harness-side tail only
+    (driver-contract queries must return a DataFrame); the production
+    shape is the same aggregation in update mode into a keyed store, or
+    ``run_ingest_to_parquet``'s append pipeline for the stateless stages.
+    """
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    import os
+
+    # FileStreamSource force-injects basePath=<path> for NON-glob paths,
+    # which explodes when the path is a single parquet file ("basePath
+    # must be a directory").  Appending '*' makes it a glob (matching the
+    # same file), suppressing the injection; the explicit directory
+    # basePath then governs partition inference.
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    agg = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("basePath", base)
+        .parquet(events_path + "*")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("day"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def run_ingest_to_parquet(
     spark: SparkSession,
     source_path: str,
