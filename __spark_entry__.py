@@ -523,14 +523,41 @@ def _q_lsh_ann(spark, sf_dir):
 
 def _q_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN (seeded spherical-k-means quantizer; numpy cell
-    assignment -> rows-only check)."""
-    from postal_address_spark.operators.similarity_search import ivf_topk
+    assignment -> rows-only check).  The query SELF-GRADES: each row
+    carries n_exact_hits = |IVF top-k ∩ exact top-k| for its query, the
+    exact side computed in-Spark by the (separately oracle-verified)
+    brute-force operator — so the recorded rows expose recall directly
+    even though the quantizer itself is not SQL-expressible."""
+    from postal_address_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
 
     emb = _read_spread(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4).select(
+    ann = ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "rank"
-    ).orderBy("query_id", "rank")
+    )
+    exact = brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("eq_id"), F.col("neighbor_id").alias("e_nid")
+    )
+    hits = (
+        ann.join(
+            exact,
+            (ann.query_id == exact.eq_id) & (ann.neighbor_id == exact.e_nid),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return (
+        ann.join(hits, "query_id", "left")
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def _q_embedding_near_dups(spark, sf_dir):

@@ -66,3 +66,75 @@ def test_stream_resume_no_duplicates(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2 > 0
+
+
+def test_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state survives micro-batches
+    (maxFilesPerTrigger=1 over two source files), and the LAST emitted row
+    per conversation equals the batch ground truth — including session
+    counts split by the gap rule."""
+    import datetime as dt
+
+    from postal_address_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # conv A: 3 turns in one session, then a 2-hour gap -> session 2
+        ("a", 0, base),
+        ("a", 1, base + dt.timedelta(minutes=5)),
+        ("a", 2, base + dt.timedelta(minutes=10)),
+        ("a", 3, base + dt.timedelta(hours=2, minutes=10)),
+        # conv B: single session
+        ("b", 0, base + dt.timedelta(minutes=1)),
+        ("b", 1, base + dt.timedelta(minutes=2)),
+    ]
+    rows2 = [
+        # second file: conv A continues its second session; conv C appears
+        ("a", 4, base + dt.timedelta(hours=2, minutes=15)),
+        # conv C: two turns, 31-minute gap at the 30-minute threshold -> 2 sessions
+        ("c", 0, base),
+        ("c", 1, base + dt.timedelta(minutes=31)),
+    ]
+    schema = "conv_id string, turn_idx int, ts timestamp_ntz"
+    src = str(tmp_path / "src")
+    # coalesce(1): exactly one part file per directory, so
+    # maxFilesPerTrigger=1 delivers f1's rows then f2's rows as two
+    # ordered micro-batches (source processes files oldest-first)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/f1.parquet")
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    name = "sessionize_test_sink"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    q = (
+        sessionize_stream(stream, session_gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    out = spark.table(name).toPandas()
+    # latest emitted row per conversation = highest n_turns
+    last = out.sort_values("n_turns").groupby("conv_id").tail(1).set_index("conv_id")
+    assert int(last.loc["a", "n_turns"]) == 5
+    assert int(last.loc["a", "n_sessions"]) == 2
+    assert int(last.loc["b", "n_turns"]) == 2
+    assert int(last.loc["b", "n_sessions"]) == 1
+    assert int(last.loc["c", "n_turns"]) == 2
+    assert int(last.loc["c", "n_sessions"]) == 2
+    assert last.loc["a", "first_ts"] == base
+    assert last.loc["a", "last_ts"] == base + dt.timedelta(hours=2, minutes=15)
+    # conv A received data in both micro-batches -> two emitted rows
+    assert len(out[out["conv_id"] == "a"]) == 2
