@@ -189,6 +189,51 @@ class TestTerritory:
         # (reference: tests/test_address.py:457-471 via territory.py:222)
         assert normalize_territory_code("  fr ") == "FR"
 
+    # reference: tests/test_address.py:917-943 — the full-domain totality
+    # sweep, vectorized: EVERY supported subdivision code and EVERY
+    # supported country code normalizes, validates, and renders (the
+    # round-1 gap was a 90-code curated subset; the vendored domain is now
+    # the full iso-codes database, so this sweep covers ~5.4k codes in one
+    # frame pass).
+    def test_full_domain_normalize_validate_render_sweep(self):
+        import pandas as pd
+
+        from postal_address_spark.core.normalize import (
+            normalize_frame,
+            render_frame,
+            validate_frame,
+        )
+
+        base = {
+            "line1": "1 Test Street",
+            "line2": None,
+            "postal_code": "10000",
+            "city_name": "Testville",
+        }
+        rows = [
+            {**base, "country_code": None, "subdivision_code": code}
+            for code in sorted(supported_subdivision_codes())
+        ] + [
+            {**base, "country_code": code, "subdivision_code": None}
+            for code in sorted(supported_country_codes())
+        ]
+        frame = pd.DataFrame(rows, dtype=object)
+        normalized = validate_frame(
+            normalize_frame(frame, strict=False, replace_city_name=True)
+        )
+        rendered = render_frame(normalized)
+        n_subs = len(supported_subdivision_codes())
+        # every subdivision resolves its country (N7 totality)
+        assert normalized["country_code"].iloc[:n_subs].notna().all()
+        # every row renders to a non-empty block
+        assert rendered.notna().all()
+        assert (rendered.str.len() > 0).all()
+        # every row passes validation in non-strict mode
+        bad = normalized[~normalized["is_valid"].astype(bool)]
+        assert bad.empty, bad[
+            ["country_code", "subdivision_code", "invalid_fields"]
+        ].head(10).to_string()
+
     # reference: tests/test_territory.py:249-261
     def test_normalize_territory_code_with_foreign_territory(self):
         assert normalize_territory_code("BQ", resolve_top_country=True) == "NL"
