@@ -887,6 +887,50 @@ def _q_streaming_daily(spark, sf_dir):
     return streaming_daily_rollup(spark, f"{sf_dir}/events.parquet")
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """The applyInPandasWithState sessionizer run BY the streaming runtime
+    over the events table (user_id as the conversation key, 30-minute gap
+    rule), drained with availableNow and reduced to the latest state row
+    per key — graded against a LAG-based SQL oracle, so even the custom
+    stateful operator is hash-verified (streaming/sessionize.py)."""
+    from pyspark.sql import Window
+
+    from postal_address_spark.streaming.ingest import EVENTS_DDL
+    from postal_address_spark.streaming.sessionize import sessionize_stream
+
+    name = "streaming_sessions_sink"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parquet*")
+        .where(F.col("ts").isNotNull())
+        .select(F.col("user_id").cast("string").alias("conv_id"), "ts")
+    )
+    q = (
+        sessionize_stream(stream, session_gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("conv_id").alias("user_key"),
+            "first_ts", "last_ts", "n_turns", "n_sessions",
+        )
+        .orderBy("user_key")
+    )
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -947,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "streaming_events_daily": _q_streaming_daily,
+        "streaming_sessions": _q_streaming_sessions,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
@@ -1461,6 +1506,25 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2 ORDER BY day, event_type
+    """
+
+    # streaming_sessions: the stateful sessionizer's gap rule expressed
+    # with LAG — one session break per ordered per-user gap strictly over
+    # 30 minutes (ties at equal ts contribute zero gap on both sides).
+    sql["streaming_sessions"] = """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS user_key, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_key,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_turns,
+           CAST(1 + SUM(brk) AS INTEGER) AS n_sessions
+    FROM e GROUP BY user_key ORDER BY user_key
     """
 
     sql["events_range_join"] = """
