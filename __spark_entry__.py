@@ -449,6 +449,36 @@ def _q_text_analysis(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrubbing over documents: deterministic contact identifiers
+    (email/SSN-shaped id/IPv4/phone) are injected from doc_id on BOTH
+    sides, then the engine's regexp-chain redaction and per-kind counts
+    must match the oracle's — same patterns, generated from the same
+    PII_PATTERNS table (operators/text_analysis.py)."""
+    from postal_address_spark.operators.text_analysis import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k.cast("string"), F.lit("@example.com"),
+        F.lit(" or +1 555-01"),
+        F.lpad(F.pmod(k, F.lit(100)).cast("string"), 2, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), F.pmod(k, F.lit(256)).cast("string"), F.lit(".7"),
+    )
+    counts = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        redact_pii(injected).alias("clean_text"),
+        *[c.cast("int").alias(f"n_{kind}") for kind, c in counts.items()],
+    ).orderBy("doc_id")
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     """Winnowing rolling-hash document fingerprints (xxhash64-based ->
     rows-only check by design)."""
@@ -485,6 +515,33 @@ def _q_minhash_near_dups(spark, sf_dir):
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _q_minhash_dup_clusters(spark, sf_dir):
+    """End-to-end dedup composition: MinHash near-dup PAIRS -> large/
+    small-star transitive closure -> one cluster label per document
+    (singletons keep their own id).  This is the keep-one-per-cluster
+    shape a real corpus dedup ships; the oracle re-derives the closure
+    with a recursive CTE over the exact all-pairs Jaccard edges."""
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.dedup import minhash_dedup
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    doubled = docs.union(planted)
+    pairs = minhash_dedup(doubled, threshold=0.5)
+    clusters = assign_clusters(
+        doubled.select(F.col("doc_id").alias("rec_id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return clusters.select(
+        "rec_id",
+        "cluster_id",
+        (F.col("rec_id") == F.col("cluster_id")).alias("is_kept"),
+    ).orderBy("rec_id")
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -1000,8 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
+        "pii_redaction": _q_pii_redaction,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_dup_clusters": _q_minhash_dup_clusters,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
@@ -1662,6 +1721,35 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'de' END AS lang_pred
     FROM documents ORDER BY doc_id
     """
+    # -- pii_redaction: the regexp chain generated from the SAME
+    # PII_PATTERNS table the engine uses; Java regex (Spark) and RE2
+    # (DuckDB) agree on these lookaround-free patterns.
+    from postal_address_spark.operators.text_analysis import PII_PATTERNS
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' or +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+        " || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    pii_ctes = [f"s0 AS (SELECT doc_id, {inject} AS t FROM documents)"]
+    for i, (kind, pattern, token) in enumerate(PII_PATTERNS):
+        pat = pattern.replace("'", "''")
+        pii_ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            + ", ".join(f"n_{k}" for k, _, _ in PII_PATTERNS[:i])
+            + (", " if i else "")
+            + f"CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM s{i})"
+        )
+    n_cols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    sql["pii_redaction"] = (
+        "WITH " + ",\n".join(pii_ctes) + f"""
+    SELECT doc_id, t AS clean_text, {n_cols}
+    FROM s{len(PII_PATTERNS)} ORDER BY doc_id
+    """
+    )
+
     # -- minhash_near_dups: all-pairs exact-Jaccard ground truth over the
     # doubled corpus.  Sound because the operator's OUTPUT is the exact-
     # verified pair set; equality additionally proves LSH candidate recall
@@ -1681,6 +1769,45 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
     FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """
+
+    # -- minhash_dup_clusters: the closure re-derived independently with a
+    # recursive CTE over the exact all-pairs Jaccard edge set (cluster id
+    # = component minimum; singletons keep their own id) — grades the CC
+    # operator itself through SQL, a different modality than the
+    # union-find property tests.
+    sql["minhash_dup_clusters"] = f"""
+    WITH RECURSIVE doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id < 20
+    ),
+    sets AS (SELECT doc_id, {shingles} AS sh FROM doubled),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    bi AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    labels AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT v.doc_id AS rec_id,
+           coalesce(l.cluster_id, v.doc_id) AS cluster_id,
+           coalesce(l.cluster_id, v.doc_id) = v.doc_id AS is_kept
+    FROM doubled v LEFT JOIN labels l ON v.doc_id = l.rec_id
+    ORDER BY rec_id
     """
 
     def cos_sql(a: str, b: str) -> str:

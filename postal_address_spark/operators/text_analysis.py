@@ -140,3 +140,48 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
     )
     return with_doc_fingerprint(enriched, text_col)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — a first-class training-data-pipeline operator: scrub
+# contact identifiers before text enters a training corpus.  Pure JVM
+# regexp_replace chains (whole-stage codegen, no Python); the patterns
+# deliberately avoid lookaround so the same regexes run identically under
+# Java regex (Spark) and RE2 (the DuckDB oracle) — both engines use
+# leftmost-first matching for these constructs.
+# Ordered: email first (its local part contains digits a later phone
+# pattern could otherwise chew into).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][-0-9(). ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / SSN-shaped ids / IPv4s / phone-shaped digit runs
+    with typed placeholder tokens, in a fixed pattern order."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> Dict[str, Column]:
+    """Per-kind match counts BEFORE redaction (kind -> int column).
+
+    Counted sequentially on the progressively-redacted text, mirroring
+    :func:`redact_pii`'s order, so overlapping patterns (a phone-shaped
+    digit run inside an id) are attributed to exactly one kind.
+    """
+    out: Dict[str, Column] = {}
+    current = text
+    for kind, pattern, token in PII_PATTERNS:
+        out[kind] = F.coalesce(
+            F.regexp_count(current, F.lit(pattern)), F.lit(0)
+        )
+        current = F.regexp_replace(current, pattern, token)
+    return out

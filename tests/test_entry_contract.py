@@ -28,7 +28,8 @@ EXPECTED_QUERIES = {
     "er_link_mentions",
     # training-data ops
     "exact_dedup_documents", "ngram_jaccard_neighbors", "cosine_topk",
-    "text_analysis", "doc_fingerprints", "minhash_near_dups", "simhash_near_dups",
+    "text_analysis", "pii_redaction", "doc_fingerprints", "minhash_near_dups",
+    "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
 }
 
