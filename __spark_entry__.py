@@ -1024,6 +1024,40 @@ def _q_er_link_mentions(spark, sf_dir):
     ).orderBy("rec_id")
 
 
+def _q_er_link_closure(spark, sf_dir):
+    """The closure half of the linkage pipeline made oracle-provable
+    (round-2 verdict next-step #2): the same normalize -> block -> refined
+    candidate-pair path as er_link_mentions, but scored with an EXACTLY
+    mirrorable integer kernel — levenshtein over the normalized line1,
+    built into both engines with identical code-point edit-distance
+    semantics — instead of the float JW cascade.  The DuckDB oracle
+    re-derives normalization, blocking, the recall-lossless
+    (block, house-number) refinement, the levenshtein threshold, and the
+    transitive closure via a recursive CTE, so blocking + pairing + the
+    large/small-star CC are all hash-graded end-to-end; only the JW kernel
+    itself remains pytest-pinned (tests/test_similarity.py + e2e F1)."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    blocked = with_block_key(normalize_mentions(m))
+    # threshold=0.82 keeps the production (block, house-number) refinement
+    # in the exercised path; the oracle mirrors it.
+    pairs = candidate_pairs(blocked, threshold=0.82)
+    edges = pairs.where(
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
+    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    return assign_clusters(
+        blocked.where(F.col("block_key").isNotNull()), edges
+    ).orderBy("rec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q_q1_pricing,
@@ -1067,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
         "er_link_mentions": _q_er_link_mentions,
+        "er_link_closure": _q_er_link_closure,
     }
 
 
@@ -1882,6 +1917,52 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # -- er_link_closure: the linkage pipeline with the one non-SQL piece
+    # (the JW cascade) swapped for an exactly-mirrorable integer kernel.
+    # The oracle independently re-derives the whole path — mirrored
+    # normalization, block key, the (block, house-number) refined join key
+    # (DuckDB regexp_extract returns '' on no match, same as Spark),
+    # levenshtein(lower(line1)) <= 5 edges, recursive-CTE closure with
+    # component-min labels (fixed-width rec_ids make varchar least() agree
+    # with Spark's string min).  This hash-grades blocking + candidate
+    # pairing + large/small-star CC end-to-end.
+    sql["er_link_closure"] = f"""
+    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 5
+    ),
+    bi AS (
+      SELECT s, d FROM pairs
+      UNION ALL
+      SELECT d, s FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    labels AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT v.rec_id AS rec_id,
+           coalesce(l.cluster_id, v.rec_id) AS cluster_id
+    FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
+    ORDER BY v.rec_id
     """
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /

@@ -25,7 +25,7 @@ EXPECTED_QUERIES = {
     "territory_expand",
     # ER dataflow (SURVEY §2.B)
     "blocking_stats", "candidate_pair_counts", "cc_clusters",
-    "er_link_mentions",
+    "er_link_mentions", "er_link_closure",
     # training-data ops
     "exact_dedup_documents", "ngram_jaccard_neighbors", "cosine_topk",
     "text_analysis", "pii_redaction", "doc_fingerprints", "minhash_near_dups",
