@@ -119,27 +119,34 @@ def main() -> None:
     # Best-of-N everywhere: this box is a shared VM and tenant interference
     # is one-sided (it only ever slows a trial down), so the minimum over
     # repeats is the least-biased estimate of the engine's actual cost
-    # (same estimator as BENCH/BASELINE.md's scaling trials).  Three trials
-    # for the flagship: noise bursts last tens of seconds and regularly
-    # swallow two back-to-back measurements.
-    er_sec, n_turns, n_mentions, n_clusters = min(
-        run_er_pipeline(spark, n_convs) for _ in range(3)
-    )
+    # (same estimator as BENCH/BASELINE.md's scaling trials).  Noise bursts
+    # last tens of seconds and regularly swallow two back-to-back
+    # measurements, so every query runs >= 3 trials and the PER-TRIAL
+    # values ship in the JSON (`extras["<q>_trials"]`) so a reader can see
+    # the spread, not just the minimum.
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    er_trials = [run_er_pipeline(spark, n_convs) for _ in range(reps)]
+    er_sec, n_turns, n_mentions, n_clusters = min(er_trials)
     queries["er_pipeline"] = round(er_sec, 3)
+    extras["er_pipeline_trials"] = [round(t[0], 3) for t in er_trials]
     extras["er_turns"] = n_turns
     extras["er_mentions"] = n_mentions
     extras["er_clusters"] = n_clusters
     extras["er_turns_per_sec"] = round(n_turns / er_sec, 1)
 
-    def timed(name: str, fn, reps: int = 2):
-        best, n = None, None
-        for _ in range(reps):
+    def timed(name: str, fn, n_reps: int = reps):
+        trials, n = [], None
+        for _ in range(n_reps):
             started = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
-            elapsed = time.time() - started
-            best = elapsed if best is None else min(best, elapsed)
-        queries[name] = round(best, 3)
+            trials.append(time.time() - started)
+            # CacheManager matches by canonicalized plan: without this a
+            # repeat trial of a query that persists anything internally
+            # reads the previous trial's cache and measures nothing.
+            spark.catalog.clearCache()
+        queries[name] = round(min(trials), 3)
+        extras[f"{name}_trials"] = [round(t, 3) for t in trials]
         extras[f"{name}_rows"] = n
 
     qmap = entrymod.queries()
@@ -161,6 +168,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf_tag,
                 "cpus": CPUS,
+                "trials_per_query": reps,
                 "extras": extras,
             }
         )
