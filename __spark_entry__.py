@@ -949,7 +949,17 @@ def _q_streaming_sessions(spark, sf_dir):
     over the events table (user_id as the conversation key, 30-minute gap
     rule), drained with availableNow and reduced to the latest state row
     per key — graded against a LAG-based SQL oracle, so even the custom
-    stateful operator is hash-verified (streaming/sessionize.py)."""
+    stateful operator is hash-verified (streaming/sessionize.py).
+
+    Oracle-equality assumption (documented per the round-2 advice): the
+    LAG oracle orders strictly by ts, while the sessionizer's late-arrival
+    rule (ts behind the frontier never opens a session) matches that only
+    when the availableNow drain delivers the data in ts-nondecreasing
+    micro-batches.  The single-file events table drains in ONE micro-batch
+    (maxFilesPerTrigger can't split a file), where the sessionizer sorts
+    all timestamps itself, so equality is exact here by construction; a
+    multi-file table whose mtime order diverges from ts order would need
+    watermark-based session windows instead (the production-grade shape)."""
     from pyspark.sql import Window
 
     from postal_address_spark.streaming.ingest import EVENTS_DDL
@@ -986,6 +996,18 @@ def _q_streaming_sessions(spark, sf_dir):
         )
         .orderBy("user_key")
     )
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    executed by the streaming runtime and drained with availableNow; emits
+    key columns only, so the result is exactly the batch SELECT DISTINCT
+    and the DuckDB oracle grades the streaming execution end-to-end
+    (streaming/ingest.py:streaming_dedup_event_keys, incl. the
+    single-micro-batch determinism note)."""
+    from postal_address_spark.streaming.ingest import streaming_dedup_event_keys
+
+    return streaming_dedup_event_keys(spark, f"{sf_dir}/events.parquet")
 
 
 def _q_json_props(spark, sf_dir):
@@ -1083,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "streaming_events_daily": _q_streaming_daily,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_dedup_events": _q_streaming_dedup,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
@@ -1619,6 +1642,15 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_turns,
            CAST(1 + SUM(brk) AS INTEGER) AS n_sessions
     FROM e GROUP BY user_key ORDER BY user_key
+    """
+
+    # streaming_dedup_events: the drained watermark-dedup emits key
+    # columns only, so batch DISTINCT is the exact ground truth.
+    sql["streaming_dedup_events"] = """
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+    ORDER BY user_id, event_type, day
     """
 
     sql["events_range_join"] = """

@@ -120,6 +120,68 @@ def streaming_daily_rollup(
     )
 
 
+def streaming_dedup_event_keys(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "3 days",
+    name: str = "streaming_dedup_sink",
+) -> DataFrame:
+    """Watermark-bounded streaming deduplication — the one streaming shape
+    a training-data ingest actually runs: drop repeat observations of a
+    content key as they stream in, with state bounded by the watermark so
+    the dedup store never grows past the late-data horizon
+    (``dropDuplicatesWithinWatermark``, the purpose-built operator).
+
+    The key here is (user_id, event_type, day): "first sighting of each
+    user/type per day", a canonical ingest-dedup key with real duplicate
+    volume on the events table.  Only the key columns are emitted, so the
+    drained result is exactly the batch ``SELECT DISTINCT`` — deterministic
+    and DuckDB-gradable — regardless of which physical row arrived first.
+
+    Determinism caveat (same as the sessionizer): equality with the batch
+    oracle assumes the availableNow drain sees each key's duplicates before
+    the watermark expires its state.  A single-file events table drains in
+    one micro-batch, where this always holds; a multi-file table whose
+    file-modification order diverges wildly from event time could re-emit
+    a key whose state was evicted.  That is the documented semantics of
+    watermark-bounded dedup, not a bug: production picks the watermark to
+    cover the real late-data horizon.
+    """
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    import os
+
+    # basePath + glob: see streaming_daily_rollup.
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    # Watermarks demand TIMESTAMP (not NTZ): carry a session-zone cast as
+    # the event-time column; the dedup key's `day` stays on the original
+    # NTZ values so it is zone-independent and oracle-comparable.
+    deduped = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("basePath", base)
+        .parquet(events_path + "*")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts_wm"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .withWatermark("ts_wm", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+    )
+    query = (
+        deduped.select("user_id", "event_type", "day")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("user_id", "event_type", "day")
+
+
 def run_ingest_to_parquet(
     spark: SparkSession,
     source_path: str,

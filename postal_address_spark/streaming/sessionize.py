@@ -113,9 +113,15 @@ def sessionize_stream(
     it to any sink.  One emitted row per (conversation, micro-batch with
     data); the latest row per conversation is the current truth.
     """
-    unit_us = {"minutes": 60_000_000, "seconds": 1_000_000, "hours": 3_600_000_000}
-    qty, unit = session_gap.split()
-    gap_us = int(qty) * unit_us[unit]
+    unit_us = {"minute": 60_000_000, "second": 1_000_000, "hour": 3_600_000_000}
+    try:
+        qty, unit = session_gap.split()
+        gap_us = int(qty) * unit_us[unit.lower().rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"session_gap must be '<n> seconds|minutes|hours' (singular "
+            f"accepted), e.g. '30 minutes' or '1 hour'; got {session_gap!r}"
+        ) from None
     return (
         transcripts.select("conv_id", "ts")
         .groupBy("conv_id")

@@ -138,3 +138,46 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     assert last.loc["a", "last_ts"] == base + dt.timedelta(hours=2, minutes=15)
     # conv A received data in both micro-batches -> two emitted rows
     assert len(out[out["conv_id"] == "a"]) == 2
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Watermark-bounded dropDuplicatesWithinWatermark drained over the
+    events table == batch SELECT DISTINCT on the same key (the memory-sink
+    result carries key columns only, so order-of-arrival can't leak in)."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.streaming.ingest import streaming_dedup_event_keys
+
+    got = streaming_dedup_event_keys(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    ).collect()
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(got) == len(want)
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_session_gap_parsing_accepts_singular_and_rejects_garbage():
+    import pytest
+
+    from postal_address_spark.streaming.sessionize import sessionize_stream
+
+    # parsing happens before any DataFrame work -> a None df suffices for
+    # the rejection path; singular/plural acceptance is checked via error
+    # absence up to the attribute access on the fake frame.
+    class _Boom:
+        def select(self, *a, **k):
+            raise RuntimeError("parsed ok")
+
+    for gap in ("1 minute", "2 hours", "45 seconds", "1 Hour"):
+        with pytest.raises(RuntimeError, match="parsed ok"):
+            sessionize_stream(_Boom(), session_gap=gap)
+    for gap in ("30m", "minutes 30", "soon", "30"):
+        with pytest.raises(ValueError, match="session_gap"):
+            sessionize_stream(_Boom(), session_gap=gap)
