@@ -1023,6 +1023,16 @@ def _q_json_props(spark, sf_dir):
     )
 
 
+def _q_udtf_doc_chunks(spark, sf_dir):
+    """Python UDTF via LATERAL join — the last UDF shape the surface
+    lacked (operators/chunking.py).  DuckDB oracle re-derives the chunks
+    with a 1-based inclusive list slice over a generate_series lateral."""
+    from postal_address_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(spark, docs).orderBy("doc_id", "chunk_idx")
+
+
 def _q_er_link_mentions(spark, sf_dir):
     """Blocking + scoring + CC over the derived mention table — the whole
     linkage engine minus transcript extraction (JW scoring is not
@@ -1123,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
+        "udtf_doc_chunks": _q_udtf_doc_chunks,
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
     }
@@ -1949,6 +1960,26 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # -- udtf_doc_chunks: the Python UDTF's str.split() semantics mirrored
+    # with an empty-filtered regex split; DuckDB list slices are 1-based
+    # and end-inclusive, so chunk g covers w[g*10+1 : g*10+10].
+    sql["udtf_doc_chunks"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), p -> p <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(g AS INTEGER) AS chunk_idx,
+           array_to_string(w[g*10+1 : g*10+10], ' ') AS chunk,
+           CAST(least(10, len(w) - g*10) AS INTEGER) AS n_tokens
+    FROM toks,
+         LATERAL unnest(generate_series(0,
+             CAST(ceil(len(w) / 10.0) AS INTEGER) - 1)) AS t(g)
+    WHERE len(w) > 0
+    ORDER BY doc_id, chunk_idx
     """
 
     # -- er_link_closure: the linkage pipeline with the one non-SQL piece

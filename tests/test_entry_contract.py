@@ -31,6 +31,7 @@ EXPECTED_QUERIES = {
     "text_analysis", "pii_redaction", "doc_fingerprints", "minhash_near_dups",
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
+    "udtf_doc_chunks",
 }
 
 

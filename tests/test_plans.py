@@ -163,3 +163,14 @@ def test_scoring_single_arrow_boundary(spark):
     )
     plan = physical(score_pairs(candidate_pairs(blocked)))
     assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+
+
+def test_udtf_single_eval_node(spark):
+    """The LATERAL chunking UDTF must plan as exactly ONE Python-UDTF eval
+    node over the scan — a duplicated eval (the HOF-re-inlining analogue
+    for table functions) would pay the Python boundary twice per row."""
+    from postal_address_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(chunk_documents(spark, docs))
+    assert plan.count("PythonUDTF") == 1, plan[:2000]
