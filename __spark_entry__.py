@@ -1817,7 +1817,9 @@ def oracle_sql() -> dict[str, str]:
             f"s{i + 1} AS (SELECT doc_id, "
             + ", ".join(f"n_{k}" for k, _, _ in PII_PATTERNS[:i])
             + (", " if i else "")
-            + f"CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) AS n_{kind}, "
+            # coalesce: NULL text must count 0 on both sides (the engine's
+            # pii_counts coalesces); clean_text stays NULL on both sides.
+            + f"CAST(coalesce(len(regexp_extract_all(t, '{pat}')), 0) AS INTEGER) AS n_{kind}, "
             f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM s{i})"
         )
     n_cols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
@@ -1922,6 +1924,14 @@ def oracle_sql() -> dict[str, str]:
     # table-collision candidates, and the exact cosine re-rank.  Agreement
     # verifies the whole bucketed pipeline without requiring recall = 1
     # (recall floors are pytest-asserted separately).
+    # Rounding-boundary assumption: Spark derives signs from a numpy BLAS
+    # matmul (pairwise/FMA summation) while DuckDB sums sequentially — a
+    # plane dot product within float rounding of 0 could flip a sign bit
+    # on one side only.  Safe on this data: the fixture guard
+    # tests/test_similarity.py::test_lsh_fixture_dots_clear_of_zero
+    # asserts every |dot| on the embeddings table is >> accumulated
+    # rounding error, so a future data regen cannot silently introduce a
+    # flaky gate.
     from postal_address_spark.operators.similarity_search import _hyperplanes
 
     planes = _hyperplanes(dim=64, n_tables=16, bits=4, seed=42)

@@ -153,11 +153,19 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 # pattern could otherwise chew into).
 # ---------------------------------------------------------------------------
 
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+
 PII_PATTERNS: List[tuple] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
-    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][-0-9(). ]{7,}[0-9]", "<PHONE>"),
+    # octets bounded to 0-255: 999.999.999.999 is not an address
+    ("ipv4", rf"\b(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}\b", "<IP>"),
+    # 7-15 DIGITS (not 7+ digit-or-punct chars) with at most two
+    # separator chars between digits: version strings ("1.2.3.4.5") and
+    # short numeric lists no longer match.  Residual over-match: a
+    # datetime ("2024-01-01 12") genuinely is a separated >=7-digit run
+    # and still redacts — indistinguishable from a phone by shape alone.
+    ("phone", r"\+?[0-9](?:[-(). ]{0,2}[0-9]){6,14}", "<PHONE>"),
 ]
 
 

@@ -100,3 +100,29 @@ class TestProperties:
         batch_l = levenshtein_batch(arr(*xs), arr(*ys))
         single_l = [levenshtein_batch(arr(x), arr(y))[0] for x, y in zip(xs, ys)]
         np.testing.assert_array_equal(batch_l, single_l)
+
+
+def test_lsh_fixture_dots_clear_of_zero(spark):
+    """Guards the mirrored sign-LSH oracle's rounding-boundary assumption:
+    Spark signs come from a numpy BLAS matmul (pairwise/FMA summation),
+    DuckDB's from a sequential list_sum — a |dot| within accumulated
+    rounding error of 0 could flip a sign bit on one side only.  Assert
+    every (vector, hyperplane) dot on the fixture clears zero by a margin
+    vastly above float64 rounding at dim=64 (~1e-13), so a future testdata
+    regen can't silently introduce a flaky oracle gate."""
+    import numpy as np
+
+    from postal_address_spark.operators.similarity_search import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_tables=16, bits=4, seed=42)
+    for sf in ("sf0.001", "sf0.01"):  # both gate scales
+        emb = (
+            spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+            .select("embedding")
+            .toPandas()
+        )
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+        )
+        dots = vecs @ planes.reshape(-1, 64).T
+        assert np.abs(dots).min() > 1e-9, (sf, np.abs(dots).min())
