@@ -1834,18 +1834,33 @@ def oracle_sql() -> dict[str, str]:
     # doubled corpus.  Sound because the operator's OUTPUT is the exact-
     # verified pair set; equality additionally proves LSH candidate recall
     # was 1.0 on this data (see _q_minhash_near_dups).
+    # The set-size ratio prefilter is EXACT, not a heuristic:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose smaller shingle
+    # set is under tau times the larger can never reach jaccard >= tau.
+    # It skips the expensive list_intersect for most of the n^2/2 pairs
+    # and keeps the whole-gate wall time bounded as more oracles are added
+    # (round-2 verdict next-step #6): measured 9.2s -> ~2s here and
+    # 29.3s -> ~3s for the recursive-closure variant below at sf0.01.
     sql["minhash_near_dups"] = f"""
     WITH doubled AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id < 20
     ),
-    sets AS (SELECT doc_id, {shingles} AS sh FROM doubled),
+    sets AS MATERIALIZED (
+      SELECT doc_id, sh, len(sh) AS n
+      FROM (SELECT doc_id, {shingles} AS sh FROM doubled)
+    ),
     j AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      -- |A u B| = |A| + |B| - |A n B| (shingle lists are list_distinct'd):
+      -- exact, and ~10x cheaper than list_distinct(list_concat(...))
+      SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               len(list_intersect(a.sh, b.sh)) AS li
+        FROM sets a JOIN sets b
+          ON a.doc_id < b.doc_id AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+      )
     )
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
     FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
@@ -1862,12 +1877,19 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT doc_id + 1000000, text || ' tail' FROM documents WHERE doc_id < 20
     ),
-    sets AS (SELECT doc_id, {shingles} AS sh FROM doubled),
+    sets AS MATERIALIZED (
+      SELECT doc_id, sh, len(sh) AS n
+      FROM (SELECT doc_id, {shingles} AS sh FROM doubled)
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      -- size-ratio prefilter (exact: J <= min/max) + integer threshold:
+      -- li/(na+nb-li) >= 0.5  <=>  3*li >= na+nb
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               len(list_intersect(a.sh, b.sh)) AS li
+        FROM sets a JOIN sets b
+          ON a.doc_id < b.doc_id AND a.n * 2 >= b.n AND b.n * 2 >= a.n
+      ) WHERE 3 * li >= na + nb
     ),
     bi AS (
       SELECT id_a AS s, id_b AS d FROM pairs
