@@ -123,6 +123,82 @@ def connected_components(
     )
 
 
+def _forest_reduce(edges: DataFrame) -> DataFrame:
+    """Map-side partial closure: union-find WITHIN each Arrow batch
+    replaces the batch's edges by a spanning forest — at most one
+    (node -> batch-component-min) edge per distinct node — before any
+    shuffle.  Connectivity is exactly preserved (a spanning forest of an
+    edge subset connects precisely what the subset connects, and the
+    union over batches restores every cross-batch link through shared
+    nodes), so downstream labels are identical and independent of batch
+    boundaries.
+
+    Why it exists (measured, scripts/stress_bench.py): same-entity match
+    edges form CLIQUES — an entity mentioned k times contributes ~k²/2
+    above-threshold edges, all carrying one block_key.  A "HQ address"
+    with 5k mentions puts 12.5M edges into ONE ``close_block`` group:
+    quadratic Arrow transfer + single-task Python union-find that no
+    join-side salting can spread, because the serialization is in the
+    closure groupBy, not the pair join.  The forest reduction is narrow
+    (mapInPandas over whatever partitioning the scored edges already
+    have — for salted hot blocks, the n_salt-way join spread), so the
+    quadratic work parallelizes and the final group receives
+    <= (#nodes x #batches) edges instead of ~k²/2.  Normal blocks
+    benefit too: a size-s entity clique (~s²/2 edges) ships s-1 edges.
+    """
+    import pandas as pd
+
+    def reduce_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: dict = {}
+            parent: list = []
+            names: list = []
+            blocks: list = []
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            src = pdf["src"].to_numpy(dtype=object)
+            dst = pdf["dst"].to_numpy(dtype=object)
+            blk = pdf["block_key"].to_numpy(dtype=object)
+            # rec_ids are globally unique and no edge crosses blocks, so
+            # one union-find over the mixed-block batch can never merge
+            # two blocks' components.
+            for a, b, k in zip(src, dst, blk):
+                for v in (a, b):
+                    if v not in ids:
+                        ids[v] = len(names)
+                        names.append(v)
+                        blocks.append(k)
+                        parent.append(len(parent))
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[rb] = ra
+            root_min: dict = {}
+            for i, name in enumerate(names):
+                r = find(i)
+                cur = root_min.get(r)
+                if cur is None or name < cur:
+                    root_min[r] = name
+            out = {"src": [], "dst": [], "block_key": []}
+            for i, name in enumerate(names):
+                m = root_min[find(i)]
+                if m != name:  # the min itself rides as every dst
+                    out["src"].append(name)
+                    out["dst"].append(m)
+                    out["block_key"].append(blocks[i])
+            yield pd.DataFrame(out)
+
+    return edges.mapInPandas(
+        reduce_batches, schema="src string, dst string, block_key string"
+    )
+
+
 def connected_components_blocked(edges: DataFrame) -> DataFrame:
     """Transitive closure for BLOCK-LOCAL edge sets, in one shuffle.
 
@@ -137,6 +213,12 @@ def connected_components_blocked(edges: DataFrame) -> DataFrame:
     dominant fixed cost at high parallelism — while producing the
     identical labeling (asserted against :func:`connected_components` in
     tests/test_cluster.py).
+
+    A narrow map-side spanning-forest reduction (:func:`_forest_reduce`)
+    runs first, so a dense same-entity edge clique is parallel-collapsed
+    to ~one edge per node before the single closure shuffle — without it,
+    one heavily-mentioned entity serializes the whole job in this
+    operator's groupBy (measured: scripts/stress_bench.py).
 
     Input: (src, dst, block_key).  Output: (rec_id, cluster_id=min id of
     the component).  Use :func:`connected_components` for general edge
@@ -181,7 +263,7 @@ def connected_components_blocked(edges: DataFrame) -> DataFrame:
             }
         )
 
-    return edges.groupBy("block_key").applyInPandas(
+    return _forest_reduce(edges).groupBy("block_key").applyInPandas(
         close_block, schema="rec_id string, cluster_id string"
     )
 

