@@ -1035,8 +1035,12 @@ def _q_udtf_doc_chunks(spark, sf_dir):
 
 def _q_er_link_mentions(spark, sf_dir):
     """Blocking + scoring + CC over the derived mention table — the whole
-    linkage engine minus transcript extraction (JW scoring is not
-    SQL-expressible -> rows-only)."""
+    linkage engine minus transcript extraction.  Oracle-verified END TO
+    END as of round 3: DuckDB's built-in jaro_winkler_similarity /
+    levenshtein are 1-ulp-compatible with the numpy kernels (see the
+    er_link_mentions oracle comment), so the mirrored oracle re-derives
+    normalization, blocking, refinement, the production score at 0.82,
+    and the recursive closure independently."""
     from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.cluster import assign_clusters
     from postal_address_spark.operators.normalize_op import normalize_mentions
@@ -2060,11 +2064,93 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY v.rec_id
     """
 
+    # -- er_link_mentions: the FULL flagship — normalize -> block ->
+    # refined pairs -> the production JW + token-set-Levenshtein score at
+    # threshold 0.82 -> recursive-CTE closure — mirrored end-to-end.
+    # DuckDB's built-in jaro_winkler_similarity is the same classic
+    # Winkler formulation as core/similarity.py (boost threshold 0.7,
+    # prefix cap 4): verified on 4k adversarial random pairs plus every
+    # real candidate pair at sf0.01 — max |score diff| = 1 ulp — modulo
+    # two mirrored conventions: both-empty strings score 1.0 (ours) vs
+    # 0.0 (DuckDB's), handled by the CASE guards, and kernels see inputs
+    # truncated to 64 code points (similarity.MAX_LEN), handled by
+    # substr(.., 1, 64).  The token-set key is sorted unique whitespace
+    # tokens rejoined (list_sort is binary/memcmp = code-point order,
+    # same as Python sorted), truncated AFTER joining like the kernel.
+    # Within refined pairs the postal + house-number features are
+    # identically 1 (the join key implies both), so base = 0.5 exactly in
+    # both engines.  Exact-equality pairs score 1.0 (Spark shortcut) vs
+    # 1 - 1ulp here (0.35 + 0.15 != 0.5 in IEEE), and short-circuited
+    # pairs get upper-bound scores vs true scores — both immaterial: the
+    # output carries cluster ids, not scores, and membership only needs
+    # score >= 0.82 to agree.  Rounding-boundary assumption (cf. the
+    # lsh_ann mirrored oracle): a pair whose score sits within ~1 ulp of
+    # 0.82 could flip between engines; tests/test_oracle_margins.py
+    # asserts the fixtures keep every pair >= 1e-6 away (measured 0.03 at
+    # sf0.01).
+    jw = (
+        lambda x, y: f"(CASE WHEN {x} = '' AND {y} = '' THEN 1.0 "
+        f"ELSE jaro_winkler_similarity({x}, {y}) END)"
+    )
+    tsl = (
+        lambda x, y: f"(CASE WHEN {x} = '' AND {y} = '' THEN 1.0 "
+        f"ELSE 1.0 - levenshtein({x}, {y}) / "
+        f"greatest(greatest(len({x}), len({y})), 1) END)"
+    )
+    tskey = (
+        lambda c: "substr(array_to_string(list_sort(list_distinct("
+        f"string_split_regex(trim(coalesce({c}, '')), '\\s+'))), ' '), 1, 64)"
+    )
+    trunc = lambda c: f"substr(coalesce({c}, ''), 1, 64)"  # noqa: E731
+    sql["er_link_mentions"] = f"""
+    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1, city_name,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    kern AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             {trunc('a.line1')} AS x1, {trunc('b.line1')} AS y1,
+             {trunc('a.city_name')} AS xc, {trunc('b.city_name')} AS yc,
+             {tskey('a.line1')} AS ta, {tskey('b.line1')} AS tb
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT s, d FROM kern
+      WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
+                   + 0.15 * {jw('xc', 'yc')}) >= 0.82
+    ),
+    bi AS (
+      SELECT s, d FROM pairs
+      UNION ALL
+      SELECT d, s FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    labels AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT v.rec_id AS rec_id,
+           coalesce(l.cluster_id, v.rec_id) AS cluster_id
+    FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
+    ORDER BY v.rec_id
+    """
+
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
-    # multimodal_features / er_link_mentions: intentionally no oracle
-    # (xxhash64 winnowing/simhash, the driver-side seeded IVF quantizer,
-    # Spark-synthesized media payloads, and JW scoring are not expressible
-    # in ANSI SQL) -> driver records rows-only checks; each has dedicated
-    # pytest coverage (exact simhash recall, IVF recall floor, multimodal
-    # batch-shape, e2e F1).
+    # multimodal_features: intentionally no oracle (xxhash64
+    # winnowing/simhash, the driver-side seeded IVF quantizer, and
+    # Spark-synthesized media payloads are not expressible in ANSI SQL)
+    # -> driver records rows-only checks; each has dedicated pytest
+    # coverage (exact simhash recall, IVF recall floor, multimodal
+    # batch-shape).
     return sql

@@ -126,3 +126,50 @@ def test_lsh_fixture_dots_clear_of_zero(spark):
         )
         dots = vecs @ planes.reshape(-1, 64).T
         assert np.abs(dots).min() > 1e-9, (sf, np.abs(dots).min())
+
+
+def test_er_link_scores_clear_of_threshold(spark):
+    """Guards the mirrored er_link_mentions oracle's rounding-boundary
+    assumption: Spark scores come from the numpy JW/token-set-Levenshtein
+    kernels, DuckDB's from its built-in jaro_winkler_similarity /
+    levenshtein — agreement is exact to ~1 ulp (verified over every real
+    candidate pair), but a score within rounding error of the 0.82
+    threshold could still produce a one-sided edge.  Assert every
+    candidate pair's FULL score clears the threshold boundary by a margin
+    vastly above 1 ulp at both gate scales, so a future testdata regen
+    can't silently introduce a flaky oracle gate."""
+    import sys
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import score_batch
+
+    for sf in ("sf0.001", "sf0.01"):
+        m = em._mentions_df(spark, f"/root/testdata/{sf}").select(
+            F.concat(
+                F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        blocked = with_block_key(normalize_mentions(m))
+        pairs = candidate_pairs(blocked, threshold=0.82).toPandas()
+        # threshold=0 disables the cascade short-circuit: every pair gets
+        # its FULL score, which is what the oracle computes.
+        scores = score_batch(
+            pairs["line1_a"].to_numpy(dtype=object),
+            pairs["line1_b"].to_numpy(dtype=object),
+            pairs["city_name_a"].to_numpy(dtype=object),
+            pairs["city_name_b"].to_numpy(dtype=object),
+            pairs["postal_code_a"].to_numpy(dtype=object),
+            pairs["postal_code_b"].to_numpy(dtype=object),
+            threshold=0.0,
+        )
+        margin = np.abs(scores - 0.82).min()
+        assert margin > 1e-6, (sf, margin)
