@@ -230,8 +230,18 @@ def mention_fields(
     mention_no: int,
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
+    unit: Optional[int] = None,
 ) -> Dict[str, Optional[str]]:
-    """Raw (pre-normalization) fields of one mention of an entity."""
+    """Raw (pre-normalization) fields of one mention of an entity.
+
+    ``unit`` (stress shape, scripts/stress_bench.py): a distinct sub-unit
+    of entity ``entity_idx``'s building — line1 gains a " Unit NNNN"
+    suffix and the truth entity becomes per-unit.  Thousands of units
+    share one (postal, leading house number) refined block while every
+    unit is a DISTINCT normalized value, so the block stays quadratic
+    after both key refinement and the pipeline's value collapse — the
+    shape the salted hot-block join exists for.
+    """
     profile = entity_profile(seed, entity_idx, hot_share=hot_share)
     rng = random.Random(
         (seed * 11_000_111 + entity_idx * 131 + mention_no) ^ 0xA11CE
@@ -242,6 +252,8 @@ def mention_fields(
     line1: Optional[str] = profile["line1"]
     line2 = profile["line2"]
     city = profile["city_name"]
+    if unit is not None:
+        line1 = f"{line1} Unit {unit:04d}"
     if rng.random() < typo_prob:
         if rng.random() < 0.7:
             line1 = _typo(rng, line1)
@@ -258,7 +270,10 @@ def mention_fields(
         "city_name": _noisy(rng, city),
         "country_code": country,
         "subdivision_code": subdiv,
-        "entity_id": profile["entity_id"],
+        "entity_id": (
+            profile["entity_id"] if unit is None
+            else f"{profile['entity_id']}u{unit:04d}"
+        ),
         "family": profile["family"],
     }
 
@@ -290,6 +305,8 @@ def synth_conversation(
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
     hot_entity_share: float = 0.0,
+    hot_block_units: int = 0,
+    hot_block_share: float = 0.0,
 ) -> Tuple[List[Dict], List[MentionTruth]]:
     """One conversation's turns + mention ground truth, deterministic.
 
@@ -298,10 +315,16 @@ def synth_conversation(
     skews the ENTITY distribution: that fraction of mentions all reference
     entity 0 (one "HQ address" dominating a support corpus), which survives
     refinement — every mention shares the refined (postal, house#) key —
-    and is exactly the shape the salted hot-block self-join defends
-    (scripts/stress_bench.py quantifies it).  Default 0.0 leaves the RNG
-    call sequence — and therefore every existing deterministic fixture —
-    byte-identical.
+    but is structurally collapsed by the pipeline's "score values, not
+    mentions" dedup (pair volume tracks distinct noisy renders, not
+    mention count).  ``hot_block_units``/``hot_block_share`` is the shape
+    that survives BOTH defenses: that fraction of mentions reference a
+    random distinct unit of entity 0's building — one refined
+    (postal, house#) block holding thousands of DISTINCT normalized
+    values, inherently quadratic in scoring work; this is what the salted
+    hot-block join defends (scripts/stress_bench.py quantifies it).
+    Defaults 0.0/0 leave the RNG call sequence — and therefore every
+    existing deterministic fixture — byte-identical.
     """
     rng = _conv_rng(seed, conv_idx)
     conv_id = f"c{conv_idx:010d}"
@@ -314,14 +337,18 @@ def synth_conversation(
         tool = rng.choice(_TOOLS) if role == "tool" else None
         text = rng.choice(_FILLER)
         if rng.random() < mention_prob:
+            unit: Optional[int] = None
             if hot_entity_share > 0.0 and rng.random() < hot_entity_share:
                 entity_idx = 0
+            elif hot_block_units > 0 and rng.random() < hot_block_share:
+                entity_idx = 0
+                unit = rng.randrange(hot_block_units)
             else:
                 entity_idx = rng.randrange(n_entities)
             mention_no = rng.randrange(1_000_000)
             fields = mention_fields(
                 seed, entity_idx, mention_no,
-                typo_prob=typo_prob, hot_share=hot_share,
+                typo_prob=typo_prob, hot_share=hot_share, unit=unit,
             )
             text = f"{text} {format_mention(fields)} {rng.choice(_FILLER)}"
             # Truth records what the transcript encoding carries: the
@@ -363,6 +390,8 @@ def synth_transcripts_pandas(
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
     hot_entity_share: float = 0.0,
+    hot_block_units: int = 0,
+    hot_block_share: float = 0.0,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Driver-side synthesis (small scales / pytest)."""
     all_turns: List[Dict] = []
@@ -372,6 +401,7 @@ def synth_transcripts_pandas(
             seed, conv_idx, n_entities,
             mention_prob=mention_prob, typo_prob=typo_prob, hot_share=hot_share,
             hot_entity_share=hot_entity_share,
+            hot_block_units=hot_block_units, hot_block_share=hot_block_share,
         )
         all_turns.extend(turns)
         all_truth.extend(truths)
@@ -389,6 +419,8 @@ def synth_transcripts_spark(
     typo_prob: float = 0.15,
     hot_share: float = 0.05,
     hot_entity_share: float = 0.0,
+    hot_block_units: int = 0,
+    hot_block_share: float = 0.0,
     partitions: Optional[int] = None,
 ):
     """Distributed synthesis: mapInPandas over a conv-index range.
@@ -421,6 +453,8 @@ def synth_transcripts_spark(
                     seed, int(conv_idx), n_entities,
                     mention_prob=mention_prob, typo_prob=typo_prob,
                     hot_share=hot_share, hot_entity_share=hot_entity_share,
+                    hot_block_units=hot_block_units,
+                    hot_block_share=hot_block_share,
                 )
                 rows.extend(turns)
             yield pd.DataFrame(
