@@ -1094,6 +1094,53 @@ def _q_er_link_closure(spark, sf_dir):
     ).orderBy("rec_id")
 
 
+def _q_er_incremental_link(spark, sf_dir):
+    """Incremental linkage folded over two batches == the batch flagship.
+
+    The mention table is split by mention_id parity, ODD ids first: the
+    second batch then carries SMALLER rec_ids than the stored value
+    representatives, exercising the alias-edge min-label path, plus
+    vkey-identical tuples (variant generators cycle by custkey) and
+    cross-batch merges.  The state lives in a scratch dir for the
+    query's duration; the result is materialized before cleanup.
+
+    Oracle: the SAME mirrored SQL as er_link_mentions — the incremental
+    contract IS "labels identical to the batch run over the union"
+    (plans/incremental.py equivalence argument), so a hash match here
+    grades both the contract and the implementation end-to-end.
+    """
+    import shutil
+    import tempfile
+
+    from postal_address_spark.plans.incremental import (
+        IncrementalConfig,
+        incremental_link_mentions,
+        mention_clusters,
+    )
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code", "mention_id",
+    )
+    state = tempfile.mkdtemp(prefix="er_inc_state_")
+    try:
+        cfg = IncrementalConfig(n_pb=16)
+        for parity in (1, 0):  # odd first — see docstring
+            incremental_link_mentions(
+                spark,
+                m.where(F.col("mention_id") % 2 == parity).drop("mention_id"),
+                state, cfg,
+            )
+        out = mention_clusters(spark, state).orderBy("rec_id")
+        # materialize before the state dir disappears from under the plan
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q_q1_pricing,
@@ -1140,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_doc_chunks": _q_udtf_doc_chunks,
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
+        "er_incremental_link": _q_er_incremental_link,
     }
 
 
@@ -2145,6 +2193,12 @@ def oracle_sql() -> dict[str, str]:
     FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
     ORDER BY v.rec_id
     """
+
+    # -- er_incremental_link: the incremental pipeline's contract is
+    # "mention labels identical to the batch run over the union of all
+    # batches" (plans/incremental.py), so its oracle IS the er_link
+    # mirror above — a hash match grades the two-batch fold end-to-end.
+    sql["er_incremental_link"] = sql["er_link_mentions"]
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
     # multimodal_features: intentionally no oracle (xxhash64

@@ -1,0 +1,453 @@
+"""Incremental record linkage: link a NEW batch of mentions against an
+existing clustered state without re-scoring the world.
+
+The batch pipeline (``plans/pipeline.py``) is a pure function of its whole
+input; at 10^12-turn scale a daily ingest cannot afford to re-run it over
+all history.  This module maintains a persistent **linkage state** and
+folds each new batch in with work proportional to the batch and its
+touched blocks, while producing mention-level labels **identical to
+re-running the batch pipeline over the union of all batches** (the
+equivalence argument is spelled out below and asserted in
+``tests/test_incremental.py``).
+
+State layout (``<state_dir>/``), every table partitioned by
+``pb = pmod(xxhash64(block_key), n_pb)`` so per-batch I/O prunes to the
+partitions a batch actually touches:
+
+* ``values``    — one row per distinct normalized scoring tuple ever seen:
+  ``(vkey, val_id, block_key, line1, city_name, postal_code, pb)``.
+  Append-only: new tuples are appended, existing rows are never rewritten.
+* ``clusters``  — value-level labels ``(val_id, cluster_id, block_key,
+  pb)``.  Rewritten per batch ONLY for touched ``pb`` partitions, via
+  Spark's dynamic partition overwrite (untouched partitions are never
+  read or written).
+* ``mention_map`` — ``(rec_id, val_id, pb)``.  Append-only log mapping
+  every mention to its value node; joined with ``clusters`` on demand to
+  materialize mention-level labels (``mention_clusters``).
+
+Per-batch algorithm:
+
+1. normalize + block the new mentions, collapse them to value nodes
+   (min-rec_id representative per distinct tuple — the same "score
+   values, not mentions" collapse the batch pipeline uses).
+2. match new value groups against state ``values`` on the exact tuple key
+   ``vkey``: a matched group maps its mentions to the EXISTING val_id and
+   contributes **no scoring work** (its tuple has already been scored
+   against every value it can meet); when the new group's min rec_id
+   undercuts the stored val_id, an **alias edge** (old id <-> new min)
+   rides to the closure so cluster labels still equal the global min.
+3. candidate pairs are generated **two-sided**: new nodes x (new + old
+   nodes in touched blocks) on the same refined join key as the batch
+   path (``pairs.py``: full-postal block key + recall-lossless house
+   number refinement when the threshold allows it, hot keys salted).
+   Old-x-old pairs are never generated — that work happened in earlier
+   batches.
+4. score the pairs with the production kernel cascade, union the scored
+   edges with the alias edges and the touched blocks' **star edges**
+   (``val_id -> cluster_id`` from the previous state — a spanning
+   substitute for the old edge set: connected components of
+   ``old_star ∪ new_edges`` equal those of ``old_edges ∪ new_edges``
+   because every old component is already fully connected through its
+   star), and run the per-block closure over the touched blocks only.
+5. write back: append new value nodes + the batch's mention map;
+   dynamically overwrite the touched ``pb`` partitions of ``clusters``
+   (recomputed labels for touched blocks, carried-over labels for the
+   other blocks sharing those partitions).
+
+Exactness: the mention graph of the union input is the value graph with
+each value node blown up into a clique (pipeline.py).  Steps 2-4 ensure
+the incremental value graph has the same connected components as the
+batch value graph restricted to touched blocks (old components enter via
+their stars, cross-batch identity via ``vkey`` match + alias edges, every
+new-old and new-new candidate pair is generated and scored with the same
+kernels), and untouched blocks cannot change (no new vertex, no new
+edge).  Labels are component minima over value ids; alias edges guarantee
+the minimum reflects a later batch's smaller rec_id.  Therefore the
+mention-level labeling equals the batch pipeline's on the union — the
+property ``tests/test_incremental.py`` asserts on multi-batch splits,
+including rec_id orderings where later batches carry SMALLER ids.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.blocking import with_block_key
+from ..operators.cluster import assign_clusters_blocked
+from ..operators.extract import extract_mentions
+from ..operators.normalize_op import normalize_mentions
+from ..operators.pairs import PAIR_FIELDS, REFINE_SAFE_THRESHOLD
+from ..operators.scoring import DEFAULT_THRESHOLD, score_pairs
+
+# ASCII control chars that cannot appear in normalized address fields —
+# safe separators/placeholders for the exact tuple key.
+_SEP = "\x1f"
+_NULL = "\x02"
+
+_VALUES_SCHEMA = T.StructType([
+    T.StructField("vkey", T.StringType()),
+    T.StructField("val_id", T.StringType()),
+    T.StructField("block_key", T.StringType()),
+    T.StructField("line1", T.StringType()),
+    T.StructField("city_name", T.StringType()),
+    T.StructField("postal_code", T.StringType()),
+    T.StructField("pb", T.IntegerType()),
+])
+_CLUSTERS_SCHEMA = T.StructType([
+    T.StructField("val_id", T.StringType()),
+    T.StructField("cluster_id", T.StringType()),
+    T.StructField("block_key", T.StringType()),
+    T.StructField("pb", T.IntegerType()),
+])
+_MENTION_MAP_SCHEMA = T.StructType([
+    T.StructField("rec_id", T.StringType()),
+    T.StructField("val_id", T.StringType()),
+    T.StructField("pb", T.IntegerType()),
+])
+
+
+@dataclass
+class IncrementalConfig:
+    strict: bool = False
+    replace_city_name: bool = True
+    postal_prefix_len: Optional[int] = None
+    hot_threshold: int = 20000
+    n_salt: int = 16
+    threshold: float = DEFAULT_THRESHOLD
+    n_pb: int = 64  # state partition buckets (pb = xxhash64(block) % n_pb)
+
+
+def _vkey() -> F.Column:
+    return F.concat_ws(
+        _SEP,
+        F.col("block_key"),
+        F.coalesce(F.col("line1"), F.lit(_NULL)),
+        F.coalesce(F.col("city_name"), F.lit(_NULL)),
+        F.coalesce(F.col("postal_code"), F.lit(_NULL)),
+    )
+
+
+def _pb(n_pb: int) -> F.Column:
+    return F.pmod(F.xxhash64("block_key"), F.lit(n_pb)).cast("int")
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    path = os.path.join(state_dir, name)
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _sided(df: DataFrame, side: str, extra=()) -> DataFrame:
+    cols = [F.col("join_key")] + [
+        F.col(c).alias(f"{c}_{side}") for c in PAIR_FIELDS
+    ] + [F.col(c) for c in extra]
+    return df.select(*cols)
+
+
+def _incremental_pairs(
+    new_nodes: DataFrame,
+    old_nodes: DataFrame,
+    hot_threshold: int,
+    n_salt: int,
+    threshold: float,
+) -> DataFrame:
+    """new x (new ∪ old) candidate pairs — never old x old.
+
+    Same refined join key and hot-key salting scheme as the batch path
+    (``pairs.py:candidate_pairs``); the asymmetry is the point: the left
+    side is only the batch's new value nodes, the right side is every
+    node in the touched blocks, so pair volume is ~|new| x block density
+    instead of the full within-block quadratic.  De-dup rule: a new-new
+    pair appears from both orientations, kept only as ``rec_id_a <
+    rec_id_b``; a new-old pair appears once (old nodes never ride the
+    left side).
+    """
+    def keyed(df: DataFrame) -> DataFrame:
+        if threshold > REFINE_SAFE_THRESHOLD:
+            jk = F.concat_ws(
+                "#", F.col("block_key"),
+                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+            )
+        else:
+            jk = F.col("block_key")
+        return df.withColumn("join_key", jk)
+
+    left = keyed(new_nodes).withColumn("block_key_keep", F.col("block_key"))
+    right = keyed(
+        old_nodes.withColumn("is_old", F.lit(True)).unionByName(
+            new_nodes.withColumn("is_old", F.lit(False))
+        )
+    )
+
+    histogram = right.groupBy("join_key").agg(F.count(F.lit(1)).alias("n"))
+    hot_keys = (
+        histogram.where(F.col("n") > hot_threshold)
+        .select("join_key")
+        .withColumn("__hot", F.lit(True))
+    )
+    lf = left.join(F.broadcast(hot_keys), "join_key", "left")
+    rf = right.join(F.broadcast(hot_keys), "join_key", "left")
+
+    def joined(l: DataFrame, r: DataFrame, salted: bool) -> DataFrame:
+        a = _sided(l, "a", extra=["block_key_keep"])
+        b = _sided(r, "b", extra=["is_old"])
+        if salted:
+            a = a.withColumn(
+                "salt", F.pmod(F.xxhash64("rec_id_a"), F.lit(n_salt))
+            )
+            # explode_outer: constant non-empty sequence (CLAUDE.md rule 2).
+            b = b.withColumn(
+                "salt",
+                F.explode_outer(F.sequence(F.lit(0), F.lit(n_salt - 1))),
+            ).withColumn("salt", F.col("salt").cast("long"))
+            on = ["join_key", "salt"]
+        else:
+            on = ["join_key"]
+        return (
+            a.join(b, on=on)
+            .where(F.col("is_old") | (F.col("rec_id_a") < F.col("rec_id_b")))
+            .where(F.col("rec_id_a") != F.col("rec_id_b"))
+        )
+
+    pairs = joined(
+        lf.where(F.col("__hot").isNull()).drop("__hot"),
+        rf.where(F.col("__hot").isNull()).drop("__hot"),
+        salted=False,
+    ).unionByName(
+        joined(
+            lf.where(F.col("__hot").isNotNull()).drop("__hot"),
+            rf.where(F.col("__hot").isNotNull()).drop("__hot"),
+            salted=True,
+        ).drop("salt")
+    )
+    return (
+        pairs.withColumnRenamed("block_key_keep", "block_key")
+        .drop("join_key", "is_old")
+    )
+
+
+def incremental_link_mentions(
+    spark: SparkSession,
+    mentions: DataFrame,
+    state_dir: str,
+    config: Optional[IncrementalConfig] = None,
+) -> Dict[str, DataFrame]:
+    """Fold one batch of raw mention rows into the linkage state.
+
+    Returns ``{"batch_labels": mention labels for THIS batch,
+    "touched_blocks": ...}``; full labels over all history via
+    :func:`mention_clusters`.  The write-back is the transaction: reads
+    of the three state tables happen before any write, and every write
+    lands before the function returns.
+    """
+    config = config or IncrementalConfig()
+    n_pb = config.n_pb
+
+    blocked = (
+        with_block_key(
+            normalize_mentions(
+                mentions, strict=config.strict,
+                replace_city_name=config.replace_city_name,
+            ),
+            config.postal_prefix_len,
+        )
+        .where(F.col("block_key").isNotNull())
+        .withColumn("vkey", _vkey())
+        # feeds the value collapse AND the mention map — persist so the
+        # Arrow normalization chain runs once per batch.
+        .persist()
+    )
+
+    # Value collapse for the batch: one node per distinct scoring tuple.
+    batch_vals = (
+        blocked
+        .groupBy("vkey", "block_key", "line1", "city_name", "postal_code")
+        .agg(F.min("rec_id").alias("nv_id"))
+    ).persist()
+    batch_mention_map = blocked.select("rec_id", "vkey")
+
+    old_values = _read_state(spark, state_dir, "values", _VALUES_SCHEMA)
+    old_clusters = _read_state(spark, state_dir, "clusters", _CLUSTERS_SCHEMA)
+
+    # Partition-pruned slice of the state: only the pb buckets this batch
+    # touches are ever read (predicate on the partition column).
+    touched_pbs = [
+        r["pb"]
+        for r in batch_vals.select(_pb(n_pb).alias("pb")).distinct().collect()
+    ]
+    old_values_t = old_values.where(F.col("pb").isin(touched_pbs))
+    old_clusters_t = old_clusters.where(F.col("pb").isin(touched_pbs))
+    # ... then block-level: pb buckets hold many blocks.
+    touched_blocks = batch_vals.select("block_key").distinct()
+    old_in_blocks = old_values_t.join(touched_blocks, "block_key", "semi")
+
+    matched = batch_vals.join(
+        old_values_t.select("vkey", F.col("val_id").alias("old_val_id")),
+        "vkey", "left",
+    ).persist()
+    new_nodes = (
+        matched.where(F.col("old_val_id").isNull())
+        .select(
+            F.col("nv_id").alias("rec_id"),
+            "block_key", "line1", "city_name", "postal_code", "vkey",
+        )
+    )
+    # Tuple seen before with a smaller new rec_id: alias the ids so the
+    # component minimum (the cluster label) tracks the global minimum.
+    alias_edges = (
+        matched.where(
+            F.col("old_val_id").isNotNull()
+            & (F.col("nv_id") < F.col("old_val_id"))
+        )
+        .select(
+            F.col("old_val_id").alias("src"),
+            F.col("nv_id").alias("dst"),
+            "block_key",
+        )
+    )
+
+    scored = score_pairs(
+        _incremental_pairs(
+            new_nodes.select("block_key", *PAIR_FIELDS),
+            old_in_blocks.select(
+                "block_key", F.col("val_id").alias("rec_id"),
+                "line1", "city_name", "postal_code",
+            ),
+            hot_threshold=config.hot_threshold,
+            n_salt=config.n_salt,
+            threshold=config.threshold,
+        ),
+        threshold=config.threshold,
+    )
+    star_edges = (
+        old_clusters_t.join(touched_blocks, "block_key", "semi")
+        .where(F.col("val_id") != F.col("cluster_id"))
+        .select(F.col("val_id").alias("src"), F.col("cluster_id").alias("dst"),
+                "block_key")
+    )
+    edges = (
+        scored.select(
+            F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"),
+            "block_key",
+        )
+        .unionByName(alias_edges)
+        .unionByName(star_edges)
+    )
+    # Vertices: every node of a touched block — prior values, the batch's
+    # new nodes, and phantom alias minima (old cluster roots are already
+    # val_ids in old_in_blocks; alias dst ids are new).
+    vertices = (
+        old_in_blocks.select(F.col("val_id").alias("rec_id"), "block_key")
+        .unionByName(new_nodes.select("rec_id", "block_key"))
+        .unionByName(
+            alias_edges.select(F.col("dst").alias("rec_id"), "block_key")
+        )
+    ).distinct()
+
+    new_labels = (
+        assign_clusters_blocked(vertices, edges)
+        .withColumnRenamed("rec_id", "val_id")
+        .join(vertices.withColumnRenamed("rec_id", "val_id"), "val_id")
+        .withColumn("pb", _pb(n_pb))
+    )
+
+    # ---- write-back ----------------------------------------------------
+    values_out = os.path.join(state_dir, "values")
+    clusters_out = os.path.join(state_dir, "clusters")
+    map_out = os.path.join(state_dir, "mention_map")
+
+    # EVERY payload is eagerly materialized BEFORE the first write: the
+    # payloads' lineage reads the state tables this function is about to
+    # modify, and a lazy plan re-lists the state directory at execution
+    # time — the first append would make every new vkey "match itself"
+    # and silently drop all new pairs (caught by
+    # tests/test_incremental.py).  localCheckpoint pins the computed
+    # rows executor-side; a production deployment would instead write
+    # each batch to a fresh versioned state dir and swap a pointer.
+    values_payload = (
+        new_nodes.withColumn("val_id", F.col("rec_id"))
+        .withColumn("pb", _pb(n_pb))
+        .select([f.name for f in _VALUES_SCHEMA.fields])
+        .localCheckpoint(eager=True)
+    )
+    batch_map = (
+        batch_mention_map.join(
+            matched.select(
+                "vkey",
+                F.coalesce("old_val_id", "nv_id").alias("val_id"),
+                "block_key",
+            ),
+            "vkey",
+        )
+        .withColumn("pb", _pb(n_pb))
+        .select([f.name for f in _MENTION_MAP_SCHEMA.fields])
+        .localCheckpoint(eager=True)
+    )
+    # Touched pb partitions are atomically replaced (dynamic partition
+    # overwrite): recomputed labels for touched blocks + carried-over
+    # labels for the partitions' other blocks.  Untouched partitions are
+    # neither read nor written.
+    carried = old_clusters_t.join(touched_blocks, "block_key", "left_anti")
+    clusters_payload = (
+        new_labels.select([f.name for f in _CLUSTERS_SCHEMA.fields])
+        .unionByName(carried)
+        .localCheckpoint(eager=True)
+    )
+
+    values_payload.write.mode("append").partitionBy("pb").parquet(values_out)
+    batch_map.write.mode("append").partitionBy("pb").parquet(map_out)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        clusters_payload.write.mode("overwrite").partitionBy("pb").parquet(
+            clusters_out
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    batch_labels = (
+        batch_map.select("rec_id", "val_id")
+        .join(
+            spark.read.schema(_CLUSTERS_SCHEMA).parquet(clusters_out)
+            .select("val_id", "cluster_id"),
+            "val_id",
+        )
+        .select("rec_id", "cluster_id")
+    )
+    blocked.unpersist()
+    batch_vals.unpersist()
+    matched.unpersist()
+    return {
+        "batch_labels": batch_labels,
+        "touched_blocks": touched_blocks,
+    }
+
+
+def incremental_link(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    state_dir: str,
+    config: Optional[IncrementalConfig] = None,
+) -> Dict[str, DataFrame]:
+    """Transcript-table entry point: extract mentions, then fold them in."""
+    return incremental_link_mentions(
+        spark, extract_mentions(transcripts), state_dir, config
+    )
+
+
+def mention_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Materialize mention-level labels over ALL batches folded so far —
+    equals ``run_linkage`` over the concatenation of every batch."""
+    mmap = _read_state(spark, state_dir, "mention_map", _MENTION_MAP_SCHEMA)
+    clusters = _read_state(spark, state_dir, "clusters", _CLUSTERS_SCHEMA)
+    return mmap.select("rec_id", "val_id").join(
+        clusters.select("val_id", "cluster_id"), "val_id"
+    ).select("rec_id", "cluster_id")
