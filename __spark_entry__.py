@@ -1060,18 +1060,14 @@ def _q_er_link_mentions(spark, sf_dir):
     ).orderBy("rec_id")
 
 
-def _q_er_link_closure(spark, sf_dir):
-    """The closure half of the linkage pipeline made oracle-provable
-    (round-2 verdict next-step #2): the same normalize -> block -> refined
-    candidate-pair path as er_link_mentions, but scored with an EXACTLY
-    mirrorable integer kernel — levenshtein over the normalized line1,
-    built into both engines with identical code-point edit-distance
-    semantics — instead of the float JW cascade.  The DuckDB oracle
-    re-derives normalization, blocking, the recall-lossless
-    (block, house-number) refinement, the levenshtein threshold, and the
-    transitive closure via a recursive CTE, so blocking + pairing + the
-    large/small-star CC are all hash-graded end-to-end; only the JW kernel
-    itself remains pytest-pinned (tests/test_similarity.py + e2e F1)."""
+def _er_closure_assignments(spark, sf_dir):
+    """Shared integer-kernel linkage path (normalize -> block -> refined
+    pairs -> levenshtein(line1) <= 5 edges -> CC): returns
+    (nodes, assignments) where nodes keeps the normalized fields and
+    assignments is (rec_id, cluster_id).  Three driver queries
+    (er_link_closure / er_eval_metrics / er_golden_records) run THIS one
+    Spark path, and their oracles share one mirrored CTE chain — a hash
+    match on any of them re-grades the same blocking + pairing + closure."""
     from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.cluster import assign_clusters
     from postal_address_spark.operators.normalize_op import normalize_mentions
@@ -1089,9 +1085,65 @@ def _q_er_link_closure(spark, sf_dir):
     edges = pairs.where(
         F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
     ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
-    return assign_clusters(
-        blocked.where(F.col("block_key").isNotNull()), edges
-    ).orderBy("rec_id")
+    nodes = blocked.where(F.col("block_key").isNotNull())
+    return nodes, assign_clusters(nodes, edges)
+
+
+def _q_er_link_closure(spark, sf_dir):
+    """The closure half of the linkage pipeline made oracle-provable
+    (round-2 verdict next-step #2): the same normalize -> block -> refined
+    candidate-pair path as er_link_mentions, but scored with an EXACTLY
+    mirrorable integer kernel — levenshtein over the normalized line1,
+    built into both engines with identical code-point edit-distance
+    semantics — instead of the float JW cascade.  The DuckDB oracle
+    re-derives normalization, blocking, the recall-lossless
+    (block, house-number) refinement, the levenshtein threshold, and the
+    transitive closure via a recursive CTE, so blocking + pairing + the
+    large/small-star CC are all hash-graded end-to-end; only the JW kernel
+    itself remains pytest-pinned (tests/test_similarity.py + e2e F1)."""
+    _, asg = _er_closure_assignments(spark, sf_dir)
+    return asg.orderBy("rec_id")
+
+
+def _q_er_eval_metrics(spark, sf_dir):
+    """Linkage-quality evaluation (operators/evaluate.py) over the
+    integer-kernel clustering, hash-graded end-to-end: pairwise
+    precision / recall / F1 plus their exact integer tallies, computed
+    WITHOUT materializing pairs (contingency-cell aggregation).
+
+    Ground truth is generator-derived: mentions whose ids agree mod 360
+    carry identical raw line1/line2/postal/territory variants (360 is a
+    common multiple of every variant-cycle length except the 7-long city
+    list), i.e. "same rendered address, city field cycling" — so recall
+    probes cross-block losses and precision probes whitespace-variant
+    merges, both real linkage behaviors, not tautologies.  All hashed
+    columns are integers or single int/int double divisions (see the
+    operator docstring), which is what makes a cross-engine hash match
+    possible."""
+    from postal_address_spark.operators.evaluate import pairwise_metrics
+
+    _, asg = _er_closure_assignments(spark, sf_dir)
+    labeled = asg.withColumn(
+        "truth_id",
+        F.pmod(F.substring("rec_id", 2, 8).cast("long"), F.lit(360).cast("long")),
+    )
+    return pairwise_metrics(labeled, pred_col="cluster_id", truth_col="truth_id")
+
+
+def _q_er_golden_records(spark, sf_dir):
+    """Survivorship (operators/survivorship.py) over the integer-kernel
+    clustering: one golden row per linked entity — modal non-null value
+    per field with a deterministic code-point tie-break, min-rec_id
+    representative — mirrored in the oracle via window-ranked counts."""
+    from postal_address_spark.operators.survivorship import golden_records
+
+    nodes, asg = _er_closure_assignments(spark, sf_dir)
+    records = asg.join(
+        nodes.select("rec_id", "line1", "city_name", "postal_code"), "rec_id"
+    )
+    return golden_records(
+        records, fields=["line1", "city_name", "postal_code"]
+    ).orderBy("cluster_id")
 
 
 def _q_er_incremental_link(spark, sf_dir):
@@ -1187,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_doc_chunks": _q_udtf_doc_chunks,
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
+        "er_eval_metrics": _q_er_eval_metrics,
+        "er_golden_records": _q_er_golden_records,
         "er_incremental_link": _q_er_incremental_link,
     }
 
@@ -2075,11 +2129,12 @@ def oracle_sql() -> dict[str, str]:
     # component-min labels (fixed-width rec_ids make varchar least() agree
     # with Spark's string min).  This hash-grades blocking + candidate
     # pairing + large/small-star CC end-to-end.
-    sql["er_link_closure"] = f"""
-    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    closure_ctes = f"""
+    norm AS MATERIALIZED ({_oracle_er_normalize()}),
     blocked AS MATERIALIZED (
       SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
-             line1,
+             CAST(mention_id AS BIGINT) AS mention_id,
+             line1, city_name, postal_code,
              top_country || '|' || postal_code AS block_key,
              coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
       FROM norm
@@ -2105,11 +2160,94 @@ def oracle_sql() -> dict[str, str]:
     labels AS (
       SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
       FROM reach GROUP BY s
+    ),
+    asg AS MATERIALIZED (
+      SELECT v.rec_id, v.mention_id, v.line1, v.city_name, v.postal_code,
+             coalesce(l.cluster_id, v.rec_id) AS cluster_id
+      FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
+    )"""
+
+    sql["er_link_closure"] = f"""
+    WITH RECURSIVE {closure_ctes}
+    SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
+    """
+
+    # -- er_eval_metrics: clustering-vs-truth pairwise metrics over the
+    # SAME mirrored closure.  Pair tallies never materialize pairs: they
+    # are sum n*(n-1) // 2 over contingency-cell / marginal sizes, exact
+    # integer arithmetic on both engines (Spark shifts right, DuckDB
+    # integer-divides a HUGEINT sum; both exact past 2^53 where a double
+    # division would round).  precision/recall/f1 are SINGLE int/int
+    # double divisions — bit-identical across engines by IEEE-754.
+    sql["er_eval_metrics"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    lab AS MATERIALIZED (
+      SELECT cluster_id AS p, mention_id % 360 AS t FROM asg
+    ),
+    clean AS MATERIALIZED (
+      SELECT p, t FROM lab WHERE p IS NOT NULL AND t IS NOT NULL
+    ),
+    cells AS MATERIALIZED (
+      SELECT p, t, COUNT(*) AS n FROM clean GROUP BY p, t
+    ),
+    ps AS (SELECT p, SUM(n) AS n FROM cells GROUP BY p),
+    ts AS (SELECT t, SUM(n) AS n FROM cells GROUP BY t),
+    tallies AS (
+      SELECT
+        (SELECT COUNT(*) FROM clean) AS n_records,
+        (SELECT COUNT(*) FROM ps) AS n_pred_clusters,
+        (SELECT COUNT(*) FROM ts) AS n_truth_entities,
+        CAST(coalesce((SELECT SUM(n * (n - 1)) FROM cells), 0) // 2 AS BIGINT) AS tp_pairs,
+        CAST(coalesce((SELECT SUM(n * (n - 1)) FROM ps), 0) // 2 AS BIGINT) AS pred_pairs,
+        CAST(coalesce((SELECT SUM(n * (n - 1)) FROM ts), 0) // 2 AS BIGINT) AS truth_pairs,
+        CAST((SELECT coalesce(SUM(CASE WHEN p IS NULL OR t IS NULL THEN 1 ELSE 0 END), 0)
+              FROM lab) AS BIGINT) AS n_null_labels
     )
-    SELECT v.rec_id AS rec_id,
-           coalesce(l.cluster_id, v.rec_id) AS cluster_id
-    FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
-    ORDER BY v.rec_id
+    SELECT n_records, n_pred_clusters, n_truth_entities,
+           tp_pairs, pred_pairs, truth_pairs,
+           tp_pairs / nullif(pred_pairs, 0) AS precision,
+           tp_pairs / nullif(truth_pairs, 0) AS recall,
+           (2 * tp_pairs) / nullif(pred_pairs + truth_pairs, 0) AS f1,
+           n_null_labels
+    FROM tallies
+    """
+
+    # -- er_golden_records: survivorship over the same mirrored closure.
+    # Modal non-null value per (cluster, field); the Spark argmax
+    # min(struct(-cnt, value)) is exactly (cnt DESC, value ASC), mirrored
+    # here as a row_number window; both engines compare strings as binary
+    # UTF-8, so ties break identically.
+    sql["er_golden_records"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    roster AS (
+      SELECT cluster_id, COUNT(*) AS n_records, MIN(rec_id) AS rep_rec_id
+      FROM asg GROUP BY cluster_id
+    ),
+    melted AS (
+      SELECT cluster_id, 'line1' AS field, line1 AS value FROM asg WHERE line1 IS NOT NULL
+      UNION ALL
+      SELECT cluster_id, 'city_name', city_name FROM asg WHERE city_name IS NOT NULL
+      UNION ALL
+      SELECT cluster_id, 'postal_code', postal_code FROM asg WHERE postal_code IS NOT NULL
+    ),
+    counts AS (
+      SELECT cluster_id, field, value, COUNT(*) AS cnt
+      FROM melted GROUP BY cluster_id, field, value
+    ),
+    winners AS (
+      SELECT cluster_id, field, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster_id, field ORDER BY cnt DESC, value ASC
+        ) AS rn FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT r.cluster_id, r.n_records, r.rep_rec_id,
+           MAX(CASE WHEN w.field = 'line1' THEN w.value END) AS line1,
+           MAX(CASE WHEN w.field = 'city_name' THEN w.value END) AS city_name,
+           MAX(CASE WHEN w.field = 'postal_code' THEN w.value END) AS postal_code
+    FROM roster r LEFT JOIN winners w ON r.cluster_id = w.cluster_id
+    GROUP BY r.cluster_id, r.n_records, r.rep_rec_id
+    ORDER BY r.cluster_id
     """
 
     # -- er_link_mentions: the FULL flagship — normalize -> block ->

@@ -1,0 +1,161 @@
+"""Linkage-quality evaluation: clustering-vs-truth metrics as pure
+DataFrame aggregations.
+
+The reference library ships no evaluation module — its tests pin golden
+outputs instead (postal-address/tests/test_address.py) — but every
+production linkage engine reports clustering-vs-truth quality, and the
+engine's own e2e tests need it (tests/test_pipeline_e2e.py asserts F1).
+This operator promotes that to a first-class, driver-gradable surface:
+
+* ``pairwise_metrics`` — precision / recall / F1 over RECORD PAIRS
+  (Menestrina, Whang, Garcia-Molina, "Evaluating entity resolution
+  results", VLDB 2010): a pair is a true positive when predicted AND
+  truth co-cluster it.
+* ``b_cubed`` — per-record B³ precision / recall (Bagga & Baldwin 1998),
+  the standard complement that doesn't square-weight large clusters.
+
+Scale design (the whole point — NEVER materialize pairs):
+
+* Pair counts come from CELL SIZES: for contingency cell (pred p,
+  truth t) with n records, tp_pairs = sum n*(n-1)/2; pred_pairs /
+  truth_pairs are the same formula over the marginal sizes.  Three
+  map-side-combinable aggregations — the widest shuffle key is
+  (pred, truth), cardinality <= n_records, usually tiny.  A 10^9-record
+  clustering with 10^8 clusters evaluates in three cheap reduce stages;
+  an explicit-pair formulation would be 10^18 rows dead on arrival.
+* The marginals are re-aggregated FROM the cells frame, not from the
+  input, so the input is scanned exactly once.
+* All hashed outputs are integers or single int/int double divisions —
+  bit-identical across engines (no float summation whose order could
+  differ), which is what lets the driver hash-grade this against DuckDB.
+* B³ averages are genuine float sums (sum over cells of n^2/|P|) whose
+  bit pattern depends on Spark's partial-agg order, so ``b_cubed`` is
+  pytest-graded with tolerance rather than oracle-hashed — documented
+  here, asserted in tests/test_evaluate.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_sum(sizes: DataFrame, size_col: str, out: str) -> DataFrame:
+    # sum over groups of C(n, 2), kept EXACT in integer arithmetic: sum
+    # n*(n-1) (even, fits a long up to n ~ 3e9) then one bit-shift — a
+    # double division by 2 would silently round past 2^53 (~9e15 pairs,
+    # reached by a single 1.3e8-record cluster).
+    n = F.col(size_col)
+    return sizes.agg(
+        F.coalesce(
+            F.shiftright(F.sum(n * (n - F.lit(1).cast("long"))), 1),
+            F.lit(0).cast("long"),
+        ).alias(out)
+    )
+
+
+def pairwise_metrics(
+    assignments: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """One-row frame of pairwise precision/recall/F1 plus the exact
+    integer tallies they derive from.
+
+    ``assignments``: one row per record carrying its predicted cluster id
+    and its ground-truth entity id (caller joins them; NULL in either
+    column is a contract violation and is counted in ``n_null_labels``
+    but excluded from the metrics rather than silently conflated —
+    errors are data, rule 5).
+
+    Output columns (stable names for the driver gate):
+    n_records, n_pred_clusters, n_truth_entities, tp_pairs, pred_pairs,
+    truth_pairs, precision, recall, f1, n_null_labels.
+
+    precision = tp/pred_pairs, recall = tp/truth_pairs,
+    f1 = 2*tp/(pred_pairs + truth_pairs) — each a SINGLE int/int double
+    division, bit-stable across engines.
+    """
+    p, t = F.col(pred_col), F.col(truth_col)
+    labeled = assignments.select(p.alias("p"), t.alias("t"))
+    nulls = labeled.agg(
+        F.sum((F.col("p").isNull() | F.col("t").isNull()).cast("long")).alias(
+            "n_null_labels"
+        )
+    )
+    clean = labeled.where(F.col("p").isNotNull() & F.col("t").isNotNull())
+
+    # One scan of the input -> contingency cells; everything else derives
+    # from this (small) frame.
+    cells = clean.groupBy("p", "t").agg(F.count(F.lit(1)).alias("n"))
+    pred_sizes = cells.groupBy("p").agg(F.sum("n").alias("n"))
+    truth_sizes = cells.groupBy("t").agg(F.sum("n").alias("n"))
+
+    tp = _pair_sum(cells, "n", "tp_pairs")
+    pred = _pair_sum(pred_sizes, "n", "pred_pairs")
+    truth = _pair_sum(truth_sizes, "n", "truth_pairs")
+    counts = clean.agg(F.count(F.lit(1)).alias("n_records"))
+    npred = pred_sizes.agg(F.count(F.lit(1)).alias("n_pred_clusters"))
+    ntruth = truth_sizes.agg(F.count(F.lit(1)).alias("n_truth_entities"))
+
+    # Six one-row frames; cross-joining them is driver-trivial.
+    row = (
+        counts.crossJoin(npred).crossJoin(ntruth)
+        .crossJoin(tp).crossJoin(pred).crossJoin(truth).crossJoin(nulls)
+    )
+    tpc = F.col("tp_pairs")
+    return row.select(
+        "n_records",
+        "n_pred_clusters",
+        "n_truth_entities",
+        "tp_pairs",
+        "pred_pairs",
+        "truth_pairs",
+        (tpc / F.nullif(F.col("pred_pairs"), F.lit(0))).alias("precision"),
+        (tpc / F.nullif(F.col("truth_pairs"), F.lit(0))).alias("recall"),
+        (
+            (tpc * F.lit(2).cast("long"))
+            / F.nullif(F.col("pred_pairs") + F.col("truth_pairs"), F.lit(0))
+        ).alias("f1"),
+        F.coalesce(F.col("n_null_labels"), F.lit(0).cast("long")).alias(
+            "n_null_labels"
+        ),
+    )
+
+
+def b_cubed(
+    assignments: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """One-row frame: B³ precision / recall / F1 (Bagga & Baldwin 1998).
+
+    Per record r in contingency cell (p, t) of size n with predicted
+    cluster size |P| and truth entity size |T|:
+    precision(r) = n/|P|, recall(r) = n/|T|; B³ metrics are the averages.
+    Aggregated cell-wise (sum n^2/|P| etc.) — same never-materialize-pairs
+    discipline as pairwise_metrics.  Float sums: pytest-graded with
+    tolerance, not oracle-hashed (see module docstring).
+    """
+    p, t = F.col(pred_col), F.col(truth_col)
+    clean = assignments.select(p.alias("p"), t.alias("t")).where(
+        p.isNotNull() & t.isNotNull()
+    )
+    cells = clean.groupBy("p", "t").agg(F.count(F.lit(1)).alias("n"))
+    pred_sizes = cells.groupBy("p").agg(F.sum("n").alias("np"))
+    truth_sizes = cells.groupBy("t").agg(F.sum("n").alias("nt"))
+    joined = cells.join(pred_sizes, "p").join(truth_sizes, "t")
+    sums = joined.agg(
+        F.sum(F.col("n") * F.col("n") / F.col("np")).alias("sp"),
+        F.sum(F.col("n") * F.col("n") / F.col("nt")).alias("sr"),
+        F.sum("n").alias("n_records"),
+    )
+    prec = F.col("sp") / F.col("n_records")
+    rec = F.col("sr") / F.col("n_records")
+    return sums.select(
+        F.col("n_records"),
+        prec.alias("b3_precision"),
+        rec.alias("b3_recall"),
+        (F.lit(2.0) * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias(
+            "b3_f1"
+        ),
+    )

@@ -30,8 +30,22 @@ Methodology details that keep the comparison honest:
   least-biased estimator of the machine's capability at that level;
 * cluster count asserted IDENTICAL across levels (deterministic pipeline).
 
+The ``--pinned`` mode re-measures the graded window under ``taskset``
+CPU-affinity pinning (local[1] on one core, local[4] on four), closing the
+round-2 caveat that unpinned JVM/GC/python-worker threads can overflow
+local[1] onto idle cores and flatter T_1.  Results land in
+BENCH/pinned_probe.json and are rendered into BASELINE.md alongside the
+slot-scaling numbers.
+
+Both orchestration modes persist their measurements to JSON sidecars
+(BENCH/scaling_results.json / BENCH/pinned_probe.json) and re-render
+BASELINE.md from whatever sidecars exist, so the two ~45-min / ~15-min
+measurement passes are independent.
+
 Usage:
-    python scripts/scaling_bench.py                 # orchestrate + report
+    python scripts/scaling_bench.py                 # slot-scaling pass + report
+    python scripts/scaling_bench.py --pinned        # taskset-pinned probe + report
+    python scripts/scaling_bench.py --render        # re-render md from sidecars
     python scripts/scaling_bench.py --run <cpus> <n_convs> <typo_prob>
 """
 from __future__ import annotations
@@ -51,9 +65,13 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "400000"))
 # realistic share of the measured work.
 TYPO_PROB = float(os.environ.get("SPARK_GRAFT_SCALE_TYPO", "0.35"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+PINNED_TRIALS = int(os.environ.get("SPARK_GRAFT_PINNED_TRIALS", "2"))
 N_SMALL, N_BIG = 1, 4  # N and 4N cores (see BASELINE.md for the window choice)
 PLATEAU_LEVELS = (2, 8, 16, 32)  # measured once each, reported for transparency
-OUT_MD = "/root/repo/BENCH/BASELINE.md"
+BENCH_DIR = "/root/repo/BENCH"
+OUT_MD = f"{BENCH_DIR}/BASELINE.md"
+SCALING_JSON = f"{BENCH_DIR}/scaling_results.json"
+PINNED_JSON = f"{BENCH_DIR}/pinned_probe.json"
 
 
 def measure(cpus: int, n_convs: int, typo_prob: float) -> None:
@@ -82,13 +100,15 @@ def measure(cpus: int, n_convs: int, typo_prob: float) -> None:
     spark.stop()
 
 
-def _one(cpus: int) -> dict:
+def _one(cpus: int, pin_cores: str | None = None) -> dict:
+    cmd = [sys.executable, __file__, "--run", str(cpus), str(N_CONVS), str(TYPO_PROB)]
+    if pin_cores is not None:
+        # taskset affinity is inherited by the JVM and every python worker
+        # the subprocess spawns — a strict core budget, unlike local[n]'s
+        # task-slot-only bound.
+        cmd = ["taskset", "-c", pin_cores] + cmd
     proc = subprocess.run(
-        [sys.executable, __file__, "--run", str(cpus), str(N_CONVS), str(TYPO_PROB)],
-        capture_output=True,
-        text=True,
-        check=False,
-        cwd="/root/repo",
+        cmd, capture_output=True, text=True, check=False, cwd="/root/repo"
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:
@@ -117,27 +137,123 @@ def orchestrate() -> None:
         print(f"local[{cpus}] (plateau probe): {plateau[cpus]['seconds']}s "
               f"({plateau[cpus]['turns_per_sec']} turns/s)")
 
-    tN = best[N_SMALL]["turns_per_sec"]
-    t4N = best[N_BIG]["turns_per_sec"]
-    eff = t4N / (4 * tN)
     clusters = {r["clusters"] for rs in all_trials.values() for r in rs}
     assert len(clusters) == 1, f"nondeterministic cluster count: {clusters}"
 
-    summary = {
-        "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "N_cores": N_SMALL,
-        "4N_cores": N_BIG,
-        "best_N": best[N_SMALL],
-        "best_4N": best[N_BIG],
-        "plateau": plateau,
-    }
-    print(json.dumps(summary))
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(SCALING_JSON, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "note": "measured by scripts/scaling_bench.py orchestrate(); "
+                "seconds/turns_per_sec are best-of-TRIALS fresh-JVM runs; "
+                "trials lists are turns_per_sec per trial",
+                "n_convs": N_CONVS,
+                "typo_prob": TYPO_PROB,
+                "trials_per_level": TRIALS,
+                "best": {str(c): best[c] for c in (N_SMALL, N_BIG)},
+                "trials": {
+                    str(c): [r["turns_per_sec"] for r in all_trials[c]]
+                    for c in (N_SMALL, N_BIG)
+                },
+                "plateau": {str(c): plateau[c] for c in PLATEAU_LEVELS},
+            },
+            fh,
+            indent=2,
+        )
+    render()
+
+
+def pinned_probe() -> None:
+    """Taskset-pinned re-measurement of the graded 1 -> 4 window."""
+    results: dict[str, dict] = {}
+    for cpus, cores in ((N_SMALL, "0"), (N_BIG, "0-3")):
+        trials = []
+        for t in range(PINNED_TRIALS):
+            r = _one(cpus, pin_cores=cores)
+            trials.append(r)
+            print(f"pinned[{cores}] local[{cpus}] trial {t + 1}/{PINNED_TRIALS}: "
+                  f"{r['seconds']}s ({r['turns_per_sec']} turns/s)")
+        best = max(trials, key=lambda r: r["turns_per_sec"])
+        results[str(cpus)] = {
+            "cores": cores,
+            "best": best,
+            "trials": [r["turns_per_sec"] for r in trials],
+        }
+    clusters = {r["best"]["clusters"] for r in results.values()}
+    assert len(clusters) == 1, f"nondeterministic cluster count: {clusters}"
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(PINNED_JSON, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "note": "taskset-pinned fresh-JVM trials; strict core budget "
+                "(JVM + GC + shuffle IO + python workers share the pinned set)",
+                "n_convs": N_CONVS,
+                "typo_prob": TYPO_PROB,
+                "trials_per_level": PINNED_TRIALS,
+                "levels": results,
+            },
+            fh,
+            indent=2,
+        )
+    render()
+
+
+def _pinned_section(pinned: dict | None, sc: dict) -> str:
+    if not pinned:
+        return """Caveat on the window's bottom: local[1] bounds the TASK
+slots at one, but JVM GC, shuffle-IO threads, and the Python workers are
+not pinned and may overflow onto idle cores, so T_1 is not a strict
+one-core budget — that overflow can flatter the ratio, while slot/aux
+contention at local[1] pushes it the other way.  The effects cut both
+ways; the reported number is the measured slot-scaling ratio, not a
+pinned-core (taskset) measurement."""
+    lv = pinned["levels"]
+    t1, t4 = lv["1"]["best"], lv["4"]["best"]
+    eff = t4["turns_per_sec"] / (4 * t1["turns_per_sec"])
+    rows = "\n".join(
+        f"| taskset -c {lv[c]['cores']}, local[{c}] | {lv[c]['best']['seconds']} "
+        f"| {lv[c]['best']['turns_per_sec']} "
+        f"| {' / '.join(str(x) for x in lv[c]['trials'])} |"
+        for c in ("1", "4")
+    )
+    return f"""The round-2 caveat on the window's bottom — local[1] bounds task slots
+but lets JVM GC / shuffle-IO / python-worker threads overflow onto idle
+cores — is settled by a `taskset`-pinned probe (strict core budget for
+the WHOLE process tree), best-of-{pinned['trials_per_level']} fresh JVMs:
+
+| config | wall sec | turns/sec | per-trial turns/sec |
+|---|---|---|---|
+{rows}
+
+**Pinned efficiency = {t4['turns_per_sec']}/(4 x {t1['turns_per_sec']})
+= {eff:.3f}** ({'meets' if eff >= 0.8 else 'misses'} the >= 0.8 bar).
+Pinned T_1 ran at {t1['turns_per_sec']} turns/s vs
+{sc['best']['1']['turns_per_sec']} unpinned
+({t1['turns_per_sec'] / sc['best']['1']['turns_per_sec']:.2f}x), so the
+unpinned window bottom {'was NOT materially flattered' if t1['turns_per_sec'] >= 0.9 * sc['best']['1']['turns_per_sec'] else 'WAS partly flattered'}
+by auxiliary-thread overflow.  (Reproduce:
+`python scripts/scaling_bench.py --pinned`.)"""
+
+
+def render() -> None:
+    with open(SCALING_JSON, encoding="utf-8") as fh:
+        sc = json.load(fh)
+    pinned = None
+    if os.path.exists(PINNED_JSON):
+        with open(PINNED_JSON, encoding="utf-8") as fh:
+            pinned = json.load(fh)
+
+    best = {int(k): v for k, v in sc["best"].items()}
+    plateau = {int(k): v for k, v in sc["plateau"].items()}
+    trials = sc["trials"]
+    n_trials = sc["trials_per_level"]
+    tN = best[N_SMALL]["turns_per_sec"]
+    t4N = best[N_BIG]["turns_per_sec"]
+    eff = t4N / (4 * tN)
 
     curve = sorted(
         [(N_SMALL, best[N_SMALL]), (N_BIG, best[N_BIG])]
-        + [(c, plateau[c]) for c in PLATEAU_LEVELS]
+        + [(c, plateau[c]) for c in plateau]
     )
     curve_rows = "\n".join(
         f"| local[{c}] | {r['seconds']} | {r['turns_per_sec']} |"
@@ -145,7 +261,7 @@ def orchestrate() -> None:
     )
     trial_rows = "\n".join(
         f"| local[{c}] | "
-        + " / ".join(f"{r['turns_per_sec']}" for r in all_trials[c])
+        + " / ".join(str(x) for x in trials[str(c)])
         + " |"
         for c in (N_SMALL, N_BIG)
     )
@@ -159,7 +275,7 @@ Identical er_pipeline job (extract -> normalize -> block -> refined salted
 pairs -> JVM feature cascade + JW/token-set-Levenshtein kernels ->
 per-block union-find closure) on the same deterministic synthetic
 transcript table
-({best[N_BIG]['turns']} turns, seed=42, typo_prob={TYPO_PROB}), fresh JVM
+({best[N_BIG]['turns']} turns, seed=42, typo_prob={sc['typo_prob']}), fresh JVM
 per measurement, warm-up excluded, input materialized before the clock.
 
 **N = {N_SMALL} cores, 4N = {N_BIG} cores; efficiency =
@@ -169,11 +285,11 @@ per measurement, warm-up excluded, input materialized before the clock.
 |---|---|---|
 {curve_rows}
 
-The graded levels are best-of-{TRIALS}; the plateau rows are SINGLE
+The graded levels are best-of-{n_trials}; the plateau rows are SINGLE
 probes added for curve transparency — on this shared VM a single probe
 is a lower bound on that level's throughput, not an estimate.
 
-Best of {TRIALS} fresh-JVM trials per graded level (interference noise on
+Best of {n_trials} fresh-JVM trials per graded level (interference noise on
 a shared VM is one-sided — it only slows — so best-of is the least-biased
 estimator); all trials:
 
@@ -204,13 +320,11 @@ cores are real, the shared data path is the wall.
 cluster provides per executor (production executors are 1-8 cores with
 dedicated bandwidth; growing a fleet N -> 4N multiplies aggregate
 bandwidth 4x, which threads inside one fixed-bandwidth box cannot
-emulate).  Caveat on the window's bottom: local[1] bounds the TASK
-slots at one, but JVM GC, shuffle-IO threads, and the Python workers are
-not pinned and may overflow onto idle cores, so T_1 is not a strict
-one-core budget — that overflow can flatter the ratio, while slot/aux
-contention at local[1] pushes it the other way.  The effects cut both
-ways; the reported number is the measured slot-scaling ratio, not a
-pinned-core (taskset) measurement.
+emulate).
+
+## Pinned-core probe (strict one-core T_1)
+
+{_pinned_section(pinned, sc)}
 
 The full curve (table above) stays transparent about the wall: gains
 past the single-digit core counts are strongly sub-linear, bending
@@ -244,7 +358,8 @@ matches local[16] within tenant noise — consistent with the env_probe
 finding that the plateau is the VM's shared data path, not a tunable.
 The default batch size stays 100k.
 
-Reproduce: `python scripts/scaling_bench.py`
+Reproduce: `python scripts/scaling_bench.py` (slot scaling) +
+`python scripts/scaling_bench.py --pinned` (pinned probe)
 """)
     print(f"wrote {OUT_MD}")
 
@@ -252,5 +367,9 @@ Reproduce: `python scripts/scaling_bench.py`
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
         measure(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pinned":
+        pinned_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--render":
+        render()
     else:
         orchestrate()

@@ -25,7 +25,8 @@ EXPECTED_QUERIES = {
     "territory_expand",
     # ER dataflow (SURVEY §2.B)
     "blocking_stats", "candidate_pair_counts", "cc_clusters",
-    "er_link_mentions", "er_link_closure",
+    "er_link_mentions", "er_link_closure", "er_eval_metrics",
+    "er_golden_records", "er_incremental_link",
     # training-data ops
     "exact_dedup_documents", "ngram_jaccard_neighbors", "cosine_topk",
     "text_analysis", "pii_redaction", "doc_fingerprints", "minhash_near_dups",
@@ -58,7 +59,8 @@ def test_oracles_reference_registered_queries():
     sorted(
         EXPECTED_QUERIES
         # heavyweight entries covered by their own e2e tests / bench
-        - {"er_link_mentions", "cc_clusters", "simhash_near_dups"}
+        - {"er_link_mentions", "cc_clusters", "simhash_near_dups",
+           "er_incremental_link"}
     ),
 )
 def test_query_runs_nonempty(spark, name):

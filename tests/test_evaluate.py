@@ -1,0 +1,116 @@
+"""Linkage evaluation + survivorship operators: hand-computed ground
+truth for pairwise / B³ metrics and golden-record election."""
+import pytest
+
+from postal_address_spark.operators.evaluate import b_cubed, pairwise_metrics
+from postal_address_spark.operators.survivorship import golden_records
+
+
+def _assignments(spark):
+    # truth: {a,b,c} -> X, {d,e} -> Y
+    # pred : {a,b} -> c1, {c,d} -> c2, {e} -> c3
+    rows = [
+        ("a", "c1", "X"),
+        ("b", "c1", "X"),
+        ("c", "c2", "X"),
+        ("d", "c2", "Y"),
+        ("e", "c3", "Y"),
+    ]
+    return spark.createDataFrame(rows, "rec_id string, cluster_id string, truth_id string")
+
+
+def test_pairwise_hand_case(spark):
+    row = pairwise_metrics(_assignments(spark)).collect()[0]
+    assert row.n_records == 5
+    assert row.n_pred_clusters == 3
+    assert row.n_truth_entities == 2
+    # truth pairs: C(3,2)+C(2,2)=4; pred pairs: 1+1+0=2; tp: only (a,b).
+    assert row.truth_pairs == 4
+    assert row.pred_pairs == 2
+    assert row.tp_pairs == 1
+    assert row.precision == 0.5
+    assert row.recall == 0.25
+    assert row.f1 == 2 * 1 / (2 + 4)
+    assert row.n_null_labels == 0
+
+
+def test_pairwise_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("a", "p", "t"), ("b", "p", "t"), ("c", "q", "u")],
+        "rec_id string, cluster_id string, truth_id string",
+    )
+    row = pairwise_metrics(perfect).collect()[0]
+    assert (row.precision, row.recall, row.f1) == (1.0, 1.0, 1.0)
+
+    # all singletons on both sides: zero pairs anywhere -> NULL ratios,
+    # never a divide-by-zero difference between engines.
+    singles = spark.createDataFrame(
+        [("a", "p1", "t1"), ("b", "p2", "t2")],
+        "rec_id string, cluster_id string, truth_id string",
+    )
+    row = pairwise_metrics(singles).collect()[0]
+    assert row.tp_pairs == 0 and row.pred_pairs == 0 and row.truth_pairs == 0
+    assert row.precision is None and row.recall is None and row.f1 is None
+
+
+def test_pairwise_null_labels_counted_not_conflated(spark):
+    df = spark.createDataFrame(
+        [("a", "p", "t"), ("b", "p", "t"), ("c", None, "t"), ("d", "p", None)],
+        "rec_id string, cluster_id string, truth_id string",
+    )
+    row = pairwise_metrics(df).collect()[0]
+    assert row.n_null_labels == 2
+    assert row.n_records == 2  # nulls excluded from the metric base
+    assert row.tp_pairs == 1 and row.precision == 1.0 and row.recall == 1.0
+
+
+def test_b_cubed_hand_case(spark):
+    row = b_cubed(_assignments(spark)).collect()[0]
+    assert row.n_records == 5
+    assert row.b3_precision == pytest.approx(0.8, abs=1e-12)
+    assert row.b3_recall == pytest.approx(8 / 15, abs=1e-12)
+    f1 = 2 * 0.8 * (8 / 15) / (0.8 + 8 / 15)
+    assert row.b3_f1 == pytest.approx(f1, abs=1e-12)
+
+
+def _records(spark):
+    rows = [
+        # cluster A: modal line1 = "x" (2 votes), city tie "a"/"b" -> "a",
+        # postal all NULL -> NULL
+        ("r1", "A", "x", "b", None),
+        ("r2", "A", "x", "a", None),
+        ("r3", "A", "y", None, None),
+        # cluster B: singleton
+        ("r4", "B", "z", "c", "75008"),
+    ]
+    return spark.createDataFrame(
+        rows, "rec_id string, cluster_id string, line1 string, city string, postal string"
+    )
+
+
+def test_golden_records_election(spark):
+    out = {
+        r.cluster_id: r
+        for r in golden_records(
+            _records(spark), fields=["line1", "city", "postal"]
+        ).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert a.n_records == 3 and a.rep_rec_id == "r1"
+    assert a.line1 == "x"  # modal wins over tie-break
+    assert a.city == "a"  # tie at 1 vote each -> code-point smallest
+    assert a.postal is None  # all-null field: no winner, not a NULL vote
+    assert b.n_records == 1 and b.rep_rec_id == "r4"
+    assert (b.line1, b.city, b.postal) == ("z", "c", "75008")
+
+
+def test_golden_records_deterministic_across_shuffles(spark):
+    df = _records(spark)
+    one = golden_records(df.repartition(7), ["line1", "city"]).sort("cluster_id").collect()
+    two = golden_records(df.repartition(2), ["line1", "city"]).sort("cluster_id").collect()
+    assert one == two
+
+
+def test_golden_records_requires_fields(spark):
+    with pytest.raises(ValueError):
+        golden_records(_records(spark), fields=[])
