@@ -116,6 +116,32 @@ def _pick_sql(variants, key_expr, offset=0):
     return f"(ARRAY[{lits}])[(({key_expr} + {offset}) % {len(variants)}) + 1]"
 
 
+def _sql_soundex(e: str) -> str:
+    """US-census soundex as a portable SQL expression over a pure
+    [A-Za-z]+ token — the DuckDB mirror of Spark's ``F.soundex``.
+
+    Letter->code map: vowels+Y -> '0' (run breakers), H/W -> '9'
+    (transparent joiners, stripped BEFORE collapsing so the codes they
+    separate merge — the census H/W rule), consonant classes 1-6.
+    The head code is the first letter's own (it collapses with a same-code
+    successor, e.g. Pfister -> P236) and is dropped after collapsing —
+    except when the first letter is H/W, whose '9' was already stripped.
+    """
+    up = f"upper({e})"
+    digits = (
+        f"translate({up}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" '01230129022455012623019202')"
+    )
+    collapsed = f"replace({digits}, '9', '')"
+    for d in "0123456":  # RE2 lacks backrefs: one run-collapse per digit
+        collapsed = f"regexp_replace({collapsed}, '{d}{d}+', '{d}', 'g')"
+    body = (
+        f"(CASE WHEN substr({digits}, 1, 1) = '9' THEN {collapsed} "
+        f"ELSE substr({collapsed}, 2) END)"
+    )
+    return f"(substr({up}, 1, 1) || substr(replace({body}, '0', '') || '000', 1, 3))"
+
+
 def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a table and spread it across the cluster.  The local testdata
     parquet files hold ONE row-group, so the scan yields one task no
@@ -341,6 +367,26 @@ def _q_blocking_stats(spark, sf_dir):
     )
 
 
+def _q_phonetic_blocking_stats(spark, sf_dir):
+    """Second-pass PHONETIC blocking (country|soundex(city token)) — the
+    multi-pass-blocking move that re-admits mentions whose postal field is
+    the damaged one.  Oracle-mirrored end-to-end: DuckDB has no soundex,
+    so the oracle re-implements US-census soundex from scratch
+    (`_sql_soundex`), equivalence-tested against Spark's builtin over the
+    full probe corpus + fuzz in tests/test_phonetic.py."""
+    from postal_address_spark.operators.blocking import with_phonetic_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    m = _mentions_df(spark, sf_dir)
+    keyed = with_phonetic_block_key(normalize_mentions(m))
+    return (
+        keyed.where(F.col("phonetic_key").isNotNull())
+        .groupBy("phonetic_key")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .orderBy("phonetic_key")
+    )
+
+
 def _q_candidate_pairs(spark, sf_dir):
     from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.normalize_op import normalize_mentions
@@ -375,6 +421,22 @@ def _q_cc_clusters(spark, sf_dir):
         .select(node.alias("src"), prev.alias("dst"))
     )
     return assign_clusters(vertices, edges).orderBy("rec_id")
+
+
+def _q_rare_token_pairs(spark, sf_dir):
+    """Rarity-weighted token-pair similarity (operators/token_join.py):
+    frequency-filtered inverted-index join — the df cap is the skew
+    defense (a stop token joins nothing; every kept token fans out to at
+    most C(max_df, 2) pairs).  Integer idf weights (N div df) keep the
+    score sum exact and order-free, so the oracle hash-matches; the df
+    cap defaults to the 5%-of-corpus share (exact integer ceil), mirrored
+    in the oracle."""
+    from postal_address_spark.operators.token_join import rare_token_pairs
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return rare_token_pairs(docs, min_score=0).orderBy(
+        F.desc("score"), "doc_a", "doc_b"
+    )
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -1221,9 +1283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_events": _q_streaming_dedup,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
+        "phonetic_blocking_stats": _q_phonetic_blocking_stats,
         "candidate_pair_counts": _q_candidate_pairs,
         "cc_clusters": _q_cc_clusters,
         "exact_dedup_documents": _q_exact_dedup,
+        "rare_token_pairs": _q_rare_token_pairs,
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
@@ -1798,6 +1862,32 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # -- phonetic_blocking_stats: US-census soundex re-implemented from
+    # scratch in SQL (DuckDB ships none).  Callers feed a pure [A-Za-z]+
+    # token, so only the letter pipeline needs mirroring:
+    # translate letters to code digits (vowels '0' break runs, H/W get a
+    # '9' marker), strip the markers so codes they separated become
+    # adjacent, collapse duplicate runs (RE2 has no backreferences ->
+    # one replace per code digit), drop the head code unless the first
+    # letter was H/W (whose marker is already gone), strip the vowel
+    # zeros, pad to 3.  Equivalence vs Spark's builtin is fuzz-tested in
+    # tests/test_phonetic.py.
+    sql["phonetic_blocking_stats"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    tok AS (
+      SELECT top_country,
+             regexp_extract(city_name, '[A-Za-z]+', 0) AS token
+      FROM norm
+    ),
+    keyed AS (
+      SELECT top_country || '|' || {_sql_soundex('token')} AS phonetic_key
+      FROM tok
+      WHERE top_country IS NOT NULL AND token IS NOT NULL AND token <> ''
+    )
+    SELECT phonetic_key, COUNT(*) AS block_size
+    FROM keyed GROUP BY phonetic_key ORDER BY phonetic_key
+    """
+
     sql["candidate_pair_counts"] = (
         _oracle_blocking_base()
         + """
@@ -1817,6 +1907,35 @@ def oracle_sql() -> dict[str, str]:
                                   (SELECT MIN(c_custkey) FROM customer))
                END AS VARCHAR), 6, '0') AS cluster_id
     FROM customer ORDER BY rec_id
+    """
+
+    # -- rare_token_pairs: mirrored inverted-index join.  Tokenization is
+    # the identical regex split on both engines; the weight N div df and
+    # the score SUM are pure BIGINT arithmetic (order-free), which is what
+    # makes the hash comparison possible (cf. operators/evaluate.py).
+    sql["rare_token_pairs"] = """
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, u.tok AS token
+      FROM documents,
+           LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfc AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    rare AS (
+      SELECT token, CAST(n_docs // df AS BIGINT) AS w
+      FROM dfc, n WHERE df <= (n_docs + 19) // 20
+    ),
+    idx AS (
+      SELECT t.doc_id, t.token, r.w FROM toks t JOIN rare r USING (token)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w
+      FROM idx a JOIN idx b ON a.token = b.token AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared, CAST(SUM(w) AS BIGINT) AS score
+    FROM pairs GROUP BY doc_a, doc_b
+    ORDER BY score DESC, doc_a, doc_b
     """
 
     sql["exact_dedup_documents"] = """

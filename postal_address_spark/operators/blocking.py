@@ -68,3 +68,40 @@ def with_block_key(
             F.col("top_country"), F.col("postal_code"), postal_prefix_len
         ),
     )
+
+
+def phonetic_block_key_col(top_country: Column, city_name: Column) -> Column:
+    """Auxiliary PHONETIC blocking key: ``top_country|soundex(city token)``.
+
+    The primary key (above) deliberately excludes city text because typos
+    would move mentions across blocks; a soundex key re-admits mentions
+    whose POSTAL is the damaged field (the one miss class the primary key
+    has) while still absorbing the common city misspellings — soundex maps
+    same-sounding variants to one bucket (classic US-census phonetic
+    blocking, the standard second pass in multi-pass blocking schemes).
+
+    The token soundexed is the FIRST ASCII-alphabetic run of the city:
+    Spark's ``soundex`` returns non-letter-initial input verbatim (e.g.
+    accented or numeric-led strings), which would leak raw city text into
+    keys; restricting to a clean [A-Za-z]+ token keeps the key total and
+    makes the semantics exactly mirrorable in SQL (the DuckDB oracle
+    re-implements census soundex from scratch — see __spark_entry__'s
+    `_sql_soundex`).  Mentions lacking a country or an ASCII city token
+    get a NULL key (multi-pass blocking UNIONS passes; a pass abstains
+    rather than inventing a junk bucket).
+
+    Pure JVM expression work (regexp_extract + soundex) inside
+    whole-stage codegen — no Python, no shuffle.
+    """
+    token = F.regexp_extract(city_name, "[A-Za-z]+", 0)
+    return F.when(
+        top_country.isNotNull() & (token != F.lit("")),
+        F.concat_ws("|", top_country, F.soundex(token)),
+    )
+
+
+def with_phonetic_block_key(normalized: DataFrame) -> DataFrame:
+    return normalized.withColumn(
+        "phonetic_key",
+        phonetic_block_key_col(F.col("top_country"), F.col("city_name")),
+    )

@@ -77,23 +77,27 @@ def pairwise_metrics(
     """
     p, t = F.col(pred_col), F.col(truth_col)
     labeled = assignments.select(p.alias("p"), t.alias("t"))
-    nulls = labeled.agg(
-        F.sum((F.col("p").isNull() | F.col("t").isNull()).cast("long")).alias(
-            "n_null_labels"
-        )
-    )
-    clean = labeled.where(F.col("p").isNotNull() & F.col("t").isNotNull())
 
-    # One scan of the input -> contingency cells; everything else derives
-    # from this (small) frame.
-    cells = clean.groupBy("p", "t").agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan of the input: groupBy keeps NULL keys as their own groups,
+    # so null-label rows ride the same aggregation and everything below
+    # (marginals, tallies, null count) derives from the tiny cells frame.
+    cells_all = labeled.groupBy("p", "t").agg(F.count(F.lit(1)).alias("n"))
+    is_null = F.col("p").isNull() | F.col("t").isNull()
+    nulls = cells_all.agg(
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("n"))), F.lit(0).cast("long")
+        ).alias("n_null_labels")
+    )
+    cells = cells_all.where(~is_null)
     pred_sizes = cells.groupBy("p").agg(F.sum("n").alias("n"))
     truth_sizes = cells.groupBy("t").agg(F.sum("n").alias("n"))
 
     tp = _pair_sum(cells, "n", "tp_pairs")
     pred = _pair_sum(pred_sizes, "n", "pred_pairs")
     truth = _pair_sum(truth_sizes, "n", "truth_pairs")
-    counts = clean.agg(F.count(F.lit(1)).alias("n_records"))
+    counts = cells.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_records")
+    )
     npred = pred_sizes.agg(F.count(F.lit(1)).alias("n_pred_clusters"))
     ntruth = truth_sizes.agg(F.count(F.lit(1)).alias("n_truth_entities"))
 
