@@ -174,3 +174,47 @@ def test_udtf_single_eval_node(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = physical(chunk_documents(spark, docs))
     assert plan.count("PythonUDTF") == 1, plan[:2000]
+
+
+def test_rare_token_index_carries_no_text(spark):
+    """The inverted-index self-join must carry (token, doc_id, w) ONLY —
+    text payloads riding the token shuffle would multiply shuffle bytes
+    by average document length (rule 7's LSH discipline applied here)."""
+    from postal_address_spark.operators.token_join import rare_token_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(rare_token_pairs(docs, max_df=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the raw text column must be pruned before any exchange
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_phonetic_key_stays_in_codegen(spark):
+    """soundex + regexp_extract are JVM expressions: the phonetic key must
+    add zero Python eval nodes and keep the scan's column pruning."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking import with_phonetic_block_key
+
+    df = spark.createDataFrame(
+        [("US", "Paris")], "top_country string, city_name string"
+    )
+    plan = physical(with_phonetic_block_key(df).select("phonetic_key"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_golden_records_no_window_sort(spark):
+    """The per-(cluster, field) argmax must plan as aggregation
+    (min(struct)) — a Window would add a full sort inside every
+    partition for the same answer."""
+    from postal_address_spark.operators.survivorship import golden_records
+
+    df = spark.createDataFrame(
+        [("r1", "c1", "x", "y")],
+        "rec_id string, cluster_id string, f1 string, f2 string",
+    )
+    plan = physical(golden_records(df, ["f1", "f2"]))
+    assert "Window" not in plan, plan[:2000]
