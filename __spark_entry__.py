@@ -1072,6 +1072,18 @@ def _q_streaming_dedup(spark, sf_dir):
     return streaming_dedup_event_keys(spark, f"{sf_dir}/events.parquet")
 
 
+def _q_streaming_join(spark, sf_dir):
+    """Watermarked stream-stream interval join executed by the streaming
+    runtime (streaming/ingest.py:streaming_interval_join): view events
+    attributed to same-user purchases within 2 hours, drained with
+    availableNow — the raw pair set equals the batch self-join, so the
+    DuckDB oracle grades the streaming execution (single-micro-batch
+    determinism note at the operator)."""
+    from postal_address_spark.streaming.ingest import streaming_interval_join
+
+    return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -1281,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events_daily": _q_streaming_daily,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_dedup_events": _q_streaming_dedup,
+        "streaming_interval_join": _q_streaming_join,
         "json_props_agg": _q_json_props,
         "blocking_stats": _q_blocking_stats,
         "phonetic_blocking_stats": _q_phonetic_blocking_stats,
@@ -1832,6 +1845,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
     FROM events
     ORDER BY user_id, event_type, day
+    """
+
+    # -- streaming_interval_join: the stream-stream join's pair set must
+    # equal the batch self-join under the same time-range predicate.
+    sql["streaming_interval_join"] = """
+    SELECT a.user_id AS user_id,
+           a.event_id AS l_event_id,
+           b.event_id AS r_event_id,
+           a.ts AS l_ts,
+           b.ts AS r_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    ORDER BY user_id, l_event_id, r_event_id
     """
 
     sql["events_range_join"] = """

@@ -9,7 +9,8 @@ Package the engine and submit::
         --output <clusters-out>  # parquet path or Iceberg table ref \
         --checkpoint <dir>       # content-addressed stage checkpoints \
         [--strict] [--threshold 0.82] [--hot-threshold 20000] \
-        [--n-salt 16] [--max-block-size N] [--postal-prefix-len N]
+        [--n-salt 16] [--max-block-size N] [--postal-prefix-len N] \
+        [--golden-output <goldens-out>]  # per-cluster survivorship records
 
 No ``master`` is set here — the cluster manager provides it; running
 locally (tests, smoke) inherits whatever session config the caller set.
@@ -37,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-salt", type=int, default=16)
     p.add_argument("--max-block-size", type=int, default=None)
     p.add_argument("--postal-prefix-len", type=int, default=None)
+    p.add_argument(
+        "--golden-output",
+        default=None,
+        help="optional destination for per-cluster golden records "
+        "(survivorship: modal non-null value per field, min-rec_id "
+        "representative — operators/survivorship.py)",
+    )
     return p
 
 
@@ -77,6 +85,18 @@ def main(argv=None, spark=None) -> dict:
     result = run_linkage(spark, transcripts, config)
     write_table(result["clusters"], args.output)
 
+    n_golden = None
+    if args.golden_output:
+        from postal_address_spark.operators.survivorship import golden_records
+
+        fields = ["line1", "line2", "postal_code", "city_name", "top_country"]
+        records = result["clusters"].join(
+            result["blocked"].select("rec_id", *fields), "rec_id"
+        )
+        goldens = golden_records(records, fields=fields)
+        write_table(goldens, args.golden_output)
+        n_golden = read_table(spark, args.golden_output).count()
+
     from pyspark.sql import functions as F
 
     # Summarize from the just-written output: a plain parquet scan, never a
@@ -100,6 +120,9 @@ def main(argv=None, spark=None) -> dict:
         "stages": result["lineage"],
         "metrics": metrics,
     }
+    if n_golden is not None:
+        summary["golden_output"] = args.golden_output
+        summary["n_golden"] = int(n_golden)
     print(json.dumps(summary))
     return summary
 

@@ -124,6 +124,37 @@ def main() -> None:
             "xn_tables shuffle.",
             em.queries()["lsh_ann_topk"](spark, SF),
         ),
+        (
+            "rare_token_pairs — frequency-filtered inverted-index join",
+            "Look for: the token self-join keyed on `token` with NO text "
+            "column in any Exchange (ids + integer weight only), the df "
+            "cap applied BEFORE the join (the filter on the aggregated "
+            "counts), and no CartesianProduct/BroadcastNestedLoopJoin.",
+            em.queries()["rare_token_pairs"](spark, SF),
+        ),
+        (
+            "er_golden_records — aggregation argmax, no window sort",
+            "Look for: the per-(cluster, field) winner computed by "
+            "HashAggregate over min(struct(-cnt, value)) — no Window node "
+            "(a window would sort every partition for the same answer); "
+            "the unpivot melt is a Generate/Expand, not a join per field.",
+            em.queries()["er_golden_records"](spark, SF),
+        ),
+        (
+            "er_eval_metrics — cell-based pair tallies",
+            "Look for: ONE scan of the labeled input feeding the "
+            "(pred, truth) cell aggregate; marginals re-aggregate the tiny "
+            "cells frame; the final row is a chain of driver-trivial "
+            "one-row joins.  No pair materialization anywhere.",
+            em.queries()["er_eval_metrics"](spark, SF),
+        ),
+        (
+            "phonetic_blocking_stats — pure-codegen soundex key",
+            "Look for: zero ArrowEvalPython/BatchEvalPython nodes — "
+            "soundex + regexp_extract are JVM expressions inside "
+            "WholeStageCodegen.",
+            em.queries()["phonetic_blocking_stats"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:

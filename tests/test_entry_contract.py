@@ -18,7 +18,8 @@ EXPECTED_QUERIES = {
     "grouping_sets_customers", "events_running",
     "customers_without_orders", "customers_with_orders", "event_setops",
     "events_asof_join", "events_range_join", "streaming_events_daily",
-    "streaming_sessions", "streaming_dedup_events", "json_props_agg",
+    "streaming_sessions", "streaming_dedup_events", "streaming_interval_join",
+    "json_props_agg",
     # reference scalar semantics (SURVEY §2.A)
     "postal_canon", "ws_normalize", "territory_normalize",
     "er_normalize_mentions", "render_addresses", "validate_mentions",

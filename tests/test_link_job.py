@@ -96,3 +96,31 @@ def test_link_job_stale_resume_invalidated(spark, tmp_path):
     )
     assert s3["input_fingerprint"] == s2["input_fingerprint"]
     assert all(s["resumed"] for s in s3["stages"])
+
+
+def test_link_job_golden_output(spark, tmp_path):
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    out = str(tmp_path / "clusters")
+    gold = str(tmp_path / "goldens")
+    synth_transcripts_spark(spark, seed=11, n_convs=60, n_entities=25).write.parquet(inp)
+
+    summary = link.main(
+        ["--input", inp, "--output", out, "--golden-output", gold], spark=spark
+    )
+    assert summary["n_golden"] == summary["n_clusters"]
+    goldens = spark.read.parquet(gold)
+    assert set(goldens.columns) == {
+        "cluster_id", "n_records", "rep_rec_id",
+        "line1", "line2", "postal_code", "city_name", "top_country",
+    }
+    rows = goldens.collect()
+    # every golden row elects a line1 + country (always-present fields) and
+    # its representative is a member of its own cluster label space
+    assert all(r.line1 is not None and r.top_country is not None for r in rows)
+    assert sum(r.n_records for r in rows) == summary["n_mentions"]
