@@ -541,6 +541,73 @@ def _q_pii_redaction(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition stats: duplicate-token and
+    duplicate-bigram fractions from materialized token/bigram arrays —
+    pure codegen, single map pass (operators/corpus.py)."""
+    from postal_address_spark.operators.corpus import repetition_stats
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    stats = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in stats.items()],
+    ).orderBy("doc_id")
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Composite keep/drop quality gate with per-rule reasons; every rule
+    is an integer-exact comparison (cross-multiplied thresholds), so the
+    oracle replays the decision bit-for-bit."""
+    from postal_address_spark.operators.corpus import quality_filter
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_filter(docs).select(
+        "doc_id", "keep", "reasons"
+    ).orderBy("doc_id")
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment as a pure function of
+    doc_id, summarized per (split, lang).  Uses the portable 'lcg' map so
+    DuckDB replays the assignment exactly; the production default is
+    xxhash64 (operators/corpus.py:split_assign, pytest-pinned)."""
+    from postal_address_spark.operators.corpus import with_dataset_split
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return (
+        with_dataset_split(docs, method="lcg")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by total occurrences with
+    document frequency — explode + one token-keyed aggregation shuffle,
+    top-k via TakeOrderedAndProject (plan-asserted)."""
+    from postal_address_spark.operators.corpus import vocab_topk
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_topk(docs, k=50)
+
+
+def _q_length_dispersion(spark, sf_dir):
+    """Grouped-aggregate (UDAF) surface: per-language robust length profile
+    — count / exact median / median absolute deviation, all three as
+    Arrow-batched GROUPED_AGG pandas UDAFs in ONE grouped-agg pandas node
+    (operators/grouped_stats.py).  Median-of-ints values are ints or exact
+    .5 halves, so the DuckDB median/mad oracle hash-matches bit-for-bit."""
+    from postal_address_spark.operators.grouped_stats import length_dispersion
+
+    docs = _read_spread(spark, sf_dir, "documents").select("lang", "n_chars")
+    return length_dispersion(docs)
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     """Winnowing rolling-hash document fingerprints (xxhash64-based ->
     rows-only check by design)."""
@@ -1220,6 +1287,21 @@ def _q_er_golden_records(spark, sf_dir):
     ).orderBy("cluster_id")
 
 
+def _q_er_cluster_cohesion(spark, sf_dir):
+    """Intra-cluster cohesion audit over the integer-kernel clustering:
+    per multi-member cluster, member pairs within levenshtein 5 on the
+    normalized line1 — the over-merge signal a review queue keys on
+    (operators/evaluate.py:cluster_cohesion).  Pure integer outputs over
+    the same mirrored closure chain, so the oracle hash-grades it."""
+    from postal_address_spark.operators.evaluate import cluster_cohesion
+
+    nodes, asg = _er_closure_assignments(spark, sf_dir)
+    records = asg.select("rec_id", "cluster_id").join(
+        nodes.select("rec_id", "line1"), "rec_id"
+    )
+    return cluster_cohesion(records)
+
+
 def _q_er_incremental_link(spark, sf_dir):
     """Incremental linkage folded over two batches == the batch flagship.
 
@@ -1305,6 +1387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
         "pii_redaction": _q_pii_redaction,
+        "doc_repetition": _q_doc_repetition,
+        "quality_filter_stats": _q_quality_filter,
+        "dataset_split": _q_dataset_split,
+        "vocab_topk": _q_vocab_topk,
+        "length_dispersion": _q_length_dispersion,
         "doc_fingerprints": _q_doc_fingerprints,
         "minhash_near_dups": _q_minhash_near_dups,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
@@ -1318,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_link_closure": _q_er_link_closure,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_golden_records": _q_er_golden_records,
+        "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_incremental_link": _q_er_incremental_link,
     }
 
@@ -2083,6 +2171,96 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # -- corpus curation (operators/corpus.py): tokens/bigrams replayed
+    # with the same list semantics; every keep/drop rule is an INTEGER
+    # cross-multiplied comparison, so no float boundary exists to flip.
+    ctoks = (
+        "CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+    )
+    cbigrams = (
+        "CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') "
+        "for i in generate_series(1, len(toks) - 1)] "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    sql["doc_repetition"] = f"""
+    WITH t AS (SELECT doc_id, {ctoks} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, {cbigrams} AS bigrams FROM t)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS dup_token_frac,
+           len(bigrams) AS n_bigrams,
+           len(list_distinct(bigrams)) AS n_distinct_bigrams,
+           round(CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+                 / greatest(len(bigrams), 1), 6) AS dup_bigram_frac
+    FROM b ORDER BY doc_id
+    """
+
+    from postal_address_spark.operators.text_analysis import LANG_MARKERS
+
+    en_list = str(LANG_MARKERS["en"]).replace('"', "'")
+    sql["quality_filter_stats"] = f"""
+    WITH t AS (SELECT doc_id, {ctoks} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks,
+             len(toks) AS n,
+             coalesce(list_sum([length(x) for x in toks]), 0) AS sum_len,
+             {cbigrams} AS bg,
+             len(list_filter(toks, x -> list_contains({en_list}, x))) AS n_stop
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id,
+             -- coalesce: DuckDB's array_to_string on an empty list is NULL,
+             -- Spark's array_join is ''
+             coalesce(array_to_string(list_filter([
+               CASE WHEN n > 0 AND (sum_len * 10 < 20 * n
+                                    OR sum_len * 10 > 120 * n)
+                    THEN 'bad_mean_token_len' END,
+               CASE WHEN n_stop = 0 THEN 'no_stopwords' END,
+               CASE WHEN (len(bg) - len(list_distinct(bg))) * 100 > 20 * len(bg)
+                    THEN 'repetitive' END,
+               CASE WHEN n > 5000 THEN 'too_long' END,
+               CASE WHEN n < 5 THEN 'too_short' END
+             ], x -> x IS NOT NULL), ','), '') AS reasons
+      FROM m
+    )
+    SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id
+    """
+
+    # the portable 'lcg' split map replayed exactly (pure int arithmetic);
+    # the production xxhash64 path is pytest-pinned instead.
+    sql["dataset_split"] = """
+    SELECT CASE WHEN (doc_id * 40503 + 2024) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 40503 + 2024) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """
+
+    sql["vocab_topk"] = f"""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({ctoks}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 50
+    """
+
+    # -- length_dispersion: DuckDB's median/mad implement the same
+    # average-of-two-middles rank statistic as the pandas UDAFs; values are
+    # ints or exact .5 halves (binary-exact doubles), so hashes match.
+    sql["length_dispersion"] = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(median(n_chars) AS DOUBLE) AS med_len,
+           CAST(mad(n_chars) AS DOUBLE) AS mad_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
     # -- minhash_near_dups: all-pairs exact-Jaccard ground truth over the
     # doubled corpus.  Sound because the operator's OUTPUT is the exact-
     # verified pair set; equality additionally proves LSH candidate recall
@@ -2357,6 +2535,36 @@ def oracle_sql() -> dict[str, str]:
            (2 * tp_pairs) / nullif(pred_pairs + truth_pairs, 0) AS f1,
            n_null_labels
     FROM tallies
+    """
+
+    # -- er_cluster_cohesion: over-merge audit on the same mirrored
+    # closure.  levenshtein is an integer kernel in both engines; outputs
+    # are pure counts, so hashes match bit-for-bit.  The 2..1000 member
+    # band mirrors the operator's quadratic-bound exclusion.
+    sql["er_cluster_cohesion"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS n_members FROM asg GROUP BY cluster_id
+    ),
+    eligible AS (
+      SELECT cluster_id, n_members FROM sizes
+      WHERE n_members BETWEEN 2 AND 1000
+    ),
+    coh AS (
+      SELECT a.cluster_id AS cluster_id,
+             COUNT(*) AS n_pairs,
+             SUM(CASE WHEN levenshtein(lower(a.line1), lower(b.line1)) <= 5
+                      THEN 1 ELSE 0 END) AS n_cohesive
+      FROM asg a
+      JOIN asg b ON a.cluster_id = b.cluster_id AND a.rec_id < b.rec_id
+      JOIN eligible e ON e.cluster_id = a.cluster_id
+      GROUP BY a.cluster_id
+    )
+    SELECT e.cluster_id, e.n_members,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(c.n_cohesive, 0) AS BIGINT) AS n_cohesive
+    FROM eligible e LEFT JOIN coh c ON e.cluster_id = c.cluster_id
+    ORDER BY e.cluster_id
     """
 
     # -- er_golden_records: survivorship over the same mirrored closure.

@@ -163,3 +163,73 @@ def b_cubed(
             "b3_f1"
         ),
     )
+
+
+def cluster_cohesion(
+    assigned: DataFrame,
+    value_col: str = "line1",
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+    max_lev: int = 5,
+    min_members: int = 2,
+    max_members: int = 1000,
+) -> DataFrame:
+    """Intra-cluster cohesion audit: for each multi-member cluster, how
+    many of its member PAIRS are within ``max_lev`` edit distance on
+    ``value_col``.  Transitive closure merges A–B–C even when A and C are
+    dissimilar; a cluster whose cohesive-pair count is far below its pair
+    count is the classic over-merge signal a review queue keys on.
+
+    Scale design: pairing is quadratic IN THE CLUSTER, so the audit is
+    bounded by ``max_members`` — oversized clusters are excluded here
+    (they are themselves the pathology and surface via the block/cluster
+    histograms; production audits sample them instead).  The self-join is
+    keyed on the cluster id (one shuffle), carries only
+    (cluster, id, value), and aggregates map-side.
+
+    Outputs are pure integers (counts), so the driver hash-grades this
+    against a DuckDB oracle built on the same mirrored closure chain as
+    ``er_link_closure`` (levenshtein is an integer kernel in both
+    engines).
+    """
+    sizes = assigned.groupBy(cluster_col).agg(F.count("*").alias("n_members"))
+    eligible = sizes.where(
+        (F.col("n_members") >= min_members) & (F.col("n_members") <= max_members)
+    )
+    slim = (
+        assigned.join(eligible.select(cluster_col), cluster_col)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("_rid"),
+            F.lower(F.col(value_col)).alias("_val"),
+        )
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+        & (F.col("a._rid") < F.col("b._rid")),
+    )
+    coh = (
+        pairs.groupBy(F.col(f"a.{cluster_col}").alias(cluster_col))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # when/otherwise, not a bare cast: a NULL value must count 0
+            # (matching SQL CASE semantics), not vanish from the sum
+            F.sum(
+                F.when(
+                    F.levenshtein("a._val", "b._val") <= max_lev, F.lit(1)
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("n_cohesive"),
+        )
+    )
+    return (
+        eligible.join(coh, cluster_col, "left")
+        .select(
+            cluster_col,
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_cohesive", F.lit(0)).alias("n_cohesive"),
+        )
+        .orderBy(cluster_col)
+    )

@@ -149,6 +149,27 @@ def main() -> None:
             em.queries()["er_eval_metrics"](spark, SF),
         ),
         (
+            "quality_filter_stats — codegen keep/drop gate",
+            "Look for: zero Python eval nodes — token/bigram arrays and "
+            "every integer cross-multiplied rule inside WholeStageCodegen; "
+            "a single map pass over the scan (no Exchange before the "
+            "final presentation sort).",
+            em.queries()["quality_filter_stats"](spark, SF),
+        ),
+        (
+            "vocab_topk — one token-keyed aggregate + TakeOrdered",
+            "Look for: Generate (explode) inside the scan stage, partial "
+            "HashAggregate before the single token Exchange, and "
+            "TakeOrderedAndProject for the top-k (never a global Sort).",
+            em.queries()["vocab_topk"](spark, SF),
+        ),
+        (
+            "length_dispersion — single grouped-agg pandas node",
+            "Look for: exactly ONE ArrowAggregatePython node computing all "
+            "three GROUPED_AGG pandas UDAFs over one group-key Exchange.",
+            em.queries()["length_dispersion"](spark, SF),
+        ),
+        (
             "phonetic_blocking_stats — pure-codegen soundex key",
             "Look for: zero ArrowEvalPython/BatchEvalPython nodes — "
             "soundex + regexp_extract are JVM expressions inside "

@@ -28,11 +28,14 @@ EXPECTED_QUERIES = {
     "blocking_stats", "phonetic_blocking_stats", "candidate_pair_counts",
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
-    "er_golden_records", "er_incremental_link",
+    "er_golden_records", "er_cluster_cohesion", "er_incremental_link",
     # training-data ops
     "exact_dedup_documents", "rare_token_pairs", "ngram_jaccard_neighbors",
     "cosine_topk",
-    "text_analysis", "pii_redaction", "doc_fingerprints", "minhash_near_dups",
+    "text_analysis", "pii_redaction", "doc_repetition",
+    "quality_filter_stats", "dataset_split", "vocab_topk",
+    "length_dispersion",
+    "doc_fingerprints", "minhash_near_dups",
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks",

@@ -114,3 +114,33 @@ def test_golden_records_deterministic_across_shuffles(spark):
 def test_golden_records_requires_fields(spark):
     with pytest.raises(ValueError):
         golden_records(_records(spark), fields=[])
+
+
+def test_cluster_cohesion_ground_truth(spark):
+    from postal_address_spark.operators.evaluate import cluster_cohesion
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "c1", "1 main st"),
+            ("r2", "c1", "1 main st!"),
+            ("r3", "c1", "totally different ave 99"),
+            ("r4", "c2", "solo row"),                      # singleton: excluded
+            ("r5", "c3", None),                            # NULL value pair
+            ("r6", "c3", "x"),
+        ],
+        "rec_id string, cluster_id string, line1 string",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_cohesion(df).collect()}
+    assert set(rows) == {"c1", "c3"}
+    # c1: 3 pairs, only (r1, r2) within lev 5
+    assert rows["c1"]["n_members"] == 3
+    assert rows["c1"]["n_pairs"] == 3 and rows["c1"]["n_cohesive"] == 1
+    # NULL value counts 0 cohesive (CASE semantics), pair still counted
+    assert rows["c3"]["n_pairs"] == 1 and rows["c3"]["n_cohesive"] == 0
+
+    # quadratic bound: oversized clusters are excluded, not paired
+    capped = {
+        r["cluster_id"]
+        for r in cluster_cohesion(df, max_members=2).collect()
+    }
+    assert capped == {"c3"}
