@@ -1,0 +1,144 @@
+"""Training-data curation job — the ``spark-submit`` deploy surface for
+the corpus side of the engine, composing the document operators the same
+way ``jobs/link.py`` composes the linkage ones:
+
+    exact dedup -> MinHash near-dedup -> quality gate -> PII redaction
+    -> deterministic split -> per-split parquet
+
+Package the engine and submit::
+
+    (cd /root/repo && zip -qr engine.zip postal_address_spark)
+    spark-submit --py-files engine.zip jobs/curate.py \
+        --input  <documents>      # parquet path or Iceberg table ref \
+        --output-root <dir>       # writes <dir>/corpus + <dir>/rejected \
+        [--near-dup-threshold 0.7] [--no-near-dup] [--no-redact] \
+        [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024]
+
+No ``master`` is set — the cluster manager provides it.  The kept corpus
+is written partitioned by ``split`` so downstream training readers prune
+to their split at the parquet-listing level; rejected docs are written
+WITH their firing rule names (reasons are data — the corpus report
+aggregates them).
+
+Every stage is the already-plan-audited operator: dedup shuffles a
+128-bit content fingerprint (never the text), near-dup is banded LSH
+(never all-pairs), the quality gate and redaction are pure codegen map
+passes, and the split is a pure function of the id — so the job's cost
+is a handful of linear passes plus two key-bounded shuffles at any
+corpus size.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="postal-address-spark corpus curation job")
+    p.add_argument("--input", required=True, help="documents table (parquet path or iceberg ref)")
+    p.add_argument("--output-root", required=True, help="destination dir: writes corpus/ + rejected/")
+    p.add_argument("--near-dup-threshold", type=float, default=0.7)
+    p.add_argument("--no-near-dup", action="store_true", help="skip MinHash near-dedup")
+    p.add_argument("--no-redact", action="store_true", help="skip PII redaction")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=5000)
+    p.add_argument("--split-salt", type=int, default=2024)
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("postal-address-curation")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.cluster import connected_components
+    from postal_address_spark.operators.corpus import (
+        quality_filter,
+        with_dataset_split,
+    )
+    from postal_address_spark.operators.dedup import exact_dedup, minhash_dedup
+    from postal_address_spark.operators.text_analysis import redact_pii
+    from postal_address_spark.sources.io import read_table, write_table
+
+    docs = read_table(spark, args.input)
+    n_input = docs.count()
+
+    # 1. exact dedup: one row per distinct text (min-id representative).
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    docs = docs.join(reps, "doc_id", "left_semi")
+
+    # 2. near-dedup: verified MinHash pairs -> connected components ->
+    #    keep each component's min id.  Pairs are banded-LSH candidates
+    #    only, never all-pairs; the closure runs on the (tiny) dup graph.
+    n_near_dropped = 0
+    if not args.no_near_dup:
+        pairs = minhash_dedup(docs, threshold=args.near_dup_threshold)
+        # long ids go in as longs: the CC operator's greatest/least/min are
+        # type-generic, and numeric order keeps "min id" meaning min id
+        # (stringified ids would rank "10" < "9")
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        comp = connected_components(edges)  # (rec_id, cluster_id)
+        drop = comp.where(F.col("rec_id") != F.col("cluster_id")).select(
+            F.col("rec_id").alias("doc_id")
+        )
+        n_near_dropped = drop.count()
+        docs = docs.join(drop, "doc_id", "left_anti")
+
+    # 3. quality gate: kept rows go on; rejected rows keep their reasons.
+    gated = quality_filter(
+        docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+    )
+    rejected = gated.where(~F.col("keep")).drop("keep")
+    kept = gated.where(F.col("keep")).drop("keep", "reasons")
+
+    # 4. PII redaction (codegen regexp chain), in place on the text column.
+    if not args.no_redact:
+        kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    # 5. deterministic split, then write partitioned by it.
+    kept = with_dataset_split(kept, salt=args.split_salt)
+    corpus_path = f"{args.output_root.rstrip('/')}/corpus"
+    rejected_path = f"{args.output_root.rstrip('/')}/rejected"
+    write_table(kept, corpus_path, partition_by=["split"])
+    write_table(rejected, rejected_path)
+
+    out = spark.read.parquet(corpus_path)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    reject_reasons = {
+        r["reasons"]: r["n"]
+        for r in spark.read.parquet(rejected_path)
+        .groupBy("reasons").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    summary = {
+        "input": args.input,
+        "n_input": int(n_input),
+        "n_near_dup_dropped": int(n_near_dropped),
+        "n_kept": int(sum(split_counts.values())),
+        "n_rejected": int(sum(reject_reasons.values())),
+        "split_counts": split_counts,
+        "reject_reasons": reject_reasons,
+        "corpus": corpus_path,
+        "rejected": rejected_path,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

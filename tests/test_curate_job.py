@@ -1,0 +1,81 @@
+"""jobs/curate.py end-to-end: exact dedup, MinHash near-dedup with min-id
+survivors, quality rejection with reasons, PII redaction, split layout."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+    ),
+)
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog while the rain keeps "
+    "falling on the quiet town and a small cat watches from the window "
+    "as the morning light slowly fills the empty street with warm color"
+)
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    import curate
+
+    rows = [
+        (1, BASE),
+        (9, BASE),                                    # exact dup of 1 -> dropped
+        (2, BASE.replace("fox", "wolf")),             # near dup of 1 -> dropped
+        (3, "zz"),                                    # too short, no stopwords
+        (4, "the contact is user4@example.com for a billing question "
+            "about the invoice from the last week of the quarter"),
+        (5, "a completely different note about the harvest season and "
+            "the long road that winds between the hills and the river "
+            "toward the old stone bridge near the market square"),
+    ]
+    inp = str(tmp_path / "docs")
+    out_root = str(tmp_path / "curated")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    summary = curate.main(
+        ["--input", inp, "--output-root", out_root], spark=spark
+    )
+    assert summary["n_input"] == 6
+    # doc 9 (exact) never reaches near-dup; doc 2 drops there (min id 1 kept)
+    assert summary["n_near_dup_dropped"] == 1
+    assert summary["n_kept"] == 3 and summary["n_rejected"] == 1
+    assert summary["reject_reasons"] == {"no_stopwords,too_short": 1}
+
+    corpus = spark.read.parquet(summary["corpus"])
+    kept_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert kept_ids == {1, 4, 5}
+    # split column materialized as a partition dir
+    assert any(
+        d.startswith("split=") for d in os.listdir(summary["corpus"])
+    )
+    # PII redacted in place
+    t4 = corpus.where("doc_id = 4").collect()[0]["text"]
+    assert "<EMAIL>" in t4 and "user4@example.com" not in t4
+
+    rejected = spark.read.parquet(summary["rejected"])
+    assert rejected.collect()[0]["doc_id"] == 3
+
+
+def test_curate_job_flags(spark, tmp_path):
+    import curate
+
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("fox", "wolf")),             # near dup, kept w/ flag
+    ]
+    inp = str(tmp_path / "docs2")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    summary = curate.main(
+        [
+            "--input", inp,
+            "--output-root", str(tmp_path / "curated2"),
+            "--no-near-dup", "--no-redact",
+        ],
+        spark=spark,
+    )
+    assert summary["n_near_dup_dropped"] == 0
+    assert summary["n_kept"] == 2
