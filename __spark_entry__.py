@@ -1349,6 +1349,59 @@ def _q_er_incremental_link(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _q_er_streaming_link(spark, sf_dir):
+    """Streaming linkage ingest == the batch flagship, executed BY the
+    Structured Streaming runtime: the mention table lands as two parquet
+    arrival files (odd mention ids written first so a later micro-batch
+    carries SMALLER rec_ids through the alias-edge min-label path), an
+    availableNow stream drains them at one file per micro-batch, and the
+    foreachBatch sink folds each micro-batch into the persistent
+    incremental state (streaming/link_stream.py).  Labels are identical
+    to the batch run over the union for EVERY micro-batch carving
+    (plans/incremental.py equivalence, asserted in
+    tests/test_link_stream.py), so the SAME mirrored SQL oracle as
+    er_link_mentions hash-grades a genuine streaming execution of the
+    whole linkage engine."""
+    import os
+    import shutil
+    import tempfile
+
+    from postal_address_spark.plans.incremental import (
+        IncrementalConfig,
+        mention_clusters,
+    )
+    from postal_address_spark.streaming.link_stream import (
+        MENTION_DDL,
+        run_available,
+    )
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code", "mention_id",
+    )
+    root = tempfile.mkdtemp(prefix="er_stream_")
+    try:
+        inp = os.path.join(root, "input")
+        state = os.path.join(root, "state")
+        for parity in (1, 0):  # odd arrival file first — see docstring
+            m.where(F.col("mention_id") % 2 == parity).drop(
+                "mention_id"
+            ).coalesce(1).write.mode("append").parquet(inp)
+        run_available(
+            spark, inp, state, os.path.join(root, "ckpt"),
+            IncrementalConfig(n_pb=16), schema=MENTION_DDL,
+            transcripts=False,
+        )
+        out = mention_clusters(spark, state).orderBy("rec_id")
+        # materialize before the scratch dirs disappear from under the plan
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q_q1_pricing,
@@ -1407,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_records": _q_er_golden_records,
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_incremental_link": _q_er_incremental_link,
+        "er_streaming_link": _q_er_streaming_link,
     }
 
 
@@ -2692,6 +2746,11 @@ def oracle_sql() -> dict[str, str]:
     # batches" (plans/incremental.py), so its oracle IS the er_link
     # mirror above — a hash match grades the two-batch fold end-to-end.
     sql["er_incremental_link"] = sql["er_link_mentions"]
+    # -- er_streaming_link: same contract again, this time with the folds
+    # driven by a Structured Streaming availableNow drain (foreachBatch
+    # sink, one arrival file per micro-batch) — the mirror grades a real
+    # streaming execution of the full linkage engine.
+    sql["er_streaming_link"] = sql["er_link_mentions"]
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
     # multimodal_features: intentionally no oracle (xxhash64

@@ -1,0 +1,111 @@
+"""Streaming entity resolution: fold transcript micro-batches into the
+persistent linkage state as they land.
+
+``plans/incremental.py`` proves that folding batches B1, B2, ... into the
+state yields labels identical to the batch pipeline over B1 ∪ B2 ∪ ...,
+for EVERY split of the input.  That equivalence is exactly what makes the
+fold safe to drive from Structured Streaming, where the micro-batch
+boundaries are an accident of file arrival: whatever partitioning the
+``FileStreamSource`` picks, the final labels are the same.  This module is
+the glue — a ``foreachBatch`` sink whose body is the already-verified
+incremental fold.
+
+Exactly-once folding: Structured Streaming replays a micro-batch after a
+failure (at-least-once for ``foreachBatch`` sinks), and the fold mutates
+external state, so each epoch is guarded by a marker file
+(``<state_dir>/_epochs/v1-<epoch_id>``) written only after the fold's
+writes land — a replayed epoch is skipped, a half-folded epoch is the one
+known hole (documented below; production would wrap the fold in an
+Iceberg/Delta transaction instead of markers).  Markers are scoped to the
+stream's checkpoint: epoch ids restart at 0 for a fresh checkpoint, so
+``run_available`` fingerprints the checkpoint dir into the marker name's
+prefix via the state layout (one checkpoint per state dir — asserted).
+
+The reference has no streaming surface (SURVEY §2.B); this is the
+production ingest shape of the north rule's resumability requirement.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from ..operators.extract import extract_mentions
+from ..plans.incremental import IncrementalConfig, incremental_link_mentions
+from .ingest import TRANSCRIPT_DDL
+
+MENTION_DDL = (
+    "rec_id string, line1 string, line2 string, postal_code string, "
+    "city_name string, country_code string, subdivision_code string"
+)
+
+
+def _epoch_marker(state_dir: str, epoch_id: int) -> str:
+    return os.path.join(state_dir, "_epochs", f"v1-{epoch_id}")
+
+
+def make_fold(state_dir: str, config: Optional[IncrementalConfig] = None,
+              transcripts: bool = True):
+    """Build the ``foreachBatch`` body: one incremental fold per epoch.
+
+    ``transcripts=True`` runs mention extraction on each micro-batch first
+    (transcript-table source); ``False`` expects mention rows directly.
+    """
+    def fold(batch_df, epoch_id: int) -> None:
+        marker = _epoch_marker(state_dir, epoch_id)
+        if os.path.exists(marker):  # replayed epoch: already folded
+            return
+        if batch_df.isEmpty():
+            return
+        mentions = extract_mentions(batch_df) if transcripts else batch_df
+        incremental_link_mentions(
+            batch_df.sparkSession, mentions, state_dir, config
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return fold
+
+
+def run_available(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    config: Optional[IncrementalConfig] = None,
+    schema: str = TRANSCRIPT_DDL,
+    transcripts: bool = True,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Drain every unprocessed file under ``input_dir`` into the linkage
+    state (availableNow trigger), one fold per micro-batch, then stop.
+
+    Returns the number of micro-batches folded this run.  Designed to be
+    invoked repeatedly (cron / long-lived daemon with a processing-time
+    trigger would use ``.trigger(processingTime=...)`` instead); the
+    stream checkpoint remembers which files are done, the epoch markers
+    make replays idempotent.  One checkpoint per state dir — mixing
+    checkpoints against one state would reuse epoch ids.
+    """
+    folded = {"n": 0}
+    inner = make_fold(state_dir, config, transcripts=transcripts)
+
+    def fold(batch_df, epoch_id: int) -> None:
+        before = os.path.exists(_epoch_marker(state_dir, epoch_id))
+        inner(batch_df, epoch_id)
+        if not before and os.path.exists(_epoch_marker(state_dir, epoch_id)):
+            folded["n"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return folded["n"]

@@ -1,0 +1,120 @@
+"""Streaming linkage ingest == batch linkage, at any micro-batch split.
+
+``streaming/link_stream.py`` drives the verified incremental fold from a
+``foreachBatch`` sink; these tests assert (1) the drained stream's labels
+equal the batch pipeline over the whole input regardless of how the
+FileStreamSource carves micro-batches, (2) a re-run drains nothing new,
+and (3) a replayed epoch (at-least-once delivery) is a no-op thanks to
+the epoch markers.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postal_address_spark.plans.incremental import (
+    IncrementalConfig,
+    mention_clusters,
+)
+from postal_address_spark.plans.pipeline import LinkageConfig, run_linkage
+from postal_address_spark.streaming.link_stream import make_fold, run_available
+from postal_address_spark.synth import synth_transcripts_spark
+
+SEED = 20260818
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="stream_link_")
+    yield {
+        "input": os.path.join(root, "input"),
+        "state": os.path.join(root, "state"),
+        "ckpt": os.path.join(root, "ckpt"),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _labels(df) -> set:
+    return {(r["rec_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def test_streaming_fold_equals_batch_and_is_idempotent(spark, dirs):
+    transcripts = synth_transcripts_spark(
+        spark, seed=SEED, n_convs=500, n_entities=100, typo_prob=0.3
+    ).persist()
+    expected = _labels(run_linkage(spark, transcripts, LinkageConfig())["clusters"])
+
+    # three arrival files -> three micro-batches at maxFilesPerTrigger=1
+    split = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    for i in range(3):
+        transcripts.where(split == i).coalesce(1).write.mode("append").parquet(
+            dirs["input"]
+        )
+    transcripts.unpersist()
+
+    cfg = IncrementalConfig(n_pb=8)
+    n = run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg
+    )
+    assert n == 3  # one fold per file
+    assert _labels(mention_clusters(spark, dirs["state"])) == expected
+
+    # drained stream: a second run folds nothing, labels unchanged
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg
+    ) == 0
+    assert _labels(mention_clusters(spark, dirs["state"])) == expected
+
+
+def test_link_stream_job(spark, dirs):
+    """jobs/link_stream.py: repeated invocations drain only new files."""
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "jobs"),
+    )
+    import link_stream
+
+    transcripts = synth_transcripts_spark(
+        spark, seed=SEED, n_convs=120, n_entities=30, typo_prob=0.2
+    )
+    transcripts.coalesce(1).write.mode("append").parquet(dirs["input"])
+    argv = [
+        "--input", dirs["input"], "--state", dirs["state"],
+        "--checkpoint", dirs["ckpt"], "--n-pb", "4",
+    ]
+    first = link_stream.main(argv, spark=spark)
+    assert first["micro_batches_folded"] == 1
+    assert first["total_mentions"] > 0
+
+    # nothing new landed: second tick folds nothing, totals unchanged
+    second = link_stream.main(argv, spark=spark)
+    assert second["micro_batches_folded"] == 0
+    assert second["total_mentions"] == first["total_mentions"]
+    assert second["total_clusters"] == first["total_clusters"]
+
+
+def test_replayed_epoch_is_noop(spark, dirs):
+    rows = spark.createDataFrame(
+        [("m1", "12 rue de la paix", None, "75001", "Paris", "FR", None)],
+        "rec_id string, line1 string, line2 string, postal_code string, "
+        "city_name string, country_code string, subdivision_code string",
+    )
+    fold = make_fold(dirs["state"], IncrementalConfig(n_pb=4), transcripts=False)
+    fold(rows, 0)
+    first = _labels(mention_clusters(spark, dirs["state"]))
+    fold(rows, 0)  # at-least-once replay of the SAME epoch: marker skips it
+    assert _labels(mention_clusters(spark, dirs["state"])) == first == {
+        ("m1", "m1")
+    }
+    # a NEW epoch with new data does fold
+    rows2 = rows.withColumn("rec_id", F.lit("m2"))
+    fold(rows2, 1)
+    assert _labels(mention_clusters(spark, dirs["state"])) == {
+        ("m1", "m1"), ("m2", "m1")
+    }
