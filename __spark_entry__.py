@@ -548,10 +548,9 @@ def _q_doc_repetition(spark, sf_dir):
     from postal_address_spark.operators.corpus import repetition_stats
 
     docs = _read_spread(spark, sf_dir, "documents")
-    stats = repetition_stats(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[c.alias(name) for name, c in stats.items()],
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "dup_token_frac",
+        "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac",
     ).orderBy("doc_id")
 
 

@@ -20,7 +20,7 @@ disagree on a float rounding boundary.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,63 +37,79 @@ def _tokens(text: Column) -> Column:
     ).otherwise(F.split(F.lower(trimmed), r"\s+"))
 
 
-def repetition_stats(text: Column) -> Dict[str, Column]:
-    """Gopher-style intra-document repetition measures: duplicate-token and
-    duplicate-bigram fractions.
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram array from a token ARRAY COLUMN.
 
-    A document that repeats itself (boilerplate, keyword stuffing, decoding
-    loops) has most of its n-grams duplicated; the duplicate fraction is the
-    standard cheap detector.  Counts come from ``array_distinct`` over the
-    materialized token/bigram arrays — the arrays are built once per row
-    (no HOF re-inlining: ``F.when``-gated ``sequence`` bounds, see
-    CLAUDE.md engine rule 1).
-
-    Returns int counts plus fractions as SINGLE int/int divisions (rounded
-    for display; comparisons elsewhere use the int counts directly).
+    ``toks`` must be a projected column reference, never the raw
+    ``_tokens(...)`` expression: the lambda's ``F.slice(toks, i, 2)``
+    re-inlines whatever expression ``toks`` is into EVERY element
+    evaluation (CLAUDE.md engine rule 1 — the shape
+    ``with_shingle_hashes`` measured at 40x), turning a linear pass
+    quadratic in tokens per document.  Callers project ``_toks`` first;
+    ``tests/test_plans.py::test_corpus_plans`` counts one ``split(`` in
+    the optimized plans to keep it that way.
     """
-    toks = _tokens(text)
     n = F.size(toks)
-    d = F.size(F.array_distinct(toks))
-    bigrams = F.when(
+    return F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bigrams)
-    db = F.size(F.array_distinct(bigrams))
-    return {
-        "n_tokens": n,
-        "n_distinct_tokens": d,
-        "dup_token_frac": F.round((n - d) / F.greatest(n, F.lit(1)), 6),
-        "n_bigrams": nb,
-        "n_distinct_bigrams": db,
-        "dup_bigram_frac": F.round((nb - db) / F.greatest(nb, F.lit(1)), 6),
-    }
 
 
-# (rule_name, builder) — builder(text) -> boolean Column.  Names sorted so
-# the reasons string is deterministic.  Thresholds are integer-exact:
-# each rule is a pure int comparison over token/char counts.
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition measures: duplicate-token and
+    duplicate-bigram fractions, appended as columns.
+
+    A document that repeats itself (boilerplate, keyword stuffing, decoding
+    loops) has most of its n-grams duplicated; the duplicate fraction is the
+    standard cheap detector.  The token and bigram arrays are materialized
+    as real intermediate columns so each is built ONCE per row (see
+    :func:`_bigrams`); counts are ``size``/``array_distinct`` over those
+    columns.
+
+    Emits int counts plus fractions as SINGLE int/int divisions (rounded
+    for display; comparisons elsewhere use the int counts directly).
+    """
+    step = df.withColumn("_toks", _tokens(F.col(text_col))).withColumn(
+        "_bg", _bigrams(F.col("_toks"))
+    )
+    n, nb = F.size(F.col("_toks")), F.size(F.col("_bg"))
+    d = F.size(F.array_distinct(F.col("_toks")))
+    db = F.size(F.array_distinct(F.col("_bg")))
+    return (
+        step.withColumn("n_tokens", n)
+        .withColumn("n_distinct_tokens", d)
+        .withColumn(
+            "dup_token_frac", F.round((n - d) / F.greatest(n, F.lit(1)), 6)
+        )
+        .withColumn("n_bigrams", nb)
+        .withColumn("n_distinct_bigrams", db)
+        .withColumn(
+            "dup_bigram_frac", F.round((nb - db) / F.greatest(nb, F.lit(1)), 6)
+        )
+        .drop("_toks", "_bg")
+    )
+
+
+# (rule_name, builder) — builder(toks, bigrams) -> boolean Column over
+# PROJECTED token/bigram array columns (see _bigrams on why).  Names
+# sorted so the reasons string is deterministic.  Thresholds are
+# integer-exact: each rule is a pure int comparison over token/char
+# counts.
 def _quality_rules(
-    text: Column,
+    toks: Column,
+    bigrams: Column,
     min_tokens: int,
     max_tokens: int,
     min_mean_len_x10: int,
     max_mean_len_x10: int,
     dup_bigram_pct: int,
 ) -> List[Tuple[str, Column]]:
-    toks = _tokens(text)
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     nb = F.size(bigrams)
     db = F.size(F.array_distinct(bigrams))
     markers = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
@@ -133,19 +149,24 @@ def quality_filter(
     corpus report GROUPs BY them, so they must be deterministic columns.
 
     One codegen'd map pass, no shuffle; at 100 TB this runs at scan speed
-    and the dropped fraction never leaves the executor.
+    and the dropped fraction never leaves the executor.  The token/bigram
+    arrays are projected once per row (see :func:`_bigrams`).
     """
-    t = F.col(text_col)
+    step = df.withColumn("_toks", _tokens(F.col(text_col))).withColumn(
+        "_bg", _bigrams(F.col("_toks"))
+    )
     rules = _quality_rules(
-        t, min_tokens, max_tokens, min_mean_len_x10, max_mean_len_x10,
-        dup_bigram_pct,
+        F.col("_toks"), F.col("_bg"), min_tokens, max_tokens,
+        min_mean_len_x10, max_mean_len_x10, dup_bigram_pct,
     )
     flags = F.array(
         *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
     )
     reasons = F.array_join(F.filter(flags, lambda x: x.isNotNull()), ",")
-    return df.withColumn("reasons", reasons).withColumn(
-        "keep", F.col("reasons") == ""
+    return (
+        step.withColumn("reasons", reasons)
+        .withColumn("keep", F.col("reasons") == "")
+        .drop("_toks", "_bg")
     )
 
 

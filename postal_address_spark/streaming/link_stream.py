@@ -16,10 +16,10 @@ external state, so each epoch is guarded by a marker file
 (``<state_dir>/_epochs/v1-<epoch_id>``) written only after the fold's
 writes land — a replayed epoch is skipped, a half-folded epoch is the one
 known hole (documented below; production would wrap the fold in an
-Iceberg/Delta transaction instead of markers).  Markers are scoped to the
-stream's checkpoint: epoch ids restart at 0 for a fresh checkpoint, so
-``run_available`` fingerprints the checkpoint dir into the marker name's
-prefix via the state layout (one checkpoint per state dir — asserted).
+Iceberg/Delta transaction instead of markers).  Epoch ids are only unique
+WITHIN one stream checkpoint (a fresh checkpoint restarts them at 0, and
+a marker would then silently skip real folds), so ``run_available`` binds
+the state dir to its first checkpoint path and refuses any other.
 
 The reference has no streaming surface (SURVEY §2.B); this is the
 production ingest shape of the north rule's resumability requirement.
@@ -86,9 +86,28 @@ def run_available(
     invoked repeatedly (cron / long-lived daemon with a processing-time
     trigger would use ``.trigger(processingTime=...)`` instead); the
     stream checkpoint remembers which files are done, the epoch markers
-    make replays idempotent.  One checkpoint per state dir — mixing
-    checkpoints against one state would reuse epoch ids.
+    make replays idempotent.  Exactly one checkpoint per state dir: a
+    different checkpoint restarts epoch ids at 0 and the existing markers
+    would silently skip its folds, so the binding is checked and a
+    mismatch raises ``ValueError``.
     """
+    bind = os.path.join(state_dir, "_epochs", "_checkpoint")
+    ckpt_abs = os.path.abspath(checkpoint_dir)
+    if os.path.exists(bind):
+        with open(bind, encoding="utf-8") as fh:
+            bound = fh.read().strip()
+        if bound != ckpt_abs:
+            raise ValueError(
+                f"state dir {state_dir!r} is bound to stream checkpoint "
+                f"{bound!r}; refusing {ckpt_abs!r} — epoch ids from a new "
+                "checkpoint restart at 0 and would collide with existing "
+                "fold markers"
+            )
+    else:
+        os.makedirs(os.path.dirname(bind), exist_ok=True)
+        with open(bind, "w", encoding="utf-8") as fh:
+            fh.write(ckpt_abs)
+
     folded = {"n": 0}
     inner = make_fold(state_dir, config, transcripts=transcripts)
 

@@ -17,8 +17,6 @@ def _docs(spark, rows):
 
 
 def test_repetition_stats_ground_truth(spark):
-    from pyspark.sql import functions as F
-
     from postal_address_spark.operators.corpus import repetition_stats
 
     df = _docs(
@@ -31,10 +29,9 @@ def test_repetition_stats_ground_truth(spark):
             (5, "one"),
         ],
     )
-    stats = repetition_stats(F.col("text"))
     out = {
         r["doc_id"]: r.asDict()
-        for r in df.select("doc_id", *[c.alias(k) for k, c in stats.items()]).collect()
+        for r in repetition_stats(df).drop("text").collect()
     }
     assert out[1]["n_tokens"] == 4 and out[1]["n_distinct_tokens"] == 1
     assert out[1]["dup_token_frac"] == 0.75
@@ -152,13 +149,20 @@ def test_length_dispersion_single_pandas_aggregate(spark):
 
 def test_corpus_plans(spark):
     """Repetition/quality are pure codegen (no Python eval nodes, no
-    shuffle); vocab top-k is a TakeOrdered, never a global sort."""
+    shuffle) with the token split appearing exactly ONCE in the optimized
+    plan — a second occurrence means the token/bigram arrays were
+    re-inlined into a HOF lambda (corpus.py _bigrams rationale, the 40x
+    shape); vocab top-k is a TakeOrdered, never a global sort."""
     import __spark_entry__ as em
 
     qs = em.queries()
     for name in ("doc_repetition", "quality_filter_stats", "dataset_split"):
-        plan = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        q = qs[name](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        opt = q._jdf.queryExecution().optimizedPlan().toString()
+        expect = 0 if name == "dataset_split" else 1
+        assert opt.count("split(") == expect, (name, opt[:2000])
     vocab_plan = (
         qs["vocab_topk"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()

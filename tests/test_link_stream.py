@@ -71,6 +71,29 @@ def test_streaming_fold_equals_batch_and_is_idempotent(spark, dirs):
     assert _labels(mention_clusters(spark, dirs["state"])) == expected
 
 
+def test_foreign_checkpoint_refused(spark, dirs):
+    """A state dir is bound to its first stream checkpoint: a different
+    checkpoint restarts epoch ids at 0, whose markers would silently skip
+    real folds — run_available must refuse it loudly."""
+    rows = spark.createDataFrame(
+        [("m1", "3 rue neuve", None, "75002", "Paris", "FR", None)],
+        "rec_id string, line1 string, line2 string, postal_code string, "
+        "city_name string, country_code string, subdivision_code string",
+    )
+    rows.coalesce(1).write.parquet(dirs["input"])
+    from postal_address_spark.streaming.link_stream import MENTION_DDL
+
+    run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"],
+        IncrementalConfig(n_pb=4), schema=MENTION_DDL, transcripts=False,
+    )
+    with pytest.raises(ValueError, match="bound to stream checkpoint"):
+        run_available(
+            spark, dirs["input"], dirs["state"], dirs["ckpt"] + "_other",
+            IncrementalConfig(n_pb=4), schema=MENTION_DDL, transcripts=False,
+        )
+
+
 def test_link_stream_job(spark, dirs):
     """jobs/link_stream.py: repeated invocations drain only new files."""
     sys.path.insert(
