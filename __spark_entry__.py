@@ -450,17 +450,17 @@ def _q_exact_dedup(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from postal_address_spark.operators.dedup import word_shingles
+    from postal_address_spark.operators.dedup import with_word_shingles
 
     docs = _read_spread(spark, sf_dir, "documents")
-    a = docs.select(
-        F.col("doc_id").alias("id_a"),
-        word_shingles(F.col("text"), 3).alias("sh_a"),
+    shingled = with_word_shingles(docs, "text", 3, "sh")
+    a = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
     )
-    b = docs.select(
+    b = shingled.select(
         (F.col("doc_id") - F.lit(1)).alias("id_a"),
         F.col("doc_id").alias("id_b"),
-        word_shingles(F.col("text"), 3).alias("sh_b"),
+        F.col("sh").alias("sh_b"),
     )
     return (
         a.join(b, "id_a")

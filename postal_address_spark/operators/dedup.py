@@ -47,7 +47,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct lower-cased word n-gram shingles, as an array column."""
+    """Distinct lower-cased word n-gram shingles, as an array column.
+
+    HAZARD: pure-Column construction — the gram lambda's
+    ``F.slice(tokens, i, n)`` re-inlines the token-split chain into every
+    element evaluation (Catalyst re-expands expressions inside HOF
+    lambdas), making this quadratic in tokens per document.  Fine for
+    oracle mirrors and tiny fixtures; ANY DataFrame-level caller must use
+    :func:`with_word_shingles` instead (engine rule 1, the 40-200x shape).
+    """
     tokens = F.split(F.lower(F.trim(text)), r"\s+")
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
@@ -58,6 +66,30 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(count > 0, F.array_distinct(grams)).otherwise(
         F.array(F.lower(F.trim(text)))
     )
+
+
+def with_word_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Adds ``out_col``: distinct lower-cased word n-gram STRING shingles.
+
+    Same output as :func:`word_shingles`, but the token array is projected
+    as a real column first so the split runs once per row instead of once
+    per gram — the :func:`with_shingle_hashes` materialization discipline
+    (plan-asserted via the split( count in tests/test_plans.py).
+    """
+    step = df.withColumn(
+        "_wt", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    count = F.greatest(F.size("_wt") - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_wt"), i, n)),
+    )
+    shingles = F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.lower(F.trim(F.col(text_col))))
+    )
+    return step.withColumn(out_col, shingles).drop("_wt")
 
 
 def with_shingle_hashes(

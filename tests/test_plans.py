@@ -70,6 +70,17 @@ def test_minhash_no_hof_reinlining(spark):
     assert plan.count("split(") == 1, plan[:2000]
 
 
+def test_ngram_jaccard_no_hof_reinlining(spark):
+    """The neighbor-jaccard query projects the shingle array per side via
+    with_word_shingles: exactly one token split per side (a, b) in the
+    optimized plan — more means the split chain re-inlined into the gram
+    lambda (quadratic per doc, the corpus.py 200x shape)."""
+    import __spark_entry__ as em
+
+    plan = optimized(em.queries()["ngram_jaccard_neighbors"](spark, SF))
+    assert plan.count("split(") == 2, plan[:2000]
+
+
 def test_fingerprint_no_hof_reinlining(spark):
     from postal_address_spark.operators.text_analysis import with_doc_fingerprint
 
