@@ -1401,6 +1401,39 @@ def _q_er_streaming_link(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_er_explain_pairs(spark, sf_dir):
+    """Per-candidate-pair comparison vector (operators/scoring.py
+    explain_pairs): exact features plus the three kernel similarities and
+    the blended score — the review-queue surface a linkage adjudicator
+    ranks borderline pairs with (Splink's comparison-viewer shape).  No
+    cascade short-circuit: every pair's TRUE sub-scores.  Floats are
+    emitted rounded to 6 decimals; the mirrored DuckDB oracle re-derives
+    every feature with its builtin jaro_winkler_similarity / levenshtein
+    (1-ulp-compatible with the numpy kernels — rounding boundaries guarded
+    by tests/test_similarity.py::test_explain_features_match_duckdb)."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import explain_pairs
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    blocked = with_block_key(normalize_mentions(m))
+    exp = explain_pairs(candidate_pairs(blocked))
+    return exp.select(
+        "rec_id_a", "rec_id_b", "s_postal", "s_housenum",
+        F.round("jw_line1", 6).alias("jw_line1"),
+        F.round("tsl_line1", 6).alias("tsl_line1"),
+        F.round("jw_city", 6).alias("jw_city"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("rec_id_a", "rec_id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q_q1_pricing,
@@ -1460,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_incremental_link": _q_er_incremental_link,
         "er_streaming_link": _q_er_streaming_link,
+        "er_explain_pairs": _q_er_explain_pairs,
     }
 
 
@@ -2696,8 +2730,9 @@ def oracle_sql() -> dict[str, str]:
         f"string_split_regex(trim(coalesce({c}, '')), '\\s+'))), ' '), 1, 64)"
     )
     trunc = lambda c: f"substr(coalesce({c}, ''), 1, 64)"  # noqa: E731
-    sql["er_link_mentions"] = f"""
-    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    # shared normalize -> block -> refined-candidate-kernel-input prefix,
+    # used by the er_link closure mirror AND the er_explain_pairs mirror
+    er_kern_prefix = f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
     blocked AS MATERIALIZED (
       SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
              line1, city_name,
@@ -2714,7 +2749,9 @@ def oracle_sql() -> dict[str, str]:
       FROM blocked a JOIN blocked b
         ON a.block_key = b.block_key AND a.hn = b.hn
            AND a.rec_id < b.rec_id
-    ),
+    )"""
+    sql["er_link_mentions"] = f"""
+    WITH RECURSIVE {er_kern_prefix},
     pairs AS MATERIALIZED (
       SELECT s, d FROM kern
       WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
@@ -2750,6 +2787,34 @@ def oracle_sql() -> dict[str, str]:
     # sink, one arrival file per micro-batch) — the mirror grades a real
     # streaming execution of the full linkage engine.
     sql["er_streaming_link"] = sql["er_link_mentions"]
+
+    # -- er_explain_pairs: the per-pair comparison vector (review-queue
+    # surface).  Same shared prefix; every similarity is emitted rounded
+    # to 6 decimals — the JW kernels agree with DuckDB's builtin to ~1 ulp
+    # and the token-set Levenshtein is bit-identical (integer lev, one
+    # division), so round-6 agreement holds everywhere except within
+    # ~1e-15 of a rounding boundary, which
+    # tests/test_similarity.py::test_explain_features_match_duckdb guards
+    # against (future testdata regens included).  s_postal/s_housenum are
+    # identically 1.0 inside refined candidate pairs (the join key implies
+    # both); they are emitted anyway because explain_pairs is the general
+    # operator and the columns are part of its contract.  The blended
+    # score multiplies/adds in the SAME association order as the engine
+    # (left-assoc), so the doubles match bit-for-bit given equal inputs.
+    sql["er_explain_pairs"] = f"""
+    WITH {er_kern_prefix}
+    SELECT s AS rec_id_a, d AS rec_id_b,
+           CAST(1.0 AS DOUBLE) AS s_postal,
+           CAST(1.0 AS DOUBLE) AS s_housenum,
+           round({jw('x1', 'y1')}, 6) AS jw_line1,
+           round({tsl('ta', 'tb')}, 6) AS tsl_line1,
+           round({jw('xc', 'yc')}, 6) AS jw_city,
+           round(0.25 * 1.0 + 0.25 * 1.0
+                 + 0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
+                 + 0.15 * {jw('xc', 'yc')}, 6) AS score
+    FROM kern
+    ORDER BY rec_id_a, rec_id_b
+    """
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
     # multimodal_features: intentionally no oracle (xxhash64

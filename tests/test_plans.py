@@ -70,6 +70,18 @@ def test_minhash_no_hof_reinlining(spark):
     assert plan.count("split(") == 1, plan[:2000]
 
 
+def test_explain_pairs_single_arrow_node(spark):
+    """explain_pairs evaluates its struct kernel UDF in exactly ONE
+    ArrowEvalPython node: the struct is referenced once per field in a
+    later projection, and without the nondeterministic marker the
+    optimizer would re-inline the UDF per field access (engine rule 3 —
+    one Arrow transfer per field instead of one total)."""
+    import __spark_entry__ as em
+
+    plan = physical(em.queries()["er_explain_pairs"](spark, SF))
+    assert plan.count("explain_kernels") == 1, plan[:2000]
+
+
 def test_ngram_jaccard_no_hof_reinlining(spark):
     """The neighbor-jaccard query projects the shingle array per side via
     with_word_shingles: exactly one token split per side (a, b) in the

@@ -173,3 +173,85 @@ def test_er_link_scores_clear_of_threshold(spark):
         )
         margin = np.abs(scores - 0.82).min()
         assert margin > 1e-6, (sf, margin)
+
+
+def test_explain_features_match_duckdb(spark):
+    """Guards the mirrored er_explain_pairs oracle: unlike the closure
+    mirror (which only needs score >= 0.82 to agree), the explain query
+    hash-compares the SIMILARITY VALUES themselves, rounded to 6
+    decimals.  The numpy JW kernels agree with DuckDB's builtin to ~1
+    ulp, and the token-set Levenshtein is bit-identical (integer lev, one
+    division) — so round-6 equality can only break if a value sits within
+    float error of a 0.5e-6 rounding boundary.  Assert direct rounded
+    agreement feature-by-feature over EVERY candidate pair at both gate
+    scales, so a future testdata regen cannot introduce a one-sided flip
+    without this test failing first."""
+    import sys
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    jw = (
+        lambda x, y: f"(CASE WHEN {x} = '' AND {y} = '' THEN 1.0 "
+        f"ELSE jaro_winkler_similarity({x}, {y}) END)"
+    )
+    tsl = (
+        lambda x, y: f"(CASE WHEN {x} = '' AND {y} = '' THEN 1.0 "
+        f"ELSE 1.0 - levenshtein({x}, {y}) / "
+        f"greatest(greatest(len({x}), len({y})), 1) END)"
+    )
+    tskey = (
+        lambda c: "substr(array_to_string(list_sort(list_distinct("
+        f"string_split_regex(trim(coalesce({c}, '')), '\\s+'))), ' '), 1, 64)"
+    )
+    trunc = lambda c: f"substr(coalesce({c}, ''), 1, 64)"  # noqa: E731
+
+    for sf in ("sf0.001", "sf0.01"):
+        m = em._mentions_df(spark, f"/root/testdata/{sf}").select(
+            F.concat(
+                F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        blocked = with_block_key(normalize_mentions(m))
+        pairs = candidate_pairs(blocked).toPandas()
+
+        l1a = pairs["line1_a"].to_numpy(dtype=object)
+        l1b = pairs["line1_b"].to_numpy(dtype=object)
+        got = {
+            "jw_line1": jaro_winkler_batch(l1a, l1b),
+            "tsl_line1": token_set_levenshtein_batch(l1a, l1b),
+            "jw_city": jaro_winkler_batch(
+                pairs["city_name_a"].to_numpy(dtype=object),
+                pairs["city_name_b"].to_numpy(dtype=object),
+            ),
+        }
+
+        con = duckdb.connect()
+        con.register("p", pairs[["line1_a", "line1_b", "city_name_a", "city_name_b"]])
+        want = con.sql(
+            f"""SELECT
+              {jw(trunc('line1_a'), trunc('line1_b'))} AS jw_line1,
+              {tsl(tskey('line1_a'), tskey('line1_b'))} AS tsl_line1,
+              {jw(trunc('city_name_a'), trunc('city_name_b'))} AS jw_city
+            FROM p"""
+        ).df()
+        con.close()
+
+        for feat, g in got.items():
+            w = want[feat].to_numpy(dtype=np.float64)
+            gr, wr = np.round(g, 6), np.round(w, 6)
+            bad = gr != wr
+            assert not bad.any(), (
+                sf, feat, int(bad.sum()),
+                list(zip(g[bad][:3], w[bad][:3])),
+            )
+            # and the raw disagreement really is at the ~1-ulp scale
+            assert np.abs(g - w).max() < 1e-9, (sf, feat, np.abs(g - w).max())
