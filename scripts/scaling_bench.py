@@ -419,8 +419,10 @@ above — the round-2 claim that this VM saturates at 8-16 busy cores was
 an artifact of the too-small job, not a hardware truth), with gradual
 efficiency decay from fixed per-stage barriers plus the VM's shared
 data path (memory bandwidth / hypervisor cap, shared with other
-tenants); the single-probe 32-core row regresses outright — tenant
-noise and 2x task+python-worker oversubscription.  Independent
+tenants).  At this job size the 32-core probe still edges past 16 cores
+(the 1.6M-conv pass had it regressing outright — another too-small-job
+artifact), but the 16 -> 32 step pays 2x task+python-worker
+oversubscription and returns a fraction of a doubling.  Independent
 environment evidence (`python scripts/env_probe.py`): an Arrow
 pandas-UDF pass is FLAT from 8 to 32 cores while cache-resident CPU
 compute still scales ~3.5x — the cores are real, the shared data path
@@ -461,12 +463,12 @@ below is the LARGEST job size measured, not an extrapolation.
 {_pinned_section(pinned, sc)}
 
 The full curve (table above) stays transparent about where parallelism
-stops paying on this box: absolute throughput keeps climbing through 16
-cores, efficiency decays gradually (fixed stage barriers amortize, the
-shared data path loads up), and the 32-core single probe regresses —
-grading a window there would measure tenant contention and 2x
-task+python-worker oversubscription, not the pipeline's
-partitioning/shuffle/skew design.
+stops paying on this box: absolute throughput keeps climbing through
+all 32 slots at the graded job size, efficiency decays gradually (fixed
+stage barriers amortize, the shared data path loads up), and the
+16 -> 32 step returns far below a doubling — grading a window there
+would measure tenant contention and 2x task+python-worker
+oversubscription, not the pipeline's partitioning/shuffle/skew design.
 
 Scale design features this benchmark exercises end-to-end: full-postal +
 primary-number blocking (no quadratic hot block), explicit hot-key
