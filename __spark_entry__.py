@@ -557,11 +557,15 @@ def _q_doc_repetition(spark, sf_dir):
 def _q_quality_filter(spark, sf_dir):
     """Composite keep/drop quality gate with per-rule reasons; every rule
     is an integer-exact comparison (cross-multiplied thresholds), so the
-    oracle replays the decision bit-for-bit."""
+    oracle replays the decision bit-for-bit.  lang-aware: the stopword
+    rule uses each row's own language markers (multilingual corpus),
+    abstaining for languages without a vendored marker list."""
     from postal_address_spark.operators.corpus import quality_filter
 
-    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_filter(docs).select(
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return quality_filter(docs, lang_col="lang").select(
         "doc_id", "keep", "reasons"
     ).orderBy("doc_id")
 
@@ -2287,15 +2291,22 @@ def oracle_sql() -> dict[str, str]:
 
     from postal_address_spark.operators.text_analysis import LANG_MARKERS
 
-    en_list = str(LANG_MARKERS["en"]).replace('"', "'")
+    # lang-aware no_stopwords arm, generated from the SAME vendored marker
+    # dicts the engine uses: fires only when the row's lang has a marker
+    # list AND none of its markers appear (unknown lang -> rule abstains).
+    no_stop = " OR ".join(
+        f"(lang = '{lg}' AND NOT list_has_any(toks, "
+        + str(LANG_MARKERS[lg]).replace('"', "'")
+        + "))"
+        for lg in sorted(LANG_MARKERS)
+    )
     sql["quality_filter_stats"] = f"""
-    WITH t AS (SELECT doc_id, {ctoks} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, lang, {ctoks} AS toks FROM documents),
     m AS (
-      SELECT doc_id, toks,
+      SELECT doc_id, lang, toks,
              len(toks) AS n,
              coalesce(list_sum([length(x) for x in toks]), 0) AS sum_len,
-             {cbigrams} AS bg,
-             len(list_filter(toks, x -> list_contains({en_list}, x))) AS n_stop
+             {cbigrams} AS bg
       FROM t
     ),
     r AS (
@@ -2306,7 +2317,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n > 0 AND (sum_len * 10 < 20 * n
                                     OR sum_len * 10 > 120 * n)
                     THEN 'bad_mean_token_len' END,
-               CASE WHEN n_stop = 0 THEN 'no_stopwords' END,
+               CASE WHEN {no_stop} THEN 'no_stopwords' END,
                CASE WHEN (len(bg) - len(list_distinct(bg))) * 100 > 20 * len(bg)
                     THEN 'repetitive' END,
                CASE WHEN n > 5000 THEN 'too_long' END,

@@ -98,8 +98,13 @@ def main(argv=None, spark=None) -> dict:
         docs = docs.join(drop, "doc_id", "left_anti")
 
     # 3. quality gate: kept rows go on; rejected rows keep their reasons.
+    # lang-aware: the corpus is multilingual, so the stopword rule judges
+    # each row against its own language's markers (and abstains for
+    # languages without a vendored list) instead of rejecting everything
+    # non-English.
     gated = quality_filter(
-        docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+        docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        lang_col="lang" if "lang" in docs.columns else None,
     )
     rejected = gated.where(~F.col("keep")).drop("keep")
     kept = gated.where(F.col("keep")).drop("keep", "reasons")

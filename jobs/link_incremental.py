@@ -17,8 +17,11 @@ appends the batch's value nodes + mention map and dynamically overwrites
 ONLY the ``pb`` partitions whose blocks the batch touched.  Labels after
 every fold are identical to re-running ``jobs/link.py`` over the
 concatenation of all batches (equivalence asserted in
-tests/test_incremental.py); ``--n-pb`` must stay constant for the life
-of a state dir.
+tests/test_incremental.py).  ``--n-pb`` is pinned to the state dir by a
+manifest written on the first fold; a later fold with a different value
+is refused (it would prune to the wrong pb buckets and corrupt the state
+silently).  State paths may be any Hadoop-FS URI (hdfs://, s3a://, local)
+— all state metadata I/O goes through the cluster FileSystem.
 """
 from __future__ import annotations
 

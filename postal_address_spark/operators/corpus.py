@@ -94,6 +94,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _no_stopwords(toks: Column, lang: Column | None) -> Column:
+    """True when the document shows NO stopword of its own language.
+
+    The corpus is multilingual (the documents table carries ``lang``), so
+    the marker set is selected per row — a French document must be judged
+    against the French markers, not the English ones (an en-only rule
+    silently rejects every non-English document).  A language we have no
+    marker list for (or NULL lang) makes the rule abstain: absence of
+    evidence, not evidence of junk.  When no lang column is available the
+    caller passes ``None`` and the rule falls back to English markers.
+
+    One short-circuiting ``exists`` over a LITERAL marker array per
+    vendored language (the per-branch arrays stay literals — CLAUDE.md
+    rule 1: no non-trivial expression is re-inlined into the HOF lambda).
+    """
+    def miss(lg: str) -> Column:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lg]])
+        return ~F.exists(toks, lambda t: F.array_contains(markers, t))
+
+    if lang is None:
+        return miss("en")
+    fired = None
+    for lg in sorted(LANG_MARKERS):
+        cond = (lang == F.lit(lg)) & miss(lg)
+        fired = cond if fired is None else (fired | cond)
+    return fired
+
+
 # (rule_name, builder) — builder(toks, bigrams) -> boolean Column over
 # PROJECTED token/bigram array columns (see _bigrams on why).  Names
 # sorted so the reasons string is deterministic.  Thresholds are
@@ -107,13 +135,12 @@ def _quality_rules(
     min_mean_len_x10: int,
     max_mean_len_x10: int,
     dup_bigram_pct: int,
+    lang: Column | None = None,
 ) -> List[Tuple[str, Column]]:
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     nb = F.size(bigrams)
     db = F.size(F.array_distinct(bigrams))
-    markers = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     return [
         # mean token length out of band, via cross-multiplication:
         # mean*10 < min_x10  <=>  sum_len*10 < min_x10*n
@@ -125,7 +152,7 @@ def _quality_rules(
                 | (sum_len * 10 > F.lit(max_mean_len_x10) * n)
             ),
         ),
-        ("no_stopwords", n_stop == 0),
+        ("no_stopwords", _no_stopwords(toks, lang)),
         # dup_bigram_frac > pct/100  <=>  (nb-db)*100 > pct*nb
         ("repetitive", (nb - db) * 100 > F.lit(dup_bigram_pct) * nb),
         ("too_long", n > max_tokens),
@@ -141,12 +168,19 @@ def quality_filter(
     min_mean_len_x10: int = 20,   # mean token length >= 2.0 chars
     max_mean_len_x10: int = 120,  # mean token length <= 12.0 chars
     dup_bigram_pct: int = 20,     # drop when > 20% of bigrams are duplicates
+    lang_col: str | None = None,
 ) -> DataFrame:
     """C4/Gopher-style composite keep/drop gate with per-rule reasons.
 
     Adds ``keep`` (boolean) and ``reasons`` (comma-joined sorted rule names
     that fired; '' when kept).  Reasons are data, not logs: the downstream
     corpus report GROUPs BY them, so they must be deterministic columns.
+
+    ``lang_col`` names the document-language column; when given, the
+    stopword rule judges each row against ITS language's marker list and
+    abstains for languages without one (see :func:`_no_stopwords`) — the
+    multilingual-corpus default for jobs/curate.py.  ``None`` keeps the
+    English-only behavior for monolingual inputs.
 
     One codegen'd map pass, no shuffle; at 100 TB this runs at scan speed
     and the dropped fraction never leaves the executor.  The token/bigram
@@ -158,6 +192,7 @@ def quality_filter(
     rules = _quality_rules(
         F.col("_toks"), F.col("_bg"), min_tokens, max_tokens,
         min_mean_len_x10, max_mean_len_x10, dup_bigram_pct,
+        lang=F.col(lang_col) if lang_col is not None else None,
     )
     flags = F.array(
         *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]

@@ -160,12 +160,16 @@ PII_PATTERNS: List[tuple] = [
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
     # octets bounded to 0-255: 999.999.999.999 is not an address
     ("ipv4", rf"\b(?:{_IPV4_OCTET}\.){{3}}{_IPV4_OCTET}\b", "<IP>"),
-    # 7-15 DIGITS (not 7+ digit-or-punct chars) with at most two
+    # >=7 DIGITS (not 7+ digit-or-punct chars) with at most three
     # separator chars between digits: version strings ("1.2.3.4.5") and
-    # short numeric lists no longer match.  Residual over-match: a
+    # short numeric lists don't match (too few digits), while spaced
+    # separators ("020 - 7946 0958") and 16-19-digit PANs redact in full.
+    # No upper digit bound ON PURPOSE: redaction must err toward
+    # over-matching — a bounded repeat leaves the tail of a long digit
+    # run (e.g. the last PAN digit) exposed.  Residual over-match: a
     # datetime ("2024-01-01 12") genuinely is a separated >=7-digit run
     # and still redacts — indistinguishable from a phone by shape alone.
-    ("phone", r"\+?[0-9](?:[-(). ]{0,2}[0-9]){6,14}", "<PHONE>"),
+    ("phone", r"\+?[0-9](?:[-(). ]{0,3}[0-9]){6,}", "<PHONE>"),
 ]
 
 

@@ -61,6 +61,7 @@ def rare_token_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
     min_score: int = 0,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Document pairs scored by their shared RARE tokens.
 
@@ -75,9 +76,29 @@ def rare_token_pairs(
     (N + 19) div 20 in integer arithmetic: ceil(0.05 * N) in floats is
     already wrong at N = 500 (0.05 has no exact binary representation,
     0.05 * 500 -> 25.000000000000004 -> ceil 26).
+
+    ``n_docs``: the weight formula needs the corpus size as a SCALAR; when
+    omitted it is counted here, which makes composition eager (one count
+    job runs before this returns).  Callers that already know N — an
+    upstream stage's row count, a catalog statistic — pass it to keep the
+    whole plan lazy (e.g. plan dumps shouldn't scan the corpus).
+
+    The (doc, token) relation feeds both the document-frequency aggregate
+    and the inverted index, whose shuffles differ (partial-agg vs raw), so
+    without help the corpus would be read and tokenized TWICE; it is
+    cached (memory-then-disk) so tokenization runs once, and the index
+    self-join's two identical cache reads collapse into one exchange
+    (ReuseExchange).  The cache lives until the session drops it —
+    ``spark.catalog.clearCache()`` or ``DataFrame.unpersist`` on a
+    re-created ``doc_tokens`` frame releases it early.
     """
-    tokens = doc_tokens(docs, text_col, id_col)
-    n_docs = docs.count()  # one scalar; the only driver-side value
+    from pyspark import StorageLevel
+
+    tokens = doc_tokens(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if n_docs is None:
+        n_docs = docs.count()  # one scalar; the only driver-side value
     if max_df is None:
         max_df = (n_docs + 19) // 20
 

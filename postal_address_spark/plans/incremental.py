@@ -24,6 +24,13 @@ partitions a batch actually touches:
 * ``mention_map`` — ``(rec_id, val_id, pb)``.  Append-only log mapping
   every mention to its value node; joined with ``clusters`` on demand to
   materialize mention-level labels (``mention_clusters``).
+* ``_manifest.json`` — state-shaping parameters (``n_pb``), written on
+  the first fold and validated on every later one: a fold under a
+  different ``n_pb`` would prune/overwrite the wrong buckets.
+
+State metadata I/O (existence probes, the manifest) goes through the
+Hadoop FileSystem (``sources/fs.py``), so the state dir may be a remote
+URI (hdfs://, s3a://) under cluster spark-submit, not only a local path.
 
 Per-batch algorithm:
 
@@ -69,7 +76,8 @@ including rec_id orderings where later batches carry SMALLER ids.
 """
 from __future__ import annotations
 
-import os
+import json
+import posixpath
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -77,6 +85,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.fs import fs_exists, fs_read_text, fs_write_text
 from ..operators.blocking import with_block_key
 from ..operators.cluster import assign_clusters_blocked
 from ..operators.extract import extract_mentions
@@ -139,10 +148,40 @@ def _pb(n_pb: int) -> F.Column:
 def _read_state(
     spark: SparkSession, state_dir: str, name: str, schema: T.StructType
 ) -> DataFrame:
-    path = os.path.join(state_dir, name)
-    if os.path.isdir(path):
+    # Existence via the Hadoop FileSystem, NOT os.path: the state dir is a
+    # cluster path (hdfs:// / s3a://) under spark-submit, and a local-FS
+    # probe would read every remote state table as empty — writes land,
+    # reads miss, labels silently diverge.
+    path = posixpath.join(state_dir, name)
+    if fs_exists(spark, path):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
+
+
+def _check_manifest(spark: SparkSession, state_dir: str, n_pb: int) -> None:
+    """Pin state-shaping parameters to the state dir's lifetime.
+
+    ``pb = xxhash64(block_key) % n_pb`` decides which partitions every
+    fold reads and overwrites; folding with a DIFFERENT ``n_pb`` than the
+    state was built with prunes to the wrong buckets — cross-batch vkey
+    matches are lost and stale cluster rows survive the dynamic overwrite.
+    That is silent corruption, so the first fold writes a manifest and
+    every later fold validates against it (same enforcement class as the
+    stream checkpoint binding in ``streaming/link_stream.py``).
+    """
+    path = posixpath.join(state_dir, "_manifest.json")
+    if fs_exists(spark, path):
+        manifest = json.loads(fs_read_text(spark, path))
+        if manifest.get("n_pb") != n_pb:
+            raise ValueError(
+                f"state dir {state_dir!r} was built with "
+                f"n_pb={manifest.get('n_pb')}; refusing to fold with "
+                f"n_pb={n_pb} — bucket ids would no longer line up with "
+                "the stored pb partitions and the state would corrupt "
+                "silently"
+            )
+    else:
+        fs_write_text(spark, path, json.dumps({"n_pb": n_pb, "version": 1}))
 
 
 def _sided(df: DataFrame, side: str, extra=()) -> DataFrame:
@@ -250,6 +289,7 @@ def incremental_link_mentions(
     """
     config = config or IncrementalConfig()
     n_pb = config.n_pb
+    _check_manifest(spark, state_dir, n_pb)
 
     blocked = (
         with_block_key(
@@ -285,8 +325,15 @@ def incremental_link_mentions(
     ]
     old_values_t = old_values.where(F.col("pb").isin(touched_pbs))
     old_clusters_t = old_clusters.where(F.col("pb").isin(touched_pbs))
-    # ... then block-level: pb buckets hold many blocks.
-    touched_blocks = batch_vals.select("block_key").distinct()
+    # ... then block-level: pb buckets hold many blocks.  Materialized
+    # eagerly (it is small — one row per touched block, and its distinct
+    # is cheap off the persisted batch_vals): it is reused by three joins
+    # below AND returned to the caller, whose summary count would
+    # otherwise re-run the whole Arrow normalization chain after the
+    # persists are released.
+    touched_blocks = (
+        batch_vals.select("block_key").distinct().localCheckpoint(eager=True)
+    )
     old_in_blocks = old_values_t.join(touched_blocks, "block_key", "semi")
 
     matched = batch_vals.join(
@@ -360,9 +407,9 @@ def incremental_link_mentions(
     )
 
     # ---- write-back ----------------------------------------------------
-    values_out = os.path.join(state_dir, "values")
-    clusters_out = os.path.join(state_dir, "clusters")
-    map_out = os.path.join(state_dir, "mention_map")
+    values_out = posixpath.join(state_dir, "values")
+    clusters_out = posixpath.join(state_dir, "clusters")
+    map_out = posixpath.join(state_dir, "mention_map")
 
     # EVERY payload is eagerly materialized BEFORE the first write: the
     # payloads' lineage reads the state tables this function is about to

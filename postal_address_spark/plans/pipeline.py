@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -29,6 +29,7 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.fs import fs_exists, fs_read_text, fs_write_text
 from ..operators.blocking import with_block_key
 from ..operators.cluster import assign_clusters_blocked
 from ..operators.extract import extract_mentions
@@ -97,9 +98,11 @@ class StageRunner:
         root = self.config.checkpoint_root
         if root is None:
             return build()
-        path = os.path.join(root, f"{stage}_{self._chain}")
+        # Checkpoint probes go through the Hadoop FileSystem so the root
+        # may be a remote URI (hdfs://, s3a://) under cluster spark-submit.
+        path = posixpath.join(root, f"{stage}_{self._chain}")
         started = time.time()
-        resumed = os.path.exists(os.path.join(path, "_SUCCESS"))
+        resumed = fs_exists(self.spark, posixpath.join(path, "_SUCCESS"))
         if not resumed:
             write_table(build(), path)
         out = read_table(self.spark, path)
@@ -112,8 +115,16 @@ class StageRunner:
             "ms": int((time.time() - started) * 1000),
         }
         self.lineage.append(record)
-        with open(os.path.join(root, "lineage.jsonl"), "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(record) + "\n")
+        # Append = read-modify-write through the FileSystem API (the
+        # driver is the only writer; FSDataOutputStream append() is not
+        # supported on every Hadoop FS, e.g. the raw local one).
+        log_path = posixpath.join(root, "lineage.jsonl")
+        prior = fs_read_text(self.spark, log_path) if fs_exists(
+            self.spark, log_path
+        ) else ""
+        if prior and not prior.endswith("\n"):
+            prior += "\n"
+        fs_write_text(self.spark, log_path, prior + json.dumps(record) + "\n")
         return out
 
 

@@ -26,13 +26,14 @@ production ingest shape of the north rule's resumability requirement.
 """
 from __future__ import annotations
 
-import os
+import posixpath
 from typing import Optional
 
 from pyspark.sql import SparkSession
 
 from ..operators.extract import extract_mentions
 from ..plans.incremental import IncrementalConfig, incremental_link_mentions
+from ..sources.fs import fs_exists, fs_qualified, fs_read_text, fs_write_text
 from .ingest import TRANSCRIPT_DDL
 
 MENTION_DDL = (
@@ -42,7 +43,7 @@ MENTION_DDL = (
 
 
 def _epoch_marker(state_dir: str, epoch_id: int) -> str:
-    return os.path.join(state_dir, "_epochs", f"v1-{epoch_id}")
+    return posixpath.join(state_dir, "_epochs", f"v1-{epoch_id}")
 
 
 def make_fold(state_dir: str, config: Optional[IncrementalConfig] = None,
@@ -53,18 +54,19 @@ def make_fold(state_dir: str, config: Optional[IncrementalConfig] = None,
     (transcript-table source); ``False`` expects mention rows directly.
     """
     def fold(batch_df, epoch_id: int) -> None:
+        # Marker I/O goes through the Hadoop FileSystem so the state dir
+        # may live on HDFS/S3A under spark-submit — a local os.path probe
+        # would answer "missing" for every remote marker and re-fold
+        # replayed epochs.
+        spark = batch_df.sparkSession
         marker = _epoch_marker(state_dir, epoch_id)
-        if os.path.exists(marker):  # replayed epoch: already folded
+        if fs_exists(spark, marker):  # replayed epoch: already folded
             return
         if batch_df.isEmpty():
             return
         mentions = extract_mentions(batch_df) if transcripts else batch_df
-        incremental_link_mentions(
-            batch_df.sparkSession, mentions, state_dir, config
-        )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w"):
-            pass
+        incremental_link_mentions(spark, mentions, state_dir, config)
+        fs_write_text(spark, marker, "")
 
     return fold
 
@@ -91,11 +93,13 @@ def run_available(
     would silently skip its folds, so the binding is checked and a
     mismatch raises ``ValueError``.
     """
-    bind = os.path.join(state_dir, "_epochs", "_checkpoint")
-    ckpt_abs = os.path.abspath(checkpoint_dir)
-    if os.path.exists(bind):
-        with open(bind, encoding="utf-8") as fh:
-            bound = fh.read().strip()
+    # Canonical identity for the binding is the fully-qualified FS URI
+    # (fs_qualified), not os.path.abspath — abspath would mangle an
+    # hdfs://... checkpoint into a bogus local path.
+    bind = posixpath.join(state_dir, "_epochs", "_checkpoint")
+    ckpt_abs = fs_qualified(spark, checkpoint_dir)
+    if fs_exists(spark, bind):
+        bound = fs_read_text(spark, bind).strip()
         if bound != ckpt_abs:
             raise ValueError(
                 f"state dir {state_dir!r} is bound to stream checkpoint "
@@ -104,17 +108,15 @@ def run_available(
                 "fold markers"
             )
     else:
-        os.makedirs(os.path.dirname(bind), exist_ok=True)
-        with open(bind, "w", encoding="utf-8") as fh:
-            fh.write(ckpt_abs)
+        fs_write_text(spark, bind, ckpt_abs)
 
     folded = {"n": 0}
     inner = make_fold(state_dir, config, transcripts=transcripts)
 
     def fold(batch_df, epoch_id: int) -> None:
-        before = os.path.exists(_epoch_marker(state_dir, epoch_id))
+        before = fs_exists(spark, _epoch_marker(state_dir, epoch_id))
         inner(batch_df, epoch_id)
-        if not before and os.path.exists(_epoch_marker(state_dir, epoch_id)):
+        if not before and fs_exists(spark, _epoch_marker(state_dir, epoch_id)):
             folded["n"] += 1
 
     q = (

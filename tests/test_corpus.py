@@ -72,6 +72,38 @@ def test_quality_filter_rules(spark):
     assert not out[5]["keep"]
 
 
+def test_quality_filter_stopwords_lang_aware(spark):
+    """The stopword rule judges each row against ITS language's markers:
+    a French doc with French stopwords passes, a known-language doc with
+    none of its own markers fires, an unvendored language abstains."""
+    from postal_address_spark.operators.corpus import quality_filter
+
+    rows = [
+        (1, "le chat dort dans la maison pres de la fenetre", "fr"),
+        (2, "cat sleeps house window quietly tonight", "fr"),   # no fr markers
+        (3, "the cat sat on the mat", "en"),
+        (4, "some words entirely without markers here", "zh"),  # abstain
+        (5, "der hund liegt unter dem tisch und schlaeft", "de"),
+        (6, "el gato duerme en la casa junto a la ventana", "es"),
+        (7, "words with no markers at all", None),              # NULL: abstain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["reasons"]
+        for r in quality_filter(df, lang_col="lang").collect()
+    }
+    assert out[1] == "" and out[3] == "" and out[5] == "" and out[6] == ""
+    assert "no_stopwords" in out[2]
+    assert "no_stopwords" not in out[4]
+    assert "no_stopwords" not in out[7]
+    # default (no lang column) keeps the monolingual English behavior
+    mono = {
+        r["doc_id"]: r["reasons"]
+        for r in quality_filter(df.drop("lang")).collect()
+    }
+    assert "no_stopwords" in mono[1]  # French doc, judged against en markers
+
+
 def test_split_assignment_deterministic_and_covering(spark):
     from pyspark.sql import functions as F
 

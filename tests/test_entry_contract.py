@@ -29,6 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_incremental_link",
+    "er_explain_pairs", "er_streaming_link",
     # training-data ops
     "exact_dedup_documents", "rare_token_pairs", "ngram_jaccard_neighbors",
     "cosine_topk",
@@ -49,8 +50,11 @@ def _entrymod():
 
 
 def test_query_inventory_complete():
+    # EQUALITY, not subset: a new queries() entry must be listed here (and
+    # either smoke-run or explicitly excluded below) — a subset assert let
+    # new queries silently skip the contract suite.
     entrymod = _entrymod()
-    assert EXPECTED_QUERIES <= set(entrymod.queries())
+    assert EXPECTED_QUERIES == set(entrymod.queries())
 
 
 def test_oracles_reference_registered_queries():
@@ -65,8 +69,10 @@ def test_oracles_reference_registered_queries():
     sorted(
         EXPECTED_QUERIES
         # heavyweight entries covered by their own e2e tests / bench
+        # (er_streaming_link drives a full availableNow stream + state
+        # fold — tests/test_link_stream.py owns it)
         - {"er_link_mentions", "cc_clusters", "simhash_near_dups",
-           "er_incremental_link"}
+           "er_incremental_link", "er_streaming_link"}
     ),
 )
 def test_query_runs_nonempty(spark, name):

@@ -174,3 +174,26 @@ def test_untouched_blocks_unchanged_and_batch_labels_returned(
     assert _labels(mention_clusters(spark, state_dir)) == {
         ("m2", "m2"), ("m4", "m2"), ("m3", "m3"),
     }
+
+
+def test_n_pb_is_pinned_by_state_manifest(spark, state_dir):
+    """The first fold writes n_pb to the state manifest; a later fold with
+    a different n_pb must be REFUSED — it would prune/overwrite the wrong
+    pb buckets and corrupt the state silently."""
+    b1 = [("m1", "3 rue oberkampf", "75011", "Paris")]
+    _fold(spark, state_dir, b1, IncrementalConfig(n_pb=4))
+    with pytest.raises(ValueError, match="n_pb"):
+        _fold(
+            spark, state_dir,
+            [("m2", "3 rue oberkampf", "75011", "Paris")],
+            IncrementalConfig(n_pb=8),
+        )
+    # same n_pb still folds fine
+    _fold(
+        spark, state_dir,
+        [("m2", "3 rue oberkampf", "75011", "Paris")],
+        IncrementalConfig(n_pb=4),
+    )
+    assert _labels(mention_clusters(spark, state_dir)) == {
+        ("m1", "m1"), ("m2", "m1"),
+    }

@@ -206,7 +206,9 @@ def test_rare_token_index_carries_no_text(spark):
     from postal_address_spark.operators.token_join import rare_token_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = physical(rare_token_pairs(docs, max_df=5))
+    # n_docs passed: plan composition stays lazy (no count job just to
+    # print a plan)
+    plan = physical(rare_token_pairs(docs, max_df=5, n_docs=1000))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the raw text column must be pruned before any exchange
