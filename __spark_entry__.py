@@ -1415,6 +1415,19 @@ def _q_er_explain_pairs(spark, sf_dir):
     every feature with its builtin jaro_winkler_similarity / levenshtein
     (1-ulp-compatible with the numpy kernels — rounding boundaries guarded
     by tests/test_similarity.py::test_explain_features_match_duckdb)."""
+    exp = _fs_explained(spark, sf_dir)
+    return exp.select(
+        "rec_id_a", "rec_id_b", "s_postal", "s_housenum",
+        F.round("jw_line1", 6).alias("jw_line1"),
+        F.round("tsl_line1", 6).alias("tsl_line1"),
+        F.round("jw_city", 6).alias("jw_city"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("rec_id_a", "rec_id_b")
+
+
+def _fs_explained(spark, sf_dir):
+    """Shared prefix: mentions -> normalize -> block -> refined candidate
+    pairs -> full comparison vector (same chain as er_explain_pairs)."""
     from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.normalize_op import normalize_mentions
     from postal_address_spark.operators.pairs import candidate_pairs
@@ -1428,13 +1441,91 @@ def _q_er_explain_pairs(spark, sf_dir):
         "country_code", "subdivision_code",
     )
     blocked = with_block_key(normalize_mentions(m))
-    exp = explain_pairs(candidate_pairs(blocked))
-    return exp.select(
-        "rec_id_a", "rec_id_b", "s_postal", "s_housenum",
-        F.round("jw_line1", 6).alias("jw_line1"),
-        F.round("tsl_line1", 6).alias("tsl_line1"),
-        F.round("jw_city", 6).alias("jw_city"),
-        F.round("score", 6).alias("score"),
+    return explain_pairs(candidate_pairs(blocked))
+
+
+def _q_fs_pattern_counts(spark, sf_dir):
+    """Fellegi-Sunter sufficient statistics (operators/fs_em.py): the
+    comparison vectors of every refined candidate pair, discretised into
+    agreement levels JVM-side and reduced to a pattern frequency table by
+    ONE map-side-combinable aggregation.  This tiny table (<= 18 rows at
+    any corpus size) is the entire input the EM weight fit consumes —
+    oracle-graded via the mirrored DuckDB jw/levenshtein kernels, with
+    both engines discretising the ROUND-6 similarity so every gamma
+    agrees wherever round-6 values do (guarded by
+    tests/test_similarity.py::test_explain_features_match_duckdb)."""
+    from postal_address_spark.operators.fs_em import (
+        COMPARISONS,
+        comparison_vectors,
+        pattern_counts,
+    )
+
+    counts = pattern_counts(comparison_vectors(_fs_explained(spark, sf_dir)))
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    return counts.orderBy(*gammas)
+
+
+def _q_fs_em_weights(spark, sf_dir):
+    """Unsupervised Fellegi-Sunter match weights (operators/fs_em.py):
+    EM over the pattern-count table learns per-comparison-level m/u
+    probabilities and log2 Bayes factors — Splink's core algorithm,
+    Spark-first: the distributed work is ONE aggregation; the iterative
+    E/M loop runs driver-side over <= 18 sufficient-statistic rows.
+
+    No SQL oracle (EM is iterative — the sanctioned rows-only category);
+    the chain is graded in two oracle-able halves instead: the input
+    pattern table IS fs_pattern_counts (hash-matched vs DuckDB), and the
+    fit itself is a deterministic pure function of those counts, pinned
+    by tests/test_fs_em.py (planted-parameter recovery + separation on
+    labeled synthetic pairs + bit-determinism)."""
+    from postal_address_spark.operators.fs_em import (
+        comparison_vectors,
+        em_fit_df,
+        params_df,
+        pattern_counts,
+    )
+
+    counts = pattern_counts(comparison_vectors(_fs_explained(spark, sf_dir)))
+    params = em_fit_df(counts)
+    return params_df(spark, params).orderBy("comparison", "gamma")
+
+
+def _q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/sorted_neighborhood.py):
+    pairs within a w=4 sliding window of the (country|postal|line1)
+    lexicographic order — the multi-pass blocking family's third pass
+    (Hernandez-Stolfo merge/purge), catching mentions whose EXACT keys
+    are damaged but that stay lexicographic neighbours.  Distributed
+    global rank (range partition + per-range row_number + offset fixup),
+    window join as a bucketed equi-join; the oracle re-derives the same
+    pair set with a plain row_number() window self-join."""
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    norm = normalize_mentions(m)
+    keyed = norm.select(
+        "rec_id",
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("top_country"), F.lit("")),
+            F.coalesce(F.col("postal_code"), F.lit("")),
+            F.coalesce(F.col("line1"), F.lit("")),
+        ).alias("snm_key"),
+    )
+    pairs = sorted_neighborhood_pairs(keyed, "snm_key", "rec_id", window=4)
+    return pairs.select(
+        F.col("id_a").alias("rec_id_a"),
+        F.col("id_b").alias("rec_id_b"),
+        F.col("rank_gap").cast("long").alias("rank_gap"),
     ).orderBy("rec_id_a", "rec_id_b")
 
 
@@ -1498,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental_link": _q_er_incremental_link,
         "er_streaming_link": _q_er_streaming_link,
         "er_explain_pairs": _q_er_explain_pairs,
+        "fs_pattern_counts": _q_fs_pattern_counts,
+        "fs_em_weights": _q_fs_em_weights,
+        "snm_pairs": _q_snm_pairs,
     }
 
 
@@ -2827,11 +2921,62 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY rec_id_a, rec_id_b
     """
 
+    # -- fs_pattern_counts: the Fellegi-Sunter sufficient statistics.
+    # Gamma arms are GENERATED from operators/fs_em.COMPARISONS (single
+    # source of truth for names + thresholds); both engines discretise
+    # the ROUND-6 similarity, so gamma agreement reduces to the round-6
+    # agreement the explain-features margin test already guards.
+    from postal_address_spark.operators.fs_em import COMPARISONS as _FS_CMP
+
+    _fs_src = {"jw_line1": jw("x1", "y1"), "tsl_line1": tsl("ta", "tb"),
+               "jw_city": jw("xc", "yc")}
+
+    def _gamma_sql(name: str, src_col: str, thresholds) -> str:
+        v = f"round({_fs_src[src_col]}, 6)"
+        arms = "".join(
+            f"WHEN {v} >= {t} THEN {len(thresholds) - i} "
+            for i, t in enumerate(thresholds)
+        )
+        return f"CAST(CASE {arms}ELSE 0 END AS INT) AS gamma_{name}"
+
+    _fs_gammas = ", ".join(_gamma_sql(n, s, th) for n, s, th in _FS_CMP)
+    _fs_gcols = ", ".join(f"gamma_{n}" for n, _, _ in _FS_CMP)
+    sql["fs_pattern_counts"] = f"""
+    WITH {er_kern_prefix},
+    vec AS (SELECT {_fs_gammas} FROM kern)
+    SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM vec GROUP BY {_fs_gcols}
+    ORDER BY {_fs_gcols}
+    """
+
+    # -- snm_pairs: sorted-neighborhood blocking.  The oracle states the
+    # SEMANTICS (a plain global row_number window self-join); the engine
+    # proves its distributed rank (range partition + offset fixup) and
+    # bucketed window join compute the identical pair set.
+    sql["snm_pairs"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    keyed AS (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             coalesce(top_country, '') || '|' || coalesce(postal_code, '')
+               || '|' || coalesce(line1, '') AS snm_key
+      FROM norm
+    ),
+    ranked AS (
+      SELECT rec_id, row_number() OVER (ORDER BY snm_key, rec_id) AS r
+      FROM keyed
+    )
+    SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+           CAST(b.r - a.r AS BIGINT) AS rank_gap
+    FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4
+    ORDER BY rec_id_a, rec_id_b
+    """
+
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
-    # multimodal_features: intentionally no oracle (xxhash64
-    # winnowing/simhash, the driver-side seeded IVF quantizer, and
-    # Spark-synthesized media payloads are not expressible in ANSI SQL)
-    # -> driver records rows-only checks; each has dedicated pytest
-    # coverage (exact simhash recall, IVF recall floor, multimodal
-    # batch-shape).
+    # multimodal_features / fs_em_weights: intentionally no oracle (xxhash64
+    # winnowing/simhash, the driver-side seeded IVF quantizer,
+    # Spark-synthesized media payloads, and the iterative EM fit are not
+    # expressible in ANSI SQL) -> driver records rows-only checks; each
+    # has dedicated pytest coverage (exact simhash recall, IVF recall
+    # floor, multimodal batch-shape, planted-parameter EM recovery — and
+    # fs_em_weights' INPUT is the hash-matched fs_pattern_counts table).
     return sql

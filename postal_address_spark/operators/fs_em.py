@@ -1,0 +1,244 @@
+"""Fellegi-Sunter match-weight estimation via unsupervised EM.
+
+The probabilistic-linkage layer the reference never had (its scorer is a
+fixed-weight blend, ``operators/scoring.py``): given candidate pairs and
+their comparison vectors, learn per-comparison-level *m*-probabilities
+(P(level | match)), *u*-probabilities (P(level | non-match)) and the match
+prior lambda with expectation-maximisation, then score each pair with the
+classic log2 Bayes-factor match weight.  This is the Fellegi-Sunter (1969)
+model as popularised by Splink; the implementation is Spark-first:
+
+* **Comparison vectors** are discretised JVM-side (``F.when`` chains over
+  the round-6 similarity columns of :func:`scoring.explain_pairs`) —
+  whole-stage codegen, no Python.
+* **Sufficient statistics** are one map-side-combinable aggregation:
+  ``groupBy(gamma columns).count()``.  EM never touches the pair stream —
+  the entire E/M loop runs on the driver over this tiny pattern table
+  (at most ``prod(levels) = 18`` rows regardless of data size), so the
+  iterative part costs O(patterns x iterations) driver time and ZERO
+  additional Spark jobs.  At 100 TB the only distributed work is the one
+  aggregation, which partial-aggregates map-side down to <= 18 rows per
+  task before its single shuffle.
+* **Scoring** applies the learned weights back onto pairs as a literal
+  ``when``-chain expression (the parameter table is model state, never a
+  join) — same broadcast-literal discipline as the territory lookups.
+
+Levels are deliberately coarse (3/3/2): FS gamma levels are agreement
+grades, not similarities; coarse levels keep u-probabilities estimable
+from modest pair counts and the pattern table tiny.
+
+Determinism: fixed init, fixed iteration count, float64 throughout — the
+same pattern counts always produce bit-identical parameters.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (comparison name, source column of explain_pairs, descending thresholds)
+# gamma = number of thresholds the (round-6) similarity meets, so higher
+# gamma = stronger agreement; len(thresholds)+1 levels per comparison.
+COMPARISONS: List[Tuple[str, str, Tuple[float, ...]]] = [
+    ("line1_jw", "jw_line1", (0.94, 0.88)),
+    ("line1_tsl", "tsl_line1", (0.94, 0.80)),
+    ("city_jw", "jw_city", (0.92,)),
+]
+
+EM_ITERATIONS = 60
+_EPS = 1e-12  # probability floor: keeps log weights finite on empty levels
+
+
+def _gamma_expr(col: str, thresholds: Sequence[float]) -> Column:
+    """Discretise a round-6 similarity into its agreement level.
+
+    Comparisons are made on the ALREADY-ROUNDED value (both the engine and
+    the DuckDB mirror round to 6 decimals first), so the two sides agree
+    on every gamma wherever their round-6 similarities agree — which
+    tests/test_similarity.py::test_explain_features_match_duckdb guards.
+    NULL similarity (kernel never ran) grades as total disagreement.
+    """
+    v = F.round(F.col(col), 6)
+    expr = F.lit(0)
+    for i, t in enumerate(reversed(thresholds)):  # ascending levels
+        expr = F.when(v >= F.lit(t), F.lit(i + 1)).otherwise(expr)
+    return F.coalesce(expr, F.lit(0))
+
+
+def comparison_vectors(explained: DataFrame) -> DataFrame:
+    """explain_pairs output -> (rec_id_a, rec_id_b, gamma_* ...) — codegen."""
+    return explained.select(
+        "rec_id_a",
+        "rec_id_b",
+        *[
+            _gamma_expr(src, th).alias(f"gamma_{name}")
+            for name, src, th in COMPARISONS
+        ],
+    )
+
+
+def pattern_counts(vectors: DataFrame) -> DataFrame:
+    """Comparison vectors -> pattern frequency table (the EM sufficient
+    statistics).  One aggregation, <= prod(levels) rows out; Spark's
+    partial HashAggregate combines map-side so the shuffle carries at most
+    #patterns rows per task no matter the pair volume."""
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    return vectors.groupBy(*gammas).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@dataclass(frozen=True)
+class FSParams:
+    """Learned Fellegi-Sunter parameters.
+
+    ``m[c][l]`` / ``u[c][l]``: P(gamma_c = l | match / non-match);
+    ``lam``: the match prior P(match) over candidate pairs.
+    """
+
+    lam: float
+    m: Dict[str, List[float]]
+    u: Dict[str, List[float]]
+
+    def log2_bf(self, comparison: str, level: int) -> float:
+        return float(
+            np.log2(
+                max(self.m[comparison][level], _EPS)
+                / max(self.u[comparison][level], _EPS)
+            )
+        )
+
+    @property
+    def prior_log2_odds(self) -> float:
+        return float(np.log2(max(self.lam, _EPS) / max(1.0 - self.lam, _EPS)))
+
+
+def _level_counts() -> List[int]:
+    return [len(th) + 1 for _, _, th in COMPARISONS]
+
+
+def em_fit(
+    patterns: Sequence[Sequence[int]],
+    counts: Sequence[int],
+    n_iter: int = EM_ITERATIONS,
+) -> FSParams:
+    """Driver-side EM over the pattern table (pure numpy, deterministic).
+
+    ``patterns[i]`` is the gamma vector of pattern i, ``counts[i]`` its
+    pair frequency.  Standard FS EM: E-step computes each pattern's match
+    responsibility from the current (lam, m, u); M-step re-estimates them
+    from responsibility-weighted level frequencies.  Fixed iteration count
+    and fixed monotone init (higher level => higher m, lower u) make the
+    fit a pure function of the counts.
+    """
+    pat = np.asarray(patterns, dtype=np.int64)
+    cnt = np.asarray(counts, dtype=np.float64)
+    if pat.ndim != 2 or pat.shape[1] != len(COMPARISONS):
+        raise ValueError(f"patterns must be Nx{len(COMPARISONS)} gamma vectors")
+    if cnt.sum() <= 0:
+        raise ValueError("pattern counts are empty")
+    n_levels = _level_counts()
+
+    # Monotone init, normalised per comparison.
+    m = [np.array([1.0 + 3.0 * l for l in range(k)]) for k in n_levels]
+    u = [np.array([3.0 * (k - l) for l in range(1, k + 1)]) + 1.0 for k in n_levels]
+    m = [v / v.sum() for v in m]
+    u = [v / v.sum() for v in u]
+    lam = 0.1
+
+    total = cnt.sum()
+    for _ in range(n_iter):
+        # E-step: P(match | gamma) per pattern.
+        log_m = np.zeros(len(pat))
+        log_u = np.zeros(len(pat))
+        for c in range(len(COMPARISONS)):
+            log_m += np.log(np.maximum(m[c][pat[:, c]], _EPS))
+            log_u += np.log(np.maximum(u[c][pat[:, c]], _EPS))
+        pm = lam * np.exp(log_m)
+        pu = (1.0 - lam) * np.exp(log_u)
+        resp = pm / np.maximum(pm + pu, _EPS)
+
+        # M-step.
+        w_match = resp * cnt
+        w_non = (1.0 - resp) * cnt
+        lam = float(w_match.sum() / total)
+        for c, k in enumerate(n_levels):
+            mc = np.array(
+                [w_match[pat[:, c] == l].sum() for l in range(k)]
+            )
+            uc = np.array([w_non[pat[:, c] == l].sum() for l in range(k)])
+            m[c] = np.maximum(mc, _EPS) / max(mc.sum(), _EPS)
+            u[c] = np.maximum(uc, _EPS) / max(uc.sum(), _EPS)
+
+    names = [name for name, _, _ in COMPARISONS]
+    return FSParams(
+        lam=lam,
+        m={n: [float(x) for x in m[c]] for c, n in enumerate(names)},
+        u={n: [float(x) for x in u[c]] for c, n in enumerate(names)},
+    )
+
+
+def em_fit_df(pattern_df: DataFrame, n_iter: int = EM_ITERATIONS) -> FSParams:
+    """Fit from the Spark pattern table.  The collect is the <= 18-row
+    sufficient-statistic table (model state, not data) — the one sanctioned
+    driver-side materialisation shape (cf. cluster.py convergence row)."""
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    rows = pattern_df.select(*gammas, "n_pairs").collect()
+    return em_fit(
+        [[r[g] for g in gammas] for r in rows],
+        [r["n_pairs"] for r in rows],
+        n_iter=n_iter,
+    )
+
+
+def params_df(spark, params: FSParams) -> DataFrame:
+    """Learned parameters as a small DataFrame (the model-inspection
+    surface: one row per comparison level, Splink's charts shape)."""
+    rows = []
+    for c, (name, _, th) in enumerate(COMPARISONS):
+        for level in range(len(th) + 1):
+            rows.append(
+                (
+                    name,
+                    level,
+                    params.m[name][level],
+                    params.u[name][level],
+                    params.log2_bf(name, level),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "comparison string, gamma int, m double, u double, log2_bf double"
+    )
+    return df.select(
+        "comparison",
+        "gamma",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round("log2_bf", 6).alias("log2_bf"),
+    )
+
+
+def match_weight_expr(params: FSParams) -> Column:
+    """Learned log2 match weight as a literal ``when``-chain over the
+    gamma columns — broadcast model state, zero joins, pure codegen."""
+    expr: Column = F.lit(params.prior_log2_odds)
+    for name, _, th in COMPARISONS:
+        g = F.col(f"gamma_{name}")
+        arm: Column = F.lit(params.log2_bf(name, 0))
+        for level in range(1, len(th) + 1):
+            arm = F.when(g == level, F.lit(params.log2_bf(name, level))).otherwise(
+                arm
+            )
+        expr = expr + arm
+    return expr
+
+
+def fs_score_pairs(explained: DataFrame, params: FSParams) -> DataFrame:
+    """Pairs + learned params -> match_weight and match_probability
+    (sigmoid of the log2 odds: p = 2^w / (1 + 2^w))."""
+    vec = comparison_vectors(explained)
+    w = match_weight_expr(params)
+    scored = vec.withColumn("match_weight", w)
+    p = F.pow(F.lit(2.0), F.col("match_weight"))
+    return scored.withColumn("match_probability", p / (F.lit(1.0) + p))

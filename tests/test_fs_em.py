@@ -1,0 +1,163 @@
+"""Fellegi-Sunter EM (operators/fs_em.py) ground truth.
+
+The driver grades fs_pattern_counts against the mirrored DuckDB oracle
+(hash match); the EM fit itself is iterative (rows-only at the gate), so
+THIS file is its correctness pin: planted-parameter recovery from exact
+expected counts, bit-determinism, and label separation on synthetic pairs
+with known match/non-match structure.
+"""
+import itertools
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from postal_address_spark.operators import fs_em  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+TRUE_LAM = 0.2
+TRUE_M = {
+    "line1_jw": [0.02, 0.08, 0.90],
+    "line1_tsl": [0.05, 0.15, 0.80],
+    "city_jw": [0.10, 0.90],
+}
+TRUE_U = {
+    "line1_jw": [0.85, 0.10, 0.05],
+    "line1_tsl": [0.80, 0.15, 0.05],
+    "city_jw": [0.70, 0.30],
+}
+
+
+def _planted_counts(n=1_000_000):
+    """EXACT expected pattern counts under (TRUE_LAM, TRUE_M, TRUE_U) —
+    no sampling, so recovery tolerance tests the estimator, not luck."""
+    names = [n_ for n_, _, _ in fs_em.COMPARISONS]
+    levels = [len(t) + 1 for _, _, t in fs_em.COMPARISONS]
+    pats, cnts = [], []
+    for g in itertools.product(*[range(k) for k in levels]):
+        pm, pu = TRUE_LAM, 1.0 - TRUE_LAM
+        for c, name in enumerate(names):
+            pm *= TRUE_M[name][g[c]]
+            pu *= TRUE_U[name][g[c]]
+        pats.append(list(g))
+        cnts.append(round(n * (pm + pu)))
+    return pats, cnts
+
+
+def test_em_recovers_planted_parameters():
+    pats, cnts = _planted_counts()
+    params = fs_em.em_fit(pats, cnts)
+    assert abs(params.lam - TRUE_LAM) < 0.02
+    for name in TRUE_M:
+        for level, (tm, tu) in enumerate(zip(TRUE_M[name], TRUE_U[name])):
+            assert abs(params.m[name][level] - tm) < 0.05, (name, level)
+            assert abs(params.u[name][level] - tu) < 0.05, (name, level)
+
+
+def test_em_fit_is_deterministic():
+    pats, cnts = _planted_counts()
+    a, b = fs_em.em_fit(pats, cnts), fs_em.em_fit(pats, cnts)
+    assert a == b  # dataclass equality: bit-identical floats
+
+
+def test_em_rejects_empty_and_misshaped_input():
+    with pytest.raises(ValueError):
+        fs_em.em_fit([[0, 0, 0]], [0])
+    with pytest.raises(ValueError):
+        fs_em.em_fit([[0, 0]], [5])  # wrong gamma arity
+
+
+def test_fs_weights_separate_labeled_pairs(spark):
+    """End-to-end on labeled synthetic comparison data: pairs drawn from
+    the planted match/non-match level distributions must be separated by
+    the LEARNED match probability at 0.5 with near-perfect accuracy."""
+    rng = np.random.default_rng(1234)
+    names = [n for n, _, _ in fs_em.COMPARISONS]
+    ths = {n: th for n, _, th in fs_em.COMPARISONS}
+    srcs = {n: s for n, s, _ in fs_em.COMPARISONS}
+
+    def draw(dist, n_rows, is_match):
+        rows = []
+        for i in range(n_rows):
+            row = {
+                "rec_id_a": f"{'m' if is_match else 'n'}{i:05d}a",
+                "rec_id_b": f"{'m' if is_match else 'n'}{i:05d}b",
+                "s_postal": 1.0,
+                "s_housenum": 1.0,
+                "score": 0.0,
+            }
+            for name in names:
+                level = int(rng.choice(len(dist[name]), p=dist[name]))
+                th = ths[name]
+                # a similarity value strictly inside the level's band
+                if level == len(th):
+                    v = th[0] + 0.01
+                elif level == 0:
+                    v = (th[-1] if th else 1.0) - 0.05
+                else:
+                    v = (th[len(th) - level] + th[len(th) - level - 1]) / 2
+                row[srcs[name]] = float(v)
+            rows.append(row)
+        return rows
+
+    matches = draw(TRUE_M, 300, True)
+    nons = draw(TRUE_U, 1200, False)
+    explained = spark.createDataFrame(
+        matches + nons,
+        "rec_id_a string, rec_id_b string, s_postal double, s_housenum double,"
+        " score double, jw_line1 double, tsl_line1 double, jw_city double",
+    )
+    counts = fs_em.pattern_counts(fs_em.comparison_vectors(explained))
+    params = fs_em.em_fit_df(counts)
+    scored = fs_em.fs_score_pairs(explained, params)
+    rows = scored.select("rec_id_a", "match_probability").collect()
+    correct = sum(
+        1
+        for r in rows
+        if (r["rec_id_a"].startswith("m")) == (r["match_probability"] > 0.5)
+    )
+    assert correct / len(rows) >= 0.95
+    # learned prior should be near the planted 300/1500 match share
+    assert abs(params.lam - 0.2) < 0.05
+
+
+def test_pattern_counts_partial_aggregation(spark):
+    """The sufficient-statistic reduction must partial-aggregate map-side
+    (two HashAggregates around one Exchange) and stay pure codegen — no
+    Python evaluation node anywhere in the count plan."""
+    vec = spark.range(1000).selectExpr(
+        "cast(id % 3 as int) as gamma_line1_jw",
+        "cast(id % 2 as int) as gamma_line1_tsl",
+        "cast(id % 2 as int) as gamma_city_jw",
+    )
+    plan = (
+        fs_em.pattern_counts(vec)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_gamma_discretisation_levels(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "b", 1.0, 1.0, 0.95, 0.95, 0.95, 0.0),
+            ("c", "d", 1.0, 1.0, 0.90, 0.85, 0.90, 0.0),
+            ("e", "f", 1.0, 1.0, 0.50, None, 0.10, 0.0),
+        ],
+        "rec_id_a string, rec_id_b string, s_postal double, s_housenum double,"
+        " jw_line1 double, tsl_line1 double, jw_city double, score double",
+    )
+    got = {
+        r["rec_id_a"]: (
+            r["gamma_line1_jw"], r["gamma_line1_tsl"], r["gamma_city_jw"]
+        )
+        for r in fs_em.comparison_vectors(df).collect()
+    }
+    assert got == {"a": (2, 2, 1), "c": (1, 1, 0), "e": (0, 0, 0)}
