@@ -153,9 +153,12 @@ def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    k = F.col("c_custkey")
+def _mentions_df(
+    spark: SparkSession, sf_dir: str, table: str = "customer",
+    key: str = "c_custkey",
+) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    k = F.col(key)
     return customer.select(
         k.alias("mention_id"),
         _pick_col(LINE1_VARIANTS, k).alias("line1"),
@@ -167,8 +170,8 @@ def _mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mentions_sql() -> str:
-    k = "c_custkey"
+def _mentions_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    k = key
     return f"""
     SELECT
         {k} AS mention_id,
@@ -178,7 +181,7 @@ def _mentions_sql() -> str:
         {_pick_sql(CITY_VARIANTS, k, 2)} AS city_name,
         {_pick_sql([p[0] for p in TERRITORY_PAIRS], k)} AS country_code,
         {_pick_sql([p[1] for p in TERRITORY_PAIRS], k)} AS subdivision_code
-    FROM customer
+    FROM {table}
     """
 
 
@@ -1490,6 +1493,67 @@ def _q_fs_em_weights(spark, sf_dir):
     return params_df(spark, params).orderBy("comparison", "gamma")
 
 
+def _q_link_two_datasets(spark, sf_dir):
+    """Two-dataset linkage (operators/link_datasets.py — Splink's
+    link_only mode): customer mentions linked against a second mention
+    source generated over the supplier table, candidate pairs being the
+    CROSS-dataset refined-block equi-join only (never A x A / B x B),
+    scored by the production cascade.  Output is the above-threshold
+    edge set (ids only — the 0.82 membership boundary is margin-guarded
+    like er_link's); the oracle re-derives both normalize chains and the
+    kernels via the mirrored DuckDB jw/levenshtein."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.link_datasets import link_datasets
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    def side(table, key, tag):
+        m = _mentions_df(spark, sf_dir, table, key).select(
+            F.concat(
+                F.lit(tag), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        return with_block_key(normalize_mentions(m))
+
+    edges = link_datasets(
+        side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")
+    )
+    return edges.select("rec_id_a", "rec_id_b").orderBy("rec_id_a", "rec_id_b")
+
+
+def _q_tf_city_evidence(spark, sf_dir):
+    """Term-frequency adjustment evidence (operators/fs_em.py, Splink's
+    tf_adjustment): for every refined candidate pair, the exactly-agreed
+    city value, its corpus count, and the column totals (n_total,
+    sum_sq = the integer numerators of tf_v and of u_col = P(two random
+    records agree on city)).  Deliberately integer-exact — the log2
+    weight arithmetic is pytest-pinned in tests/test_fs_em.py — so the
+    gate hash has no float boundary.  The tf join is broadcast (value
+    vocabulary build side), which also absorbs hot-value pair skew."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.fs_em import (
+        term_frequency_table,
+        tf_adjustment_evidence,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    norm = normalize_mentions(m)
+    pairs = candidate_pairs(with_block_key(norm))
+    tf = term_frequency_table(norm, "city_name")
+    return tf_adjustment_evidence(pairs, tf, "city_name").orderBy(
+        "rec_id_a", "rec_id_b"
+    )
+
+
 def _q_snm_pairs(spark, sf_dir):
     """Sorted-neighborhood blocking (operators/sorted_neighborhood.py):
     pairs within a w=4 sliding window of the (country|postal|line1)
@@ -1591,7 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_explain_pairs": _q_er_explain_pairs,
         "fs_pattern_counts": _q_fs_pattern_counts,
         "fs_em_weights": _q_fs_em_weights,
+        "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
+        "link_two_datasets": _q_link_two_datasets,
     }
 
 
@@ -1600,7 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _oracle_er_normalize() -> str:
+def _oracle_er_normalize(table: str = "customer", key: str = "c_custkey") -> str:
     """The N1->N8 chain in SQL, CASE arms generated from vendored refdata."""
     from postal_address_spark.functions import (
         DEFAULT_SUBDIV,
@@ -1615,7 +1681,7 @@ def _oracle_er_normalize() -> str:
 
     n5 = lambda e: map_lookup_sql(NORMALIZE_NOALIAS, f"upper(trim({e}))")  # noqa: E731
     return f"""
-    WITH raw AS MATERIALIZED ({_mentions_sql()}),
+    WITH raw AS MATERIALIZED ({_mentions_sql(table, key)}),
     n1 AS MATERIALIZED (
       SELECT mention_id, line1, line2,
              {postal_canon_sql('postal_code')} AS postal_code,
@@ -2947,6 +3013,74 @@ def oracle_sql() -> dict[str, str]:
     SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pairs
     FROM vec GROUP BY {_fs_gcols}
     ORDER BY {_fs_gcols}
+    """
+
+    # -- link_two_datasets: the link_only mode.  Both normalize chains
+    # and the kernels are re-derived (same mirrored jw/tsl as er_link);
+    # membership only needs score >= 0.82 to agree, margin-guarded by
+    # tests/test_link_datasets.py::test_cross_scores_clear_of_threshold.
+    sql["link_two_datasets"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    norm_b AS MATERIALIZED (
+      {_oracle_er_normalize("supplier", "s_suppkey")}
+    ),
+    ba AS (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1, city_name,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    bb AS (
+      SELECT 's' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1, city_name,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm_b
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    kern AS (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             {trunc('a.line1')} AS x1, {trunc('b.line1')} AS y1,
+             {trunc('a.city_name')} AS xc, {trunc('b.city_name')} AS yc,
+             {tskey('a.line1')} AS ta, {tskey('b.line1')} AS tb
+      FROM ba a JOIN bb b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+    )
+    SELECT s AS rec_id_a, d AS rec_id_b FROM kern
+    WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
+                 + 0.15 * {jw('xc', 'yc')}) >= 0.82
+    ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- tf_city_evidence: per-pair term-frequency evidence, all-integer
+    # (value counts and the column totals ride as BIGINTs; the log2
+    # application is pytest-pinned), so the hash comparison is exact.
+    sql["tf_city_evidence"] = f"""
+    WITH {er_kern_prefix},
+    tf AS (
+      SELECT city_name AS v, CAST(count(*) AS BIGINT) AS n_v
+      FROM norm WHERE city_name IS NOT NULL GROUP BY city_name
+    ),
+    tot AS (
+      SELECT CAST(sum(n_v) AS BIGINT) AS n_total,
+             CAST(sum(n_v * n_v) AS BIGINT) AS sum_sq
+      FROM tf
+    ),
+    prs AS (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             CASE WHEN a.city_name IS NOT NULL
+                       AND a.city_name = b.city_name
+                  THEN a.city_name END AS agreed_value
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    )
+    SELECT p.s AS rec_id_a, p.d AS rec_id_b, p.agreed_value,
+           tf.n_v AS n_value, tot.n_total, tot.sum_sq
+    FROM prs p LEFT JOIN tf ON p.agreed_value = tf.v CROSS JOIN tot
+    ORDER BY rec_id_a, rec_id_b
     """
 
     # -- snm_pairs: sorted-neighborhood blocking.  The oracle states the

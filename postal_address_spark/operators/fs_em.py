@@ -242,3 +242,93 @@ def fs_score_pairs(explained: DataFrame, params: FSParams) -> DataFrame:
     scored = vec.withColumn("match_weight", w)
     p = F.pow(F.lit(2.0), F.col("match_weight"))
     return scored.withColumn("match_probability", p / (F.lit(1.0) + p))
+
+
+# ---------------------------------------------------------------------------
+# term-frequency adjustment (Splink's tf_adjustment): value-level evidence
+# ---------------------------------------------------------------------------
+
+
+def term_frequency_table(records: DataFrame, value_col: str) -> DataFrame:
+    """Per-value occurrence counts over the record corpus (non-null only):
+    ``(value, n_value)``.  One map-side-combinable aggregation; cardinality
+    is the number of DISTINCT values — a vocabulary-scale table even at
+    100 TB, which is what makes the adjustment join broadcast-able."""
+    return (
+        records.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_value"))
+    )
+
+
+def tf_column_stats(tf: DataFrame) -> Tuple[int, int]:
+    """(n_total, sum_sq) for a term-frequency table.  ``sum_sq / n_total^2``
+    is EXACTLY P(two random records agree on the column) — the column-level
+    u-probability the generic weight assumes, which the per-value
+    adjustment replaces.  One-row aggregate collect (model state)."""
+    row = tf.agg(
+        F.sum("n_value").alias("n_total"),
+        F.sum(F.col("n_value") * F.col("n_value")).alias("sum_sq"),
+    ).collect()[0]
+    return int(row["n_total"] or 0), int(row["sum_sq"] or 0)
+
+
+def tf_adjustment_evidence(
+    pairs: DataFrame, tf: DataFrame, value_col: str
+) -> DataFrame:
+    """Integer-exact TF evidence per candidate pair (the oracle-gradeable
+    half of the adjustment): for pairs that agree EXACTLY on the value,
+    the agreed value and its corpus count, plus the column totals.  The
+    log2 arithmetic lives in :func:`with_tf_adjusted_weight` (floats are
+    deliberately kept out of this surface so the gate hash is exact).
+
+    The tf join is hinted broadcast: the build side is the value
+    vocabulary, and a broadcast join also neutralises pair-stream skew on
+    hot common values (a shuffled join would send every "SPRINGFIELD"
+    pair to one task)."""
+    n_total, sum_sq = tf_column_stats(tf)
+    va, vb = F.col(f"{value_col}_a"), F.col(f"{value_col}_b")
+    agreed = F.when(va.isNotNull() & (va == vb), va)
+    evidenced = pairs.select(
+        "rec_id_a", "rec_id_b", agreed.alias("agreed_value")
+    ).join(
+        F.broadcast(tf.withColumnRenamed("value", "agreed_value")),
+        "agreed_value",
+        "left",
+    )
+    return evidenced.select(
+        "rec_id_a",
+        "rec_id_b",
+        "agreed_value",
+        F.col("n_value").cast("long").alias("n_value"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(sum_sq).cast("long").alias("sum_sq"),
+    )
+
+
+def with_tf_adjusted_weight(
+    scored: DataFrame,
+    evidence: DataFrame,
+    weight_col: str = "match_weight",
+) -> DataFrame:
+    """Apply the Splink-style TF adjustment to a match-weight column:
+    agreeing on value v multiplies the Bayes factor by u_col / tf_v where
+    tf_v = n_value / n_total and u_col = sum_sq / n_total^2, i.e. adds
+    ``log2(sum_sq / (n_total * n_value))`` — negative for common values
+    (weaker evidence), positive for rare ones.  Pairs without exact
+    agreement are untouched."""
+    adj = F.when(
+        F.col("n_value").isNotNull(),
+        F.log2(
+            F.col("sum_sq").cast("double")
+            / (F.col("n_total") * F.col("n_value")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    joined = scored.join(
+        evidence.select("rec_id_a", "rec_id_b", "n_value", "n_total", "sum_sq"),
+        ["rec_id_a", "rec_id_b"],
+        "left",
+    )
+    return joined.withColumn(
+        f"{weight_col}_tf", F.col(weight_col) + F.coalesce(adj, F.lit(0.0))
+    ).drop("n_value", "n_total", "sum_sq")

@@ -1,0 +1,133 @@
+"""Two-dataset record linkage ("link only" mode).
+
+Link a mention source A against a second source B — the Splink
+``link_only`` job shape (match a messy feed against a reference catalog,
+or two feeds against each other) as opposed to the deduplication pipeline
+(`plans/pipeline.py`), whose self-join pairs records within ONE source.
+
+Semantics: candidate pairs are the CROSS-dataset equi-join on the refined
+blocking key — never A x A, never B x B — scored by the exact same
+production cascade (`scoring.score_pairs`), so a (a, b) pair's score here
+is bit-identical to what the dedup pipeline would give the same two
+records.  `best_links` then keeps each A record's single best B match
+(deterministic argmax: max score, ties broken by min rec_id_b — the same
+min(struct) one-aggregation idiom as survivorship, no window sort).
+
+Scale shape: one shuffled equi-join on (block_key, house number) with the
+same explicit hot-key defense as the self-join path — per-key pair volume
+is count_A(k) * count_B(k), so keys whose A-side count exceeds
+``hot_threshold`` are salted (B fans out s ways, A's build rows split
+s-fold) with AQE skew-join as the statistical backstop.  The argmax is a
+map-side-combinable aggregation, not a window.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pairs import PAIR_FIELDS, REFINE_SAFE_THRESHOLD
+from .scoring import DEFAULT_THRESHOLD, score_pairs
+
+
+def _keyed(blocked: DataFrame, threshold: float) -> DataFrame:
+    keyed = blocked.where(F.col("block_key").isNotNull())
+    if threshold > REFINE_SAFE_THRESHOLD:
+        join_key = F.concat_ws(
+            "#", F.col("block_key"),
+            F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+        )
+    else:
+        join_key = F.col("block_key")
+    return keyed.withColumn("join_key", join_key)
+
+
+def cross_candidate_pairs(
+    a_blocked: DataFrame,
+    b_blocked: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    hot_threshold: int = 20000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Blocked mention frames A, B -> cross-dataset candidate pairs
+    (block_key, <field>_a, <field>_b).  Only A x B pairs exist by
+    construction; no ``<`` dedup predicate is needed (the sides are
+    disjoint datasets, so (a, b) is already unique)."""
+    a = _keyed(a_blocked, threshold)
+    b = _keyed(b_blocked, threshold)
+
+    # Hot-key histogram on the A side (the side that multiplies): each
+    # B row under a hot key fans out over all salts, splitting the
+    # A-side build rows s-fold per task.  The histogram aggregate is
+    # tiny after reduction -> broadcast the flag to both sides.
+    hot_keys = (
+        a.groupBy("join_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_threshold)
+        .select("join_key")
+        .withColumn("__hot", F.lit(True))
+    )
+
+    def sided(df: DataFrame, side: str, extra=()) -> DataFrame:
+        return df.select(
+            "join_key", "__hot",
+            *[F.col(c).alias(f"{c}_{side}") for c in PAIR_FIELDS + list(extra)],
+        )
+
+    a_f = sided(a.join(F.broadcast(hot_keys), "join_key", "left"), "a",
+                extra=["block_key"])
+    b_f = sided(b.join(F.broadcast(hot_keys), "join_key", "left"), "b")
+
+    normal = (
+        a_f.where(F.col("__hot").isNull()).drop("__hot")
+        .join(b_f.where(F.col("__hot").isNull()).drop("__hot"), "join_key")
+    )
+    hot_a = a_f.where(F.col("__hot").isNotNull()).drop("__hot").withColumn(
+        "salt", F.pmod(F.xxhash64("rec_id_a"), F.lit(n_salt))
+    )
+    hot_b = (
+        b_f.where(F.col("__hot").isNotNull()).drop("__hot")
+        # explode_outer: constant non-empty sequence (pairs.py rationale)
+        .withColumn(
+            "salt", F.explode_outer(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    hot = hot_a.join(hot_b, ["join_key", "salt"]).drop("salt")
+
+    return (
+        normal.unionByName(hot)
+        .withColumnRenamed("block_key_a", "block_key")
+        .drop("join_key")
+    )
+
+
+def link_datasets(
+    a_blocked: DataFrame,
+    b_blocked: DataFrame,
+    threshold: float = DEFAULT_THRESHOLD,
+    hot_threshold: int = 20000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """A x B match edges: rec_id_a, rec_id_b, block_key, score — the
+    production scoring cascade over cross-dataset candidates."""
+    pairs = cross_candidate_pairs(
+        a_blocked, b_blocked, threshold, hot_threshold, n_salt
+    )
+    return score_pairs(pairs, threshold)
+
+
+def best_links(edges: DataFrame) -> DataFrame:
+    """One best B match per A record: max score, ties -> min rec_id_b.
+    A single map-side-combinable min(struct(-score, rec_id_b)) aggregation
+    (negated score turns the max into the struct ordering's min) — no
+    global window, no per-key sort."""
+    pick = F.min(F.struct((-F.col("score")).alias("ns"), "rec_id_b")).alias("p")
+    return (
+        edges.groupBy("rec_id_a")
+        .agg(pick)
+        .select(
+            "rec_id_a",
+            F.col("p.rec_id_b").alias("rec_id_b"),
+            (-F.col("p.ns")).alias("score"),
+        )
+    )

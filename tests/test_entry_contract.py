@@ -40,7 +40,8 @@ EXPECTED_QUERIES = {
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks",
-    "fs_pattern_counts", "fs_em_weights", "snm_pairs",
+    "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
+    "link_two_datasets",
 }
 
 

@@ -144,6 +144,48 @@ def test_pattern_counts_partial_aggregation(spark):
     assert "Python" not in plan and "Arrow" not in plan
 
 
+def test_tf_adjustment_math(spark):
+    """Float half of the TF adjustment (the gate grades the integer
+    evidence): agreeing on a rare value adds log2(u_col / tf_v) > 0,
+    on a common value < 0; disagreeing pairs are untouched."""
+    records = spark.createDataFrame(
+        [("r%d" % i, "SPRINGFIELD") for i in range(8)]
+        + [("r8", "ZZURITZ"), ("r9", "ZZURITZ"), ("r10", None)],
+        "rec_id string, city string",
+    )
+    tf = fs_em.term_frequency_table(records, "city")
+    n_total, sum_sq = fs_em.tf_column_stats(tf)
+    assert (n_total, sum_sq) == (10, 68)  # 8 + 2; 64 + 4
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", "SPRINGFIELD", "SPRINGFIELD"),
+            ("c", "d", "ZZURITZ", "ZZURITZ"),
+            ("e", "f", "SPRINGFIELD", "ZZURITZ"),
+            ("g", "h", None, None),
+        ],
+        "rec_id_a string, rec_id_b string, city_a string, city_b string",
+    )
+    ev = fs_em.tf_adjustment_evidence(pairs, tf, "city")
+    got_ev = {(r["rec_id_a"]): (r["agreed_value"], r["n_value"]) for r in ev.collect()}
+    assert got_ev == {
+        "a": ("SPRINGFIELD", 8),
+        "c": ("ZZURITZ", 2),
+        "e": (None, None),
+        "g": (None, None),
+    }
+
+    scored = pairs.select("rec_id_a", "rec_id_b").withColumn(
+        "match_weight", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1.0)
+    )
+    adj = fs_em.with_tf_adjusted_weight(scored, ev)
+    got = {r["rec_id_a"]: r["match_weight_tf"] for r in adj.collect()}
+    assert got["a"] == pytest.approx(1.0 + np.log2(68 / (10 * 8)))
+    assert got["c"] == pytest.approx(1.0 + np.log2(68 / (10 * 2)))
+    assert got["a"] < 1.0 < got["c"]  # common penalised, rare boosted
+    assert got["e"] == 1.0 and got["g"] == 1.0
+
+
 def test_gamma_discretisation_levels(spark):
     df = spark.createDataFrame(
         [

@@ -1,0 +1,133 @@
+"""Two-dataset linkage (operators/link_datasets.py).
+
+The driver grades link_two_datasets against the mirrored DuckDB kernels
+(hash match at sf0.01); this file pins the machinery: cross-only pair
+generation, salting equivalence, the best-match argmax, and the
+threshold-margin guard the mirrored oracle's membership grade relies on.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from postal_address_spark.operators.link_datasets import (  # noqa: E402
+    best_links,
+    cross_candidate_pairs,
+    link_datasets,
+)
+
+
+def _blocked(spark, rows):
+    # minimal blocked-mention shape: rec_id, line1, city_name,
+    # postal_code, block_key
+    return spark.createDataFrame(
+        rows, "rec_id string, line1 string, city_name string,"
+        " postal_code string, block_key string"
+    )
+
+
+A_ROWS = [
+    ("a1", "10 MAIN ST", "PARIS", "75008", "FR|75008"),
+    ("a2", "10 MAIN STREET", "PARIS", "75008", "FR|75008"),
+    ("a3", "22 OAK AVE", "BERLIN", "10115", "DE|10115"),
+    ("a4", None, "NOKEY", "X", None),
+]
+B_ROWS = [
+    ("b1", "10 MAIN ST", "PARIS", "75008", "FR|75008"),
+    ("b2", "99 ELM RD", "PARIS", "75008", "FR|75008"),
+    ("b3", "22 OAK AVENUE", "BERLIN", "10115", "DE|10115"),
+]
+
+
+def test_cross_pairs_are_cross_only(spark):
+    a, b = _blocked(spark, A_ROWS), _blocked(spark, B_ROWS)
+    pairs = cross_candidate_pairs(a, b).collect()
+    ids_a = {r["rec_id_a"] for r in pairs}
+    ids_b = {r["rec_id_b"] for r in pairs}
+    assert ids_a <= {"a1", "a2", "a3"} and ids_b <= {"b1", "b2", "b3"}
+    # same (block, house number) only: a1/a2 (hn=10) never meet b2 (hn=99)
+    got = {(r["rec_id_a"], r["rec_id_b"]) for r in pairs}
+    assert got == {("a1", "b1"), ("a2", "b1"), ("a3", "b3")}
+
+
+def test_salting_is_pair_set_preserving(spark):
+    a, b = _blocked(spark, A_ROWS), _blocked(spark, B_ROWS)
+    plain = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in cross_candidate_pairs(a, b, hot_threshold=10_000).collect()
+    }
+    salted = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in cross_candidate_pairs(a, b, hot_threshold=1, n_salt=4).collect()
+    }
+    assert plain == salted and plain
+
+
+def test_link_and_best_links(spark):
+    a, b = _blocked(spark, A_ROWS), _blocked(spark, B_ROWS)
+    edges = link_datasets(a, b, threshold=0.82)
+    got = {(r["rec_id_a"], r["rec_id_b"]): r["score"] for r in edges.collect()}
+    assert ("a1", "b1") in got and got[("a1", "b1")] == 1.0
+    assert all(s >= 0.82 for s in got.values())
+    best = {r["rec_id_a"]: (r["rec_id_b"], r["score"]) for r in best_links(edges).collect()}
+    assert len(best) == len({k[0] for k in got})
+    for ra, (rb, s) in best.items():
+        assert got[(ra, rb)] == s
+        assert s == max(v for (xa, _), v in got.items() if xa == ra)
+
+
+def test_best_links_tie_breaks_min_rec_id(spark):
+    edges = spark.createDataFrame(
+        [("a1", "b9", 0.9), ("a1", "b2", 0.9), ("a1", "b5", 0.85)],
+        "rec_id_a string, rec_id_b string, score double",
+    )
+    got = best_links(edges).collect()
+    assert [(r["rec_id_a"], r["rec_id_b"], r["score"]) for r in got] == [
+        ("a1", "b2", 0.9)
+    ]
+
+
+def test_cross_scores_clear_of_threshold(spark):
+    """Margin guard for the mirrored link_two_datasets oracle: every
+    cross-dataset candidate pair's FULL score must clear the 0.82
+    membership boundary by far more than the ~1-ulp cross-engine kernel
+    disagreement, at both gate scales (so a testdata regen can't
+    introduce a one-sided edge)."""
+    import __spark_entry__ as em
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.link_datasets import (
+        cross_candidate_pairs as ccp,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.scoring import score_batch
+
+    for sf in ("sf0.001", "sf0.01"):
+        def side(table, key, tag):
+            m = em._mentions_df(spark, f"/root/testdata/{sf}", table, key).select(
+                F.concat(
+                    F.lit(tag),
+                    F.lpad(F.col("mention_id").cast("string"), 8, "0"),
+                ).alias("rec_id"),
+                "line1", "line2", "postal_code", "city_name",
+                "country_code", "subdivision_code",
+            )
+            return with_block_key(normalize_mentions(m))
+
+        pairs = ccp(
+            side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")
+        ).toPandas()
+        scores = score_batch(
+            pairs["line1_a"].to_numpy(dtype=object),
+            pairs["line1_b"].to_numpy(dtype=object),
+            pairs["city_name_a"].to_numpy(dtype=object),
+            pairs["city_name_b"].to_numpy(dtype=object),
+            pairs["postal_code_a"].to_numpy(dtype=object),
+            pairs["postal_code_b"].to_numpy(dtype=object),
+            threshold=0.0,
+        )
+        margin = np.abs(scores - 0.82).min()
+        assert margin > 1e-6, (sf, margin)
