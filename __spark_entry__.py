@@ -1514,7 +1514,11 @@ def _q_link_two_datasets(spark, sf_dir):
             "line1", "line2", "postal_code", "city_name",
             "country_code", "subdivision_code",
         )
-        return with_block_key(normalize_mentions(m))
+        # persist: each side's normalize-UDF chain is referenced by the
+        # hot-key histogram plus the normal/salted join branches
+        # (pipeline.py:186 precedent — without it the Arrow chain
+        # recomputes per plan reference).
+        return with_block_key(normalize_mentions(m)).persist()
 
     edges = link_datasets(
         side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")

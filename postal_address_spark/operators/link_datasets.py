@@ -13,6 +13,11 @@ records.  `best_links` then keeps each A record's single best B match
 (deterministic argmax: max score, ties broken by min rec_id_b — the same
 min(struct) one-aggregation idiom as survivorship, no window sort).
 
+Callers should pass MATERIALIZED blocked inputs (persist / checkpoint —
+pipeline.py:186 precedent): each side is referenced by the hot-key
+histogram plus both join branches, and an unmaterialized normalize-UDF
+chain would recompute per reference.
+
 Scale shape: one shuffled equi-join on (block_key, house number) with the
 same explicit hot-key defense as the self-join path — per-key pair volume
 is count_A(k) * count_B(k), so keys whose A-side count exceeds

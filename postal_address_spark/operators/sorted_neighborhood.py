@@ -56,9 +56,14 @@ def global_rank(
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
 
     # Per-range local rank: the window partitions BY _pid, so every task
-    # sorts only its own contiguous key range.
+    # sorts only its own contiguous key range.  The frame is persisted
+    # because it is referenced by the offset-count job AND by both sides
+    # of the downstream pair join (3 plan references) — and, more
+    # importantly, a cached frame guarantees the two executions see the
+    # SAME range boundaries even if a caller ever passes a
+    # nondeterministic plan (pipeline.py:186 precedent).
     w = Window.partitionBy("_pid").orderBy(key_col, id_col)
-    local = ranged.withColumn("_local_rank", F.row_number().over(w))
+    local = ranged.withColumn("_local_rank", F.row_number().over(w)).persist()
 
     counts = {
         r["_pid"]: r["n"]

@@ -170,6 +170,43 @@ def main() -> None:
             em.queries()["length_dispersion"](spark, SF),
         ),
         (
+            "fs_pattern_counts — codegen gammas + map-side partial agg",
+            "Look for: the gamma discretisation as CASE WHEN expressions "
+            "inside WholeStageCodegen (after the single explain-kernel "
+            "Arrow node), then partial + final HashAggregate around one "
+            "Exchange — the EM sufficient statistics reduce to <= 18 rows "
+            "per task before the shuffle.",
+            em.queries()["fs_pattern_counts"](spark, SF),
+        ),
+        (
+            "snm_pairs — distributed rank + bucketed window join",
+            "Look for: every Window node partitioned by the range-partition "
+            "id (`windowspecdefinition(_pid, ...)` — never an empty "
+            "partition spec, which would sort the corpus in ONE task), the "
+            "RangePartitioning Exchange feeding it, and the w-window pair "
+            "join as a plain equi-join on the rank bucket (no "
+            "CartesianProduct/BNLJ).",
+            em.queries()["snm_pairs"](spark, SF),
+        ),
+        (
+            "link_two_datasets — cross-dataset salted join, cached sides",
+            "Look for: the two-branch Union (normal cross equi-join + "
+            "salted hot route) with the broadcast hot-key flag on BOTH "
+            "sides; exactly THREE ArrowEvalPython nodes — one normalize "
+            "chain per side, each computed ONCE into a persisted frame "
+            "(InMemoryTableScan at every other reference), plus the same "
+            "production scoring kernel as the dedup path.",
+            em.queries()["link_two_datasets"](spark, SF),
+        ),
+        (
+            "tf_city_evidence — broadcast vocabulary join",
+            "Look for: BroadcastHashJoin on the agreed value (the "
+            "term-frequency table is vocabulary-scale, and broadcasting "
+            "also absorbs hot-value pair skew that a shuffled join would "
+            "send to one task).",
+            em.queries()["tf_city_evidence"](spark, SF),
+        ),
+        (
             "phonetic_blocking_stats — pure-codegen soundex key",
             "Look for: zero ArrowEvalPython/BatchEvalPython nodes — "
             "soundex + regexp_extract are JVM expressions inside "
