@@ -1493,6 +1493,70 @@ def _q_fs_em_weights(spark, sf_dir):
     return params_df(spark, params).orderBy("comparison", "gamma")
 
 
+def _q_blocking_rule_coverage(spark, sf_dir):
+    """Blocking-rule coverage analysis (operators/blocking_analysis.py —
+    Splink's cumulative-comparisons chart): per rule (refined exact key,
+    phonetic city key, SNM window-4), the candidate-pair count, the pairs
+    no earlier rule produced, and the cumulative distinct total.  One
+    shuffle on the pair key for the whole analysis; all-integer output,
+    replayed exactly by the DuckDB oracle (same three rule definitions)."""
+    from postal_address_spark.operators.blocking import (
+        with_block_key,
+        with_phonetic_block_key,
+    )
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_analysis,
+        key_pairs,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    # persist: the normalize chain feeds all three rule pair streams
+    # (pipeline.py:186 precedent).
+    norm = with_phonetic_block_key(with_block_key(normalize_mentions(m))).persist()
+    refined = norm.withColumn(
+        "refined_key",
+        F.when(
+            F.col("block_key").isNotNull(),
+            F.concat_ws(
+                "#", F.col("block_key"),
+                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+            ),
+        ),
+    )
+    snm_keyed = norm.select(
+        "rec_id",
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("top_country"), F.lit("")),
+            F.coalesce(F.col("postal_code"), F.lit("")),
+            F.coalesce(F.col("line1"), F.lit("")),
+        ).alias("snm_key"),
+    )
+    snm = sorted_neighborhood_pairs(snm_keyed, "snm_key", "rec_id", window=4)
+    rules = [
+        ("exact_postal_hn", key_pairs(refined, "refined_key", "rec_id")),
+        ("phonetic_city", key_pairs(norm, "phonetic_key", "rec_id")),
+        (
+            "snm_window4",
+            snm.select(
+                F.least("id_a", "id_b").alias("rec_id_a"),
+                F.greatest("id_a", "id_b").alias("rec_id_b"),
+            ),
+        ),
+    ]
+    return blocking_rule_analysis(rules)
+
+
 def _q_link_two_datasets(spark, sf_dir):
     """Two-dataset linkage (operators/link_datasets.py — Splink's
     link_only mode): customer mentions linked against a second mention
@@ -1662,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
+        "blocking_rule_coverage": _q_blocking_rule_coverage,
     }
 
 
@@ -3056,6 +3121,80 @@ def oracle_sql() -> dict[str, str]:
     WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
                  + 0.15 * {jw('xc', 'yc')}) >= 0.82
     ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- blocking_rule_coverage: the three rule pair sets re-derived
+    # (refined exact join, soundex key join, row_number SNM window), then
+    # the same first-rule assignment + integer tallies.
+    sql["blocking_rule_coverage"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    ids AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1, city_name, postal_code, top_country
+      FROM norm
+    ),
+    blocked AS (
+      SELECT rec_id,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM ids
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    p1 AS (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    ph AS (
+      SELECT rec_id,
+             top_country || '|' || {_sql_soundex("regexp_extract(city_name, '[A-Za-z]+', 0)")} AS pkey
+      FROM ids
+      WHERE top_country IS NOT NULL
+        AND regexp_extract(city_name, '[A-Za-z]+', 0) IS NOT NULL
+        AND regexp_extract(city_name, '[A-Za-z]+', 0) <> ''
+    ),
+    p2 AS (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM ph a JOIN ph b ON a.pkey = b.pkey AND a.rec_id < b.rec_id
+    ),
+    keyed AS (
+      SELECT rec_id,
+             coalesce(top_country, '') || '|' || coalesce(postal_code, '')
+               || '|' || coalesce(line1, '') AS snm_key
+      FROM ids
+    ),
+    ranked AS (
+      SELECT rec_id, row_number() OVER (ORDER BY snm_key, rec_id) AS r
+      FROM keyed
+    ),
+    p3 AS (
+      SELECT least(a.rec_id, b.rec_id) AS s,
+             greatest(a.rec_id, b.rec_id) AS d
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4
+    ),
+    ap AS (
+      SELECT s, d, 0 AS r FROM p1
+      UNION ALL SELECT s, d, 1 FROM p2
+      UNION ALL SELECT s, d, 2 FROM p3
+    ),
+    firsts AS (SELECT s, d, min(r) AS fr FROM ap GROUP BY s, d),
+    news AS (SELECT fr, count(*) AS n_new FROM firsts GROUP BY fr),
+    tots AS (SELECT r, count(*) AS n_pairs FROM ap GROUP BY r),
+    names AS (
+      SELECT * FROM (VALUES
+        (0, 'exact_postal_hn'), (1, 'phonetic_city'), (2, 'snm_window4')
+      ) AS v(rule_idx, rule)
+    )
+    SELECT n.rule, CAST(n.rule_idx AS INT) AS rule_idx,
+           CAST(coalesce(t.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new_pairs,
+           CAST(sum(coalesce(w.n_new, 0))
+                OVER (ORDER BY n.rule_idx) AS BIGINT) AS n_cumulative
+    FROM names n
+    LEFT JOIN tots t ON n.rule_idx = t.r
+    LEFT JOIN news w ON n.rule_idx = w.fr
+    ORDER BY n.rule_idx
     """
 
     # -- tf_city_evidence: per-pair term-frequency evidence, all-integer

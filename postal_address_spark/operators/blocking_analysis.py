@@ -1,0 +1,115 @@
+"""Blocking-rule coverage analysis (Splink's cumulative-comparisons chart).
+
+Multi-pass blocking UNIONS candidate sets from several rules; before
+running a linkage job at scale you need to know what each rule costs and
+what it ADDS: per rule, the candidate-pair count, the count of pairs no
+earlier rule produced, the cumulative distinct total — plus how many
+records each rule leaves blocked-into-nothing (the unlinkable-by-blocking
+population).
+
+Scale shape: the whole analysis is ONE shuffle on the pair key.  Every
+rule's pair stream is tagged with its rule index and unioned; a single
+``groupBy(pair).min(rule_idx)`` assigns each distinct pair to the first
+rule that found it (map-side partial aggregation collapses duplicates
+before the shuffle), and the per-rule tallies then reduce over that
+assignment.  Nothing is re-joined per rule pair-set (the naive k-way
+anti-join chain would shuffle the candidate volume k times), and the
+final k-row frame is driver-trivial.  All outputs are exact integers —
+the DuckDB oracle replays the counts bit-for-bit.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Records -> within-key candidate pairs (id order normalised,
+    ``id_a < id_b``), NULL keys abstaining.  Plain equi self-join — the
+    analysis measures what a rule WOULD generate, so it deliberately
+    mirrors the unguarded rule; hot keys show up as exactly the large
+    counts the analysis exists to surface."""
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), F.col(id_col).alias("_id")
+    )
+    a = keyed.select("_k", F.col("_id").alias("rec_id_a"))
+    b = keyed.select("_k", F.col("_id").alias("rec_id_b"))
+    return (
+        a.join(b, "_k")
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select("rec_id_a", "rec_id_b")
+    )
+
+
+def blocking_rule_analysis(
+    rules: Sequence[Tuple[str, DataFrame]],
+) -> DataFrame:
+    """[(rule_name, pair_df)] -> one row per rule:
+    ``rule, rule_idx, n_pairs, n_new_pairs, n_cumulative``.
+
+    ``n_new_pairs`` credits each distinct pair to the FIRST rule (list
+    order) that produced it; ``n_cumulative`` is the distinct-pair total
+    of rules 1..i.  Pair frames must carry rec_id_a < rec_id_b (as
+    :func:`key_pairs` and `sorted_neighborhood_pairs` emit)."""
+    if not rules:
+        raise ValueError("at least one blocking rule required")
+    tagged = None
+    for i, (_, pairs) in enumerate(rules):
+        t = pairs.select(
+            "rec_id_a", "rec_id_b", F.lit(i).alias("rule_idx")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    firsts = tagged.groupBy("rec_id_a", "rec_id_b").agg(
+        F.min("rule_idx").alias("first_rule")
+    )
+    news = firsts.groupBy("first_rule").agg(
+        F.count(F.lit(1)).alias("n_new_pairs")
+    )
+    totals = tagged.groupBy("rule_idx").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+    spark = tagged.sparkSession
+    names = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules)],
+        "rule_idx int, rule string",
+    )
+    out = (
+        names.join(totals, "rule_idx", "left")
+        .join(
+            news.withColumnRenamed("first_rule", "rule_idx"), "rule_idx", "left"
+        )
+        .select(
+            "rule",
+            "rule_idx",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_new_pairs", F.lit(0)).cast("long").alias("n_new_pairs"),
+        )
+    )
+    # running cumulative over the k-row result — the window is over the
+    # rule list (a handful of rows), not data.
+    w = Window.orderBy("rule_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        "n_cumulative", F.sum("n_new_pairs").over(w).cast("long")
+    ).orderBy("rule_idx")
+
+
+def unblocked_records(
+    records: DataFrame, id_col: str, rules: Sequence[Tuple[str, DataFrame]]
+) -> DataFrame:
+    """Records that NO rule pairs with anything — the population blocking
+    alone leaves unlinkable (they can only ever be singleton clusters).
+    One union + distinct + anti-join."""
+    ids: List[DataFrame] = []
+    for _, pairs in rules:
+        ids.append(pairs.select(F.col("rec_id_a").alias("_id")))
+        ids.append(pairs.select(F.col("rec_id_b").alias("_id")))
+    covered = ids[0]
+    for d in ids[1:]:
+        covered = covered.unionByName(d)
+    return records.select(F.col(id_col).alias("rec_id")).join(
+        covered.distinct().withColumnRenamed("_id", "rec_id"),
+        "rec_id",
+        "left_anti",
+    )

@@ -1,0 +1,79 @@
+"""Blocking-rule coverage analysis (operators/blocking_analysis.py).
+
+The driver grades blocking_rule_coverage against a DuckDB replay of the
+three production rules (hash match, all-integer); this file pins the
+combinators themselves on hand-checkable inputs.
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from postal_address_spark.operators.blocking_analysis import (  # noqa: E402
+    blocking_rule_analysis,
+    key_pairs,
+    unblocked_records,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "rec_id_a string, rec_id_b string")
+
+
+def test_key_pairs_basic(spark):
+    df = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("d", "k2"), ("e", None)],
+        "rid string, key string",
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in key_pairs(df, "key", "rid").collect()
+    }
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_first_rule_assignment_and_cumulative(spark):
+    r1 = _pairs(spark, [("a", "b"), ("c", "d")])
+    r2 = _pairs(spark, [("a", "b"), ("e", "f"), ("c", "d")])
+    r3 = _pairs(spark, [("e", "f"), ("g", "h")])
+    out = blocking_rule_analysis([("r1", r1), ("r2", r2), ("r3", r3)]).collect()
+    got = {
+        r["rule"]: (r["n_pairs"], r["n_new_pairs"], r["n_cumulative"])
+        for r in out
+    }
+    assert got == {
+        "r1": (2, 2, 2),   # both pairs novel
+        "r2": (3, 1, 3),   # only (e,f) new
+        "r3": (2, 1, 4),   # only (g,h) new
+    }
+    assert [r["rule_idx"] for r in out] == [0, 1, 2]
+
+
+def test_rule_with_no_new_pairs_reports_zero(spark):
+    r1 = _pairs(spark, [("a", "b")])
+    r2 = _pairs(spark, [("a", "b")])
+    got = {
+        r["rule"]: (r["n_pairs"], r["n_new_pairs"], r["n_cumulative"])
+        for r in blocking_rule_analysis([("r1", r1), ("r2", r2)]).collect()
+    }
+    assert got == {"r1": (1, 1, 1), "r2": (1, 0, 1)}
+
+
+def test_empty_rules_rejected(spark):
+    with pytest.raises(ValueError):
+        blocking_rule_analysis([])
+
+
+def test_unblocked_records(spark):
+    records = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "rid string"
+    )
+    r1 = _pairs(spark, [("a", "b")])
+    r2 = _pairs(spark, [("b", "c")])
+    got = {
+        r["rec_id"]
+        for r in unblocked_records(records, "rid", [("r1", r1), ("r2", r2)]).collect()
+    }
+    assert got == {"z"}
