@@ -1493,21 +1493,16 @@ def _q_fs_em_weights(spark, sf_dir):
     return params_df(spark, params).orderBy("comparison", "gamma")
 
 
-def _q_blocking_rule_coverage(spark, sf_dir):
-    """Blocking-rule coverage analysis (operators/blocking_analysis.py —
-    Splink's cumulative-comparisons chart): per rule (refined exact key,
-    phonetic city key, SNM window-4), the candidate-pair count, the pairs
-    no earlier rule produced, and the cumulative distinct total.  One
-    shuffle on the pair key for the whole analysis; all-integer output,
-    replayed exactly by the DuckDB oracle (same three rule definitions)."""
+def _blocking_rules(spark, sf_dir):
+    """Shared construction of the three production blocking-rule pair
+    streams over normalized customer mentions.  Returns (norm, rules);
+    norm is persisted — it feeds every rule's pair generation
+    (pipeline.py:186 precedent)."""
     from postal_address_spark.operators.blocking import (
         with_block_key,
         with_phonetic_block_key,
     )
-    from postal_address_spark.operators.blocking_analysis import (
-        blocking_rule_analysis,
-        key_pairs,
-    )
+    from postal_address_spark.operators.blocking_analysis import key_pairs
     from postal_address_spark.operators.normalize_op import normalize_mentions
     from postal_address_spark.operators.sorted_neighborhood import (
         sorted_neighborhood_pairs,
@@ -1520,8 +1515,6 @@ def _q_blocking_rule_coverage(spark, sf_dir):
         "line1", "line2", "postal_code", "city_name",
         "country_code", "subdivision_code",
     )
-    # persist: the normalize chain feeds all three rule pair streams
-    # (pipeline.py:186 precedent).
     norm = with_phonetic_block_key(with_block_key(normalize_mentions(m))).persist()
     refined = norm.withColumn(
         "refined_key",
@@ -1554,7 +1547,42 @@ def _q_blocking_rule_coverage(spark, sf_dir):
             ),
         ),
     ]
+    return norm, rules
+
+
+def _q_blocking_rule_coverage(spark, sf_dir):
+    """Blocking-rule coverage analysis (operators/blocking_analysis.py —
+    Splink's cumulative-comparisons chart): per rule (refined exact key,
+    phonetic city key, SNM window-4), the candidate-pair count, the pairs
+    no earlier rule produced, and the cumulative distinct total.  One
+    shuffle on the pair key for the whole analysis; all-integer output,
+    replayed exactly by the DuckDB oracle (same three rule definitions)."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_analysis,
+    )
+
+    _, rules = _blocking_rules(spark, sf_dir)
     return blocking_rule_analysis(rules)
+
+
+def _q_unblocked_mentions(spark, sf_dir):
+    """The blocked-into-nothing population (operators/blocking_analysis
+    unblocked_records): mentions NO blocking rule pairs with anything —
+    under multi-pass blocking these can only ever be singleton clusters,
+    so they are the linkage run's unlinkable-by-blocking report (Splink's
+    unlinkables chart, membership form).  Measured against the KEYED
+    rules only (exact + phonetic, which abstain on missing fields) — the
+    SNM window pass pairs every record with its rank neighbours by
+    construction, so it never leaves anyone unblocked and would make the
+    report vacuous.  Union + distinct + anti-join; oracle replays both
+    rules and the NOT-IN set."""
+    from postal_address_spark.operators.blocking_analysis import (
+        unblocked_records,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir)
+    keyed_rules = [r for r in rules if r[0] != "snm_window4"]
+    return unblocked_records(norm, "rec_id", keyed_rules).orderBy("rec_id")
 
 
 def _q_link_two_datasets(spark, sf_dir):
@@ -1727,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
+        "unblocked_mentions": _q_unblocked_mentions,
     }
 
 
@@ -3126,8 +3155,7 @@ def oracle_sql() -> dict[str, str]:
     # -- blocking_rule_coverage: the three rule pair sets re-derived
     # (refined exact join, soundex key join, row_number SNM window), then
     # the same first-rule assignment + integer tallies.
-    sql["blocking_rule_coverage"] = f"""
-    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    _bcov_prefix = f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
     ids AS MATERIALIZED (
       SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
              line1, city_name, postal_code, top_country
@@ -3172,7 +3200,10 @@ def oracle_sql() -> dict[str, str]:
       SELECT least(a.rec_id, b.rec_id) AS s,
              greatest(a.rec_id, b.rec_id) AS d
       FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4
-    ),
+    )"""
+
+    sql["blocking_rule_coverage"] = f"""
+    WITH {_bcov_prefix},
     ap AS (
       SELECT s, d, 0 AS r FROM p1
       UNION ALL SELECT s, d, 1 FROM p2
@@ -3195,6 +3226,21 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- unblocked_mentions: the NOT-IN complement of the KEYED rule pair
+    # sets (Splink's unlinkables population, membership form; the SNM
+    # pass never abstains, so it is excluded by definition).
+    sql["unblocked_mentions"] = f"""
+    WITH {_bcov_prefix},
+    pid AS (
+      SELECT s AS rec_id FROM p1 UNION SELECT d FROM p1
+      UNION SELECT s FROM p2 UNION SELECT d FROM p2
+    )
+    SELECT i.rec_id
+    FROM ids i LEFT JOIN pid p ON i.rec_id = p.rec_id
+    WHERE p.rec_id IS NULL
+    ORDER BY i.rec_id
     """
 
     # -- tf_city_evidence: per-pair term-frequency evidence, all-integer

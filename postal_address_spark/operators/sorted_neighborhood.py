@@ -73,11 +73,18 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    # Literal CASE over <= #partitions arms (model-state scale, not data).
-    offset_expr = F.lit(0)
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
+    # Broadcast literal-map lookup: one str_to_map literal regardless of
+    # partition count (engine rule: >200-arm when-chains cost O(N) py4j
+    # calls at plan build — map_lookup_col folds to a single map literal).
+    from ..functions import map_lookup_col
 
+    offset_expr = F.coalesce(
+        map_lookup_col(
+            {str(pid): str(off) for pid, off in offsets.items()},
+            F.col("_pid").cast("string"),
+        ).cast("long"),
+        F.lit(0),
+    )
     return local.withColumn("rank", F.col("_local_rank") + offset_expr).drop(
         "_pid", "_local_rank"
     )

@@ -41,7 +41,7 @@ EXPECTED_QUERIES = {
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks",
     "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
-    "link_two_datasets", "blocking_rule_coverage",
+    "link_two_datasets", "blocking_rule_coverage", "unblocked_mentions",
 }
 
 

@@ -243,3 +243,31 @@ def test_golden_records_no_window_sort(spark):
     )
     plan = physical(golden_records(df, ["f1", "f2"]))
     assert "Window" not in plan, plan[:2000]
+
+
+def test_link_two_datasets_plan_shape(spark):
+    """Cross-dataset linkage: one normalize Arrow chain per (persisted)
+    side plus ONE scoring kernel — recomputation would show as extra
+    ArrowEvalPython nodes; the candidate join must never be a
+    cartesian/BNLJ."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["link_two_datasets"](spark, SF)
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    arrow_nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(arrow_nodes) <= 3, sorted(arrow_nodes)
+
+
+def test_tf_evidence_broadcasts_vocabulary(spark):
+    """The term-frequency join must broadcast the vocabulary-scale tf
+    table (a shuffled join would send every hot common value's pairs to
+    one task)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tf_city_evidence"](spark, SF)
+    plan = physical(df)
+    assert "BroadcastHashJoin" in plan
