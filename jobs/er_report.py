@@ -1,0 +1,174 @@
+"""Linkage model-quality report job — the ``spark-submit`` deploy surface
+for the diagnostic layer (the artifacts an ER practitioner reviews BEFORE
+and AFTER committing a full linkage run):
+
+* **blocking-rule coverage** (Splink's cumulative-comparisons chart):
+  per rule the candidate-pair volume, first-rule-credited new pairs and
+  the cumulative distinct total — what each pass costs and adds;
+* **unblocked records**: the population no abstaining rule pairs with
+  anything (unlinkable-by-blocking — singleton clusters by construction);
+* **Fellegi-Sunter model fit**: comparison-pattern sufficient statistics
+  (one aggregation) + EM-learned m/u probabilities and log2 Bayes factors;
+* **term-frequency profile** of the city column (value counts + the
+  column-agreement mass the TF adjustment divides by).
+
+Package the engine and submit::
+
+    (cd /root/repo && zip -qr engine.zip postal_address_spark)
+    spark-submit --py-files engine.zip jobs/er_report.py \
+        --input  <transcripts>    # parquet path or Iceberg table ref \
+        --output-root <dir>       # writes coverage/ unblocked/ \
+                                  #   fs_patterns/ fs_params/ city_tf/ \
+        [--snm-window 4] [--threshold 0.82]
+
+No ``master`` is set — the cluster manager provides it.  Cost profile:
+the normalize chain runs once (persisted), the coverage analysis is one
+shuffle on the pair key, the FS fit is one aggregation plus a driver-side
+EM over <= 18 rows, and the TF profile is one vocabulary-scale
+aggregation — strictly cheaper than the linkage run it de-risks.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="postal-address-spark ER model report")
+    p.add_argument("--input", required=True, help="transcripts table (parquet path or iceberg ref)")
+    p.add_argument("--output-root", required=True, help="report destination dir")
+    p.add_argument("--snm-window", type=int, default=4)
+    p.add_argument("--threshold", type=float, default=0.82)
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("postal-address-er-report")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking import (
+        with_block_key,
+        with_phonetic_block_key,
+    )
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_analysis,
+        key_pairs,
+        unblocked_records,
+    )
+    from postal_address_spark.operators.extract import extract_mentions
+    from postal_address_spark.operators.fs_em import (
+        comparison_vectors,
+        em_fit_df,
+        params_df,
+        pattern_counts,
+        term_frequency_table,
+        tf_column_stats,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import explain_pairs
+    from postal_address_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+    from postal_address_spark.sources.io import read_table, write_table
+
+    transcripts = read_table(spark, args.input)
+    mentions = extract_mentions(transcripts)
+    # one normalize pass feeds every report surface (pipeline.py:186)
+    norm = with_phonetic_block_key(
+        with_block_key(normalize_mentions(mentions))
+    ).persist()
+    n_mentions = norm.count()
+
+    # ---- blocking-rule coverage + unblocked population
+    refined = norm.withColumn(
+        "refined_key",
+        F.when(
+            F.col("block_key").isNotNull(),
+            F.concat_ws(
+                "#", F.col("block_key"),
+                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+            ),
+        ),
+    )
+    snm_keyed = norm.select(
+        "rec_id",
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("top_country"), F.lit("")),
+            F.coalesce(F.col("postal_code"), F.lit("")),
+            F.coalesce(F.col("line1"), F.lit("")),
+        ).alias("snm_key"),
+    )
+    snm = sorted_neighborhood_pairs(
+        snm_keyed, "snm_key", "rec_id", window=args.snm_window
+    )
+    rules = [
+        ("exact_postal_hn", key_pairs(refined, "refined_key", "rec_id")),
+        ("phonetic_city", key_pairs(norm, "phonetic_key", "rec_id")),
+        (
+            f"snm_window{args.snm_window}",
+            snm.select(
+                F.least("id_a", "id_b").alias("rec_id_a"),
+                F.greatest("id_a", "id_b").alias("rec_id_b"),
+            ),
+        ),
+    ]
+    root = args.output_root.rstrip("/")
+    coverage = blocking_rule_analysis(rules)
+    write_table(coverage, f"{root}/coverage")
+    # unblocked vs the abstaining keyed rules (SNM never abstains)
+    unblocked = unblocked_records(norm, "rec_id", rules[:2])
+    write_table(unblocked, f"{root}/unblocked")
+
+    # ---- Fellegi-Sunter fit over the production candidate pairs
+    explained = explain_pairs(candidate_pairs(norm, threshold=args.threshold))
+    patterns = pattern_counts(comparison_vectors(explained))
+    write_table(patterns, f"{root}/fs_patterns")
+    params = em_fit_df(spark.read.parquet(f"{root}/fs_patterns"))
+    write_table(params_df(spark, params), f"{root}/fs_params")
+
+    # ---- term-frequency profile (city)
+    tf = term_frequency_table(norm, "city_name")
+    write_table(tf, f"{root}/city_tf")
+    n_total, sum_sq = tf_column_stats(spark.read.parquet(f"{root}/city_tf"))
+
+    cov_rows = {
+        r["rule"]: {
+            "n_pairs": r["n_pairs"],
+            "n_new_pairs": r["n_new_pairs"],
+            "n_cumulative": r["n_cumulative"],
+        }
+        for r in spark.read.parquet(f"{root}/coverage").collect()
+    }
+    summary = {
+        "input": args.input,
+        "n_mentions": int(n_mentions),
+        "coverage": cov_rows,
+        "n_unblocked": int(spark.read.parquet(f"{root}/unblocked").count()),
+        "fs_lambda": params.lam,
+        "fs_prior_log2_odds": params.prior_log2_odds,
+        "city_tf": {
+            "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),
+            "n_total": n_total,
+            "agree_mass_num": sum_sq,
+        },
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

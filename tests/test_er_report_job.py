@@ -1,0 +1,49 @@
+"""jobs/er_report.py — the model-quality report deploy surface: runs
+end-to-end on a parquet transcript table and writes the four report
+artifacts with an internally consistent summary."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_er_report_job_end_to_end(spark, tmp_path):
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    root = str(tmp_path / "report")
+    synth_transcripts_spark(spark, seed=11, n_convs=80, n_entities=30).write.parquet(inp)
+
+    summary = er_report.main(["--input", inp, "--output-root", root], spark=spark)
+
+    assert summary["n_mentions"] > 0
+    cov = summary["coverage"]
+    assert set(cov) == {"exact_postal_hn", "phonetic_city", "snm_window4"}
+    # first rule's new == its pair count; cumulative is monotone and ends
+    # at the distinct union size
+    assert cov["exact_postal_hn"]["n_new_pairs"] == cov["exact_postal_hn"]["n_pairs"]
+    cums = [cov[r]["n_cumulative"] for r in
+            ("exact_postal_hn", "phonetic_city", "snm_window4")]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(cov[r]["n_new_pairs"] for r in cov)
+
+    # FS fit: a valid prior and 8 parameter rows with finite weights
+    assert 0.0 < summary["fs_lambda"] < 1.0
+    params = spark.read.parquet(f"{root}/fs_params").collect()
+    assert len(params) == 8
+    assert all(abs(r["log2_bf"]) < 60 for r in params)
+
+    # TF profile consistency: totals re-derivable from the written table
+    tf = spark.read.parquet(f"{root}/city_tf").collect()
+    assert summary["city_tf"]["n_values"] == len(tf)
+    assert summary["city_tf"]["n_total"] == sum(r["n_value"] for r in tf)
+    assert summary["city_tf"]["agree_mass_num"] == sum(
+        r["n_value"] ** 2 for r in tf
+    )
+
+    # unblocked population is a subset of all mentions
+    assert 0 <= summary["n_unblocked"] < summary["n_mentions"]
