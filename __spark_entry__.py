@@ -1493,20 +1493,22 @@ def _q_fs_em_weights(spark, sf_dir):
     return params_df(spark, params).orderBy("comparison", "gamma")
 
 
-def _blocking_rules(spark, sf_dir):
-    """Shared construction of the three production blocking-rule pair
-    streams over normalized customer mentions.  Returns (norm, rules);
+def _blocking_rules(spark, sf_dir, include_snm=True):
+    """Shared construction of the production blocking-rule pair streams
+    over normalized customer mentions (delegates to the package-level
+    single source of truth, operators/blocking_analysis.py
+    standard_blocking_rules — the same definitions jobs/er_report.py
+    composes and the DuckDB oracle replays).  Returns (norm, rules);
     norm is persisted — it feeds every rule's pair generation
     (pipeline.py:186 precedent)."""
     from postal_address_spark.operators.blocking import (
         with_block_key,
         with_phonetic_block_key,
     )
-    from postal_address_spark.operators.blocking_analysis import key_pairs
-    from postal_address_spark.operators.normalize_op import normalize_mentions
-    from postal_address_spark.operators.sorted_neighborhood import (
-        sorted_neighborhood_pairs,
+    from postal_address_spark.operators.blocking_analysis import (
+        standard_blocking_rules,
     )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
 
     m = _mentions_df(spark, sf_dir).select(
         F.concat(
@@ -1516,38 +1518,7 @@ def _blocking_rules(spark, sf_dir):
         "country_code", "subdivision_code",
     )
     norm = with_phonetic_block_key(with_block_key(normalize_mentions(m))).persist()
-    refined = norm.withColumn(
-        "refined_key",
-        F.when(
-            F.col("block_key").isNotNull(),
-            F.concat_ws(
-                "#", F.col("block_key"),
-                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
-            ),
-        ),
-    )
-    snm_keyed = norm.select(
-        "rec_id",
-        F.concat_ws(
-            "|",
-            F.coalesce(F.col("top_country"), F.lit("")),
-            F.coalesce(F.col("postal_code"), F.lit("")),
-            F.coalesce(F.col("line1"), F.lit("")),
-        ).alias("snm_key"),
-    )
-    snm = sorted_neighborhood_pairs(snm_keyed, "snm_key", "rec_id", window=4)
-    rules = [
-        ("exact_postal_hn", key_pairs(refined, "refined_key", "rec_id")),
-        ("phonetic_city", key_pairs(norm, "phonetic_key", "rec_id")),
-        (
-            "snm_window4",
-            snm.select(
-                F.least("id_a", "id_b").alias("rec_id_a"),
-                F.greatest("id_a", "id_b").alias("rec_id_b"),
-            ),
-        ),
-    ]
-    return norm, rules
+    return norm, standard_blocking_rules(norm, include_snm=include_snm)
 
 
 def _q_blocking_rule_coverage(spark, sf_dir):
@@ -1580,9 +1551,10 @@ def _q_unblocked_mentions(spark, sf_dir):
         unblocked_records,
     )
 
-    norm, rules = _blocking_rules(spark, sf_dir)
-    keyed_rules = [r for r in rules if r[0] != "snm_window4"]
-    return unblocked_records(norm, "rec_id", keyed_rules).orderBy("rec_id")
+    # include_snm=False: the SNM rule would be discarded anyway, and
+    # building it costs an eager distributed-rank job.
+    norm, rules = _blocking_rules(spark, sf_dir, include_snm=False)
+    return unblocked_records(norm, "rec_id", rules).orderBy("rec_id")
 
 
 def _q_link_two_datasets(spark, sf_dir):
@@ -1618,6 +1590,38 @@ def _q_link_two_datasets(spark, sf_dir):
     return edges.select("rec_id_a", "rec_id_b").orderBy("rec_id_a", "rec_id_b")
 
 
+def _q_link_best_matches(spark, sf_dir):
+    """Best-match-per-record over the two-dataset linkage
+    (operators/link_datasets.py best_links): for every A mention with at
+    least one above-threshold B match, its single best match — argmax as
+    ONE map-side-combinable min(struct(-score, rec_id_b)) aggregation (no
+    window sort).  Both engines argmax on the ROUND-6 score with a
+    rec_id_b tie-break; the top-2 gap / rounding-boundary margins are
+    guarded by tests/test_link_datasets.py::test_best_match_margins."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.link_datasets import (
+        best_links,
+        link_datasets,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    def side(table, key, tag):
+        m = _mentions_df(spark, sf_dir, table, key).select(
+            F.concat(
+                F.lit(tag), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        return with_block_key(normalize_mentions(m)).persist()
+
+    edges = link_datasets(
+        side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")
+    )
+    best = best_links(edges.withColumn("score", F.round("score", 6)))
+    return best.select("rec_id_a", "rec_id_b", "score").orderBy("rec_id_a")
+
+
 def _q_tf_city_evidence(spark, sf_dir):
     """Term-frequency adjustment evidence (operators/fs_em.py, Splink's
     tf_adjustment): for every refined candidate pair, the exactly-agreed
@@ -1642,8 +1646,11 @@ def _q_tf_city_evidence(spark, sf_dir):
         "line1", "line2", "postal_code", "city_name",
         "country_code", "subdivision_code",
     )
-    norm = normalize_mentions(m)
-    pairs = candidate_pairs(with_block_key(norm))
+    # persist: norm feeds the tf aggregation (executed eagerly via the
+    # column-stats collect), the broadcast tf join, and candidate_pairs'
+    # histogram + both self-join sides (pipeline.py:186 precedent).
+    norm = with_block_key(normalize_mentions(m)).persist()
+    pairs = candidate_pairs(norm)
     tf = term_frequency_table(norm, "city_name")
     return tf_adjustment_evidence(pairs, tf, "city_name").orderBy(
         "rec_id_a", "rec_id_b"
@@ -1754,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
+        "link_best_matches": _q_link_best_matches,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "unblocked_mentions": _q_unblocked_mentions,
     }
@@ -3117,8 +3125,7 @@ def oracle_sql() -> dict[str, str]:
     # and the kernels are re-derived (same mirrored jw/tsl as er_link);
     # membership only needs score >= 0.82 to agree, margin-guarded by
     # tests/test_link_datasets.py::test_cross_scores_clear_of_threshold.
-    sql["link_two_datasets"] = f"""
-    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    _link_prefix = f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
     norm_b AS MATERIALIZED (
       {_oracle_er_normalize("supplier", "s_suppkey")}
     ),
@@ -3145,11 +3152,41 @@ def oracle_sql() -> dict[str, str]:
              {tskey('a.line1')} AS ta, {tskey('b.line1')} AS tb
       FROM ba a JOIN bb b
         ON a.block_key = b.block_key AND a.hn = b.hn
-    )
+    )"""
+    sql["link_two_datasets"] = f"""
+    WITH {_link_prefix}
     SELECT s AS rec_id_a, d AS rec_id_b FROM kern
     WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
                  + 0.15 * {jw('xc', 'yc')}) >= 0.82
     ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- link_best_matches: one best B match per A record.  Both engines
+    # argmax on the ROUND-6 score (1-ulp kernel agreement -> identical
+    # round-6 doubles away from rounding boundaries, which
+    # tests/test_link_datasets.py::test_best_match_margins guards), ties
+    # broken by min rec_id_b.
+    sql["link_best_matches"] = f"""
+    WITH {_link_prefix},
+    scored AS (
+      SELECT s, d,
+             0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
+                    + 0.15 * {jw('xc', 'yc')}) AS raw
+      FROM kern
+    ),
+    kept AS (
+      SELECT s, d, round(raw, 6) AS score FROM scored WHERE raw >= 0.82
+    ),
+    ranked AS (
+      SELECT s, d, score,
+             row_number() OVER (
+               PARTITION BY s ORDER BY score DESC, d
+             ) AS rn
+      FROM kept
+    )
+    SELECT s AS rec_id_a, d AS rec_id_b, score
+    FROM ranked WHERE rn = 1
+    ORDER BY rec_id_a
     """
 
     # -- blocking_rule_coverage: the three rule pair sets re-derived

@@ -64,7 +64,7 @@ def main(argv=None, spark=None) -> dict:
     )
     from postal_address_spark.operators.blocking_analysis import (
         blocking_rule_analysis,
-        key_pairs,
+        standard_blocking_rules,
         unblocked_records,
     )
     from postal_address_spark.operators.extract import extract_mentions
@@ -77,11 +77,11 @@ def main(argv=None, spark=None) -> dict:
         tf_column_stats,
     )
     from postal_address_spark.operators.normalize_op import normalize_mentions
-    from postal_address_spark.operators.pairs import candidate_pairs
-    from postal_address_spark.operators.scoring import explain_pairs
-    from postal_address_spark.operators.sorted_neighborhood import (
-        sorted_neighborhood_pairs,
+    from postal_address_spark.operators.pairs import (
+        REFINE_SAFE_THRESHOLD,
+        candidate_pairs,
     )
+    from postal_address_spark.operators.scoring import explain_pairs
     from postal_address_spark.sources.io import read_table, write_table
 
     transcripts = read_table(spark, args.input)
@@ -92,40 +92,15 @@ def main(argv=None, spark=None) -> dict:
     ).persist()
     n_mentions = norm.count()
 
-    # ---- blocking-rule coverage + unblocked population
-    refined = norm.withColumn(
-        "refined_key",
-        F.when(
-            F.col("block_key").isNotNull(),
-            F.concat_ws(
-                "#", F.col("block_key"),
-                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
-            ),
-        ),
+    # ---- blocking-rule coverage + unblocked population.  The exact rule
+    # mirrors the run being de-risked: candidate_pairs refines the key
+    # with the house number only above REFINE_SAFE_THRESHOLD, so the
+    # report must describe the same rule the linkage would execute.
+    rules = standard_blocking_rules(
+        norm,
+        snm_window=args.snm_window,
+        refine_house_number=args.threshold > REFINE_SAFE_THRESHOLD,
     )
-    snm_keyed = norm.select(
-        "rec_id",
-        F.concat_ws(
-            "|",
-            F.coalesce(F.col("top_country"), F.lit("")),
-            F.coalesce(F.col("postal_code"), F.lit("")),
-            F.coalesce(F.col("line1"), F.lit("")),
-        ).alias("snm_key"),
-    )
-    snm = sorted_neighborhood_pairs(
-        snm_keyed, "snm_key", "rec_id", window=args.snm_window
-    )
-    rules = [
-        ("exact_postal_hn", key_pairs(refined, "refined_key", "rec_id")),
-        ("phonetic_city", key_pairs(norm, "phonetic_key", "rec_id")),
-        (
-            f"snm_window{args.snm_window}",
-            snm.select(
-                F.least("id_a", "id_b").alias("rec_id_a"),
-                F.greatest("id_a", "id_b").alias("rec_id_b"),
-            ),
-        ),
-    ]
     root = args.output_root.rstrip("/")
     coverage = blocking_rule_analysis(rules)
     write_table(coverage, f"{root}/coverage")
@@ -133,12 +108,27 @@ def main(argv=None, spark=None) -> dict:
     unblocked = unblocked_records(norm, "rec_id", rules[:2])
     write_table(unblocked, f"{root}/unblocked")
 
-    # ---- Fellegi-Sunter fit over the production candidate pairs
+    # ---- Fellegi-Sunter fit over the production candidate pairs.  A
+    # zero-pair corpus is a legitimate report outcome (it is exactly the
+    # de-risking answer "blocking produces nothing"), not a crash: the
+    # fit is skipped and the params table written empty.
     explained = explain_pairs(candidate_pairs(norm, threshold=args.threshold))
     patterns = pattern_counts(comparison_vectors(explained))
     write_table(patterns, f"{root}/fs_patterns")
-    params = em_fit_df(spark.read.parquet(f"{root}/fs_patterns"))
-    write_table(params_df(spark, params), f"{root}/fs_params")
+    params = None
+    written_patterns = spark.read.parquet(f"{root}/fs_patterns")
+    if written_patterns.limit(1).count() > 0:
+        params = em_fit_df(written_patterns)
+        write_table(params_df(spark, params), f"{root}/fs_params")
+    else:
+        write_table(
+            spark.createDataFrame(
+                [],
+                "comparison string, gamma int, m double, u double,"
+                " log2_bf double",
+            ),
+            f"{root}/fs_params",
+        )
 
     # ---- term-frequency profile (city)
     tf = term_frequency_table(norm, "city_name")
@@ -158,8 +148,8 @@ def main(argv=None, spark=None) -> dict:
         "n_mentions": int(n_mentions),
         "coverage": cov_rows,
         "n_unblocked": int(spark.read.parquet(f"{root}/unblocked").count()),
-        "fs_lambda": params.lam,
-        "fs_prior_log2_odds": params.prior_log2_odds,
+        "fs_lambda": params.lam if params else None,
+        "fs_prior_log2_odds": params.prior_log2_odds if params else None,
         "city_tf": {
             "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),
             "n_total": n_total,

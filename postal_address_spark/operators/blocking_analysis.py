@@ -95,12 +95,81 @@ def blocking_rule_analysis(
     ).orderBy("rule_idx")
 
 
+def standard_blocking_rules(
+    norm: DataFrame,
+    snm_window: int = 4,
+    refine_house_number: bool = True,
+    include_snm: bool = True,
+) -> List[Tuple[str, DataFrame]]:
+    """The engine's three production blocking-rule pair streams over a
+    normalized+keyed mention frame (needs ``rec_id``, ``block_key``,
+    ``phonetic_key``, ``top_country``, ``postal_code``, ``line1``) — the
+    single source of truth for the rule definitions the coverage /
+    unlinkables reports describe (used by both the driver queries and
+    jobs/er_report.py; the DuckDB oracle replays these exact
+    definitions).  ``refine_house_number`` must mirror the linkage run
+    being de-risked: candidate_pairs refines only when its threshold
+    exceeds REFINE_SAFE_THRESHOLD.
+
+    ``include_snm=False`` skips the SNM pass entirely — it never abstains
+    (every record gets rank neighbours), so the unlinkables report
+    excludes it by definition, and building it costs an eager
+    distributed-rank job (global_rank's offset collect) that must not be
+    paid for a report that discards it.
+
+    Pass a PERSISTED frame: every rule's pair stream references it
+    (pipeline.py:186 precedent)."""
+    from .sorted_neighborhood import sorted_neighborhood_pairs
+
+    if refine_house_number:
+        exact_key = F.when(
+            F.col("block_key").isNotNull(),
+            F.concat_ws(
+                "#", F.col("block_key"),
+                F.coalesce(F.regexp_extract("line1", r"^(\d+)", 1), F.lit("")),
+            ),
+        )
+    else:
+        exact_key = F.col("block_key")
+    exact = norm.withColumn("_exact_key", exact_key)
+    rules = [
+        ("exact_postal_hn" if refine_house_number else "exact_postal",
+         key_pairs(exact, "_exact_key", "rec_id")),
+        ("phonetic_city", key_pairs(norm, "phonetic_key", "rec_id")),
+    ]
+    if include_snm:
+        snm_keyed = norm.select(
+            "rec_id",
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("top_country"), F.lit("")),
+                F.coalesce(F.col("postal_code"), F.lit("")),
+                F.coalesce(F.col("line1"), F.lit("")),
+            ).alias("snm_key"),
+        )
+        snm = sorted_neighborhood_pairs(
+            snm_keyed, "snm_key", "rec_id", snm_window
+        )
+        rules.append(
+            (
+                f"snm_window{snm_window}",
+                snm.select(
+                    F.least("id_a", "id_b").alias("rec_id_a"),
+                    F.greatest("id_a", "id_b").alias("rec_id_b"),
+                ),
+            )
+        )
+    return rules
+
+
 def unblocked_records(
     records: DataFrame, id_col: str, rules: Sequence[Tuple[str, DataFrame]]
 ) -> DataFrame:
     """Records that NO rule pairs with anything — the population blocking
     alone leaves unlinkable (they can only ever be singleton clusters).
     One union + distinct + anti-join."""
+    if not rules:
+        raise ValueError("at least one blocking rule required")
     ids: List[DataFrame] = []
     for _, pairs in rules:
         ids.append(pairs.select(F.col("rec_id_a").alias("_id")))

@@ -14,20 +14,27 @@ records.  `best_links` then keeps each A record's single best B match
 min(struct) one-aggregation idiom as survivorship, no window sort).
 
 Callers should pass MATERIALIZED blocked inputs (persist / checkpoint —
-pipeline.py:186 precedent): each side is referenced by the hot-key
-histogram plus both join branches, and an unmaterialized normalize-UDF
-chain would recompute per reference.
+pipeline.py:186 precedent): each side is referenced by the value
+collapse, the hot-key histogram and both join branches, and an
+unmaterialized normalize-UDF chain would recompute per reference.
 
-Scale shape: one shuffled equi-join on (block_key, house number) with the
-same explicit hot-key defense as the self-join path — per-key pair volume
-is count_A(k) * count_B(k), so keys whose A-side count exceeds
-``hot_threshold`` are salted (B fans out s ways, A's build rows split
-s-fold) with AQE skew-join as the statistical backstop.  The argmax is a
-map-side-combinable aggregation, not a window.
+Scale shape (engine rule 9 — score VALUES, not mentions): each side is
+first collapsed to one representative per distinct normalized
+(block_key, line1, city_name, postal_code) tuple; candidate generation
+and kernel scoring run over value pairs only, and mention-level edges
+are recovered by fanning each value edge back through the two sides'
+``val_id`` maps (the pair score is a pure function of the tuple, so the
+fan-out is exactly score-preserving).  An address mentioned k times in A
+and j times in B costs ONE kernel evaluation, not k*j.  The remaining
+join is one shuffled equi-join on (block_key, house number) with an
+explicit hot-key defense measured on BOTH sides' value counts — per-key
+pair volume is count_A(k) * count_B(k), so a key hot on EITHER side is
+salted (A's build rows split s-fold, B fans out s ways) with AQE
+skew-join as the statistical backstop.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .pairs import PAIR_FIELDS, REFINE_SAFE_THRESHOLD
@@ -46,6 +53,14 @@ def _keyed(blocked: DataFrame, threshold: float) -> DataFrame:
     return keyed.withColumn("join_key", join_key)
 
 
+def _with_value_id(df: DataFrame) -> DataFrame:
+    """val_id = min rec_id over the exact scoring tuple (pipeline.py's
+    "score values, not mentions" collapse); NULLs group together,
+    matching the scorer's null-safe equality."""
+    w = Window.partitionBy("block_key", "line1", "city_name", "postal_code")
+    return df.withColumn("val_id", F.min("rec_id").over(w))
+
+
 def cross_candidate_pairs(
     a_blocked: DataFrame,
     b_blocked: DataFrame,
@@ -53,21 +68,22 @@ def cross_candidate_pairs(
     hot_threshold: int = 20000,
     n_salt: int = 16,
 ) -> DataFrame:
-    """Blocked mention frames A, B -> cross-dataset candidate pairs
+    """Blocked frames A, B -> cross-dataset candidate pairs
     (block_key, <field>_a, <field>_b).  Only A x B pairs exist by
     construction; no ``<`` dedup predicate is needed (the sides are
     disjoint datasets, so (a, b) is already unique)."""
     a = _keyed(a_blocked, threshold)
     b = _keyed(b_blocked, threshold)
 
-    # Hot-key histogram on the A side (the side that multiplies): each
-    # B row under a hot key fans out over all salts, splitting the
-    # A-side build rows s-fold per task.  The histogram aggregate is
-    # tiny after reduction -> broadcast the flag to both sides.
+    # Hot keys measured on BOTH sides: per-key pair volume is nA * nB, so
+    # a key exceeding the threshold on EITHER side routes through the
+    # salted branch (the A build splits s-fold whichever side is large).
+    # Inner join: keys present on one side only produce no pairs.
+    ha = a.groupBy("join_key").agg(F.count(F.lit(1)).alias("_na"))
+    hb = b.groupBy("join_key").agg(F.count(F.lit(1)).alias("_nb"))
     hot_keys = (
-        a.groupBy("join_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > hot_threshold)
+        ha.join(hb, "join_key")
+        .where(F.greatest("_na", "_nb") > hot_threshold)
         .select("join_key")
         .withColumn("__hot", F.lit(True))
     )
@@ -113,12 +129,38 @@ def link_datasets(
     hot_threshold: int = 20000,
     n_salt: int = 16,
 ) -> DataFrame:
-    """A x B match edges: rec_id_a, rec_id_b, block_key, score — the
-    production scoring cascade over cross-dataset candidates."""
-    pairs = cross_candidate_pairs(
-        a_blocked, b_blocked, threshold, hot_threshold, n_salt
+    """A x B match edges: rec_id_a, rec_id_b, block_key, score.
+
+    Kernel work runs over distinct-value representatives only (module
+    docstring); mention edges are recovered by the val_id fan-out, score
+    unchanged (the score is a pure function of the collapsed tuple)."""
+    av_all = _with_value_id(a_blocked.where(F.col("block_key").isNotNull()))
+    bv_all = _with_value_id(b_blocked.where(F.col("block_key").isNotNull()))
+    values_a = av_all.where(F.col("rec_id") == F.col("val_id"))
+    values_b = bv_all.where(F.col("rec_id") == F.col("val_id"))
+
+    value_edges = score_pairs(
+        cross_candidate_pairs(
+            values_a, values_b, threshold, hot_threshold, n_salt
+        ),
+        threshold,
     )
-    return score_pairs(pairs, threshold)
+    ma = av_all.select(
+        F.col("val_id").alias("rec_id_a"), F.col("rec_id").alias("_ma")
+    )
+    mb = bv_all.select(
+        F.col("val_id").alias("rec_id_b"), F.col("rec_id").alias("_mb")
+    )
+    return (
+        value_edges.join(ma, "rec_id_a")
+        .join(mb, "rec_id_b")
+        .select(
+            F.col("_ma").alias("rec_id_a"),
+            F.col("_mb").alias("rec_id_b"),
+            "block_key",
+            "score",
+        )
+    )
 
 
 def best_links(edges: DataFrame) -> DataFrame:

@@ -17,8 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from postal_address_spark.operators import fs_em  # noqa: E402
 
-SF = "/root/testdata/sf0.001"
-
 TRUE_LAM = 0.2
 TRUE_M = {
     "line1_jw": [0.02, 0.08, 0.90],

@@ -91,6 +91,80 @@ def test_best_links_tie_breaks_min_rec_id(spark):
     ]
 
 
+def test_value_collapse_fans_out_all_mention_pairs(spark):
+    """Duplicate value tuples on both sides: kernel scoring runs once per
+    value pair, but every k*j mention pair must come back with the SAME
+    score (rule 9: the fan-out is exactly score-preserving)."""
+    a = _blocked(spark, A_ROWS + [("a5", "10 MAIN ST", "PARIS", "75008", "FR|75008")])
+    b = _blocked(spark, B_ROWS + [("b4", "10 MAIN ST", "PARIS", "75008", "FR|75008")])
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["score"]
+        for r in link_datasets(a, b, threshold=0.82).collect()
+    }
+    # a1 and a5 share a tuple; b1 and b4 share a tuple -> all 4 pairs, score 1.0
+    for pa in ("a1", "a5"):
+        for pb in ("b1", "b4"):
+            assert got[(pa, pb)] == 1.0
+    # a2 (distinct tuple) still matches both b-side duplicates equally
+    assert got[("a2", "b1")] == got[("a2", "b4")]
+
+
+def test_best_match_margins(spark):
+    """Guards the link_best_matches oracle's two float assumptions at
+    both gate scales: (1) every raw cross-pair score is far from a
+    round-6 rounding boundary (so 1-ulp kernel disagreement can't flip
+    the rounded value), and (2) within each A record's above-threshold
+    candidate set, the top-2 DISTINCT round-6 scores are well separated
+    (equal round-6 scores fall to the shared rec_id_b tie-break)."""
+    import __spark_entry__ as em
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.link_datasets import (
+        cross_candidate_pairs as ccp,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.scoring import score_batch
+
+    for sf in ("sf0.001", "sf0.01"):
+        def side(table, key, tag):
+            m = em._mentions_df(spark, f"/root/testdata/{sf}", table, key).select(
+                F.concat(
+                    F.lit(tag),
+                    F.lpad(F.col("mention_id").cast("string"), 8, "0"),
+                ).alias("rec_id"),
+                "line1", "line2", "postal_code", "city_name",
+                "country_code", "subdivision_code",
+            )
+            return with_block_key(normalize_mentions(m))
+
+        pairs = ccp(
+            side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")
+        ).toPandas()
+        scores = score_batch(
+            pairs["line1_a"].to_numpy(dtype=object),
+            pairs["line1_b"].to_numpy(dtype=object),
+            pairs["city_name_a"].to_numpy(dtype=object),
+            pairs["city_name_b"].to_numpy(dtype=object),
+            pairs["postal_code_a"].to_numpy(dtype=object),
+            pairs["postal_code_b"].to_numpy(dtype=object),
+            threshold=0.0,
+        )
+        # (1) rounding-boundary margin: distance of score*1e6 to the
+        # nearest .5 (the round-half boundary) must dwarf 1-ulp noise
+        frac = np.abs((scores * 1e6) % 1.0 - 0.5)
+        assert frac.min() > 1e-3, (sf, frac.min())
+        # (2) per-A-record top-2 separation of distinct round-6 scores
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"a": pairs["rec_id_a"], "s": np.round(scores, 6)}
+        )
+        df = df[df["s"] >= 0.82]
+        for _, grp in df.groupby("a"):
+            tops = sorted(set(grp["s"]), reverse=True)
+            if len(tops) >= 2:
+                assert tops[0] - tops[1] > 1e-5, (sf, tops[:2])
+
+
 def test_cross_scores_clear_of_threshold(spark):
     """Margin guard for the mirrored link_two_datasets oracle: every
     cross-dataset candidate pair's FULL score must clear the 0.82
