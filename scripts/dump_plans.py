@@ -189,13 +189,15 @@ def main() -> None:
             em.queries()["snm_pairs"](spark, SF),
         ),
         (
-            "link_two_datasets — cross-dataset salted join, cached sides",
-            "Look for: the two-branch Union (normal cross equi-join + "
-            "salted hot route) with the broadcast hot-key flag on BOTH "
-            "sides; exactly THREE ArrowEvalPython nodes — one normalize "
+            "link_two_datasets — value-collapsed cross join, cached sides",
+            "Look for: the value collapse (Window min(rec_id) per exact "
+            "tuple, then the rec_id = val_id filter) feeding the "
+            "two-branch Union (normal cross equi-join + salted hot "
+            "route); exactly THREE ArrowEvalPython nodes — one normalize "
             "chain per side, each computed ONCE into a persisted frame "
-            "(InMemoryTableScan at every other reference), plus the same "
-            "production scoring kernel as the dedup path.",
+            "(InMemoryTableScan at every other reference), plus ONE "
+            "scoring kernel over value pairs only; the val_id fan-out "
+            "joins recover mention edges without re-scoring.",
             em.queries()["link_two_datasets"](spark, SF),
         ),
         (
