@@ -109,6 +109,49 @@ def test_value_collapse_fans_out_all_mention_pairs(spark):
     assert got[("a2", "b1")] == got[("a2", "b4")]
 
 
+def test_collapse_equals_direct_mention_scoring(spark):
+    """The rule-9 rewrite's correctness contract: value-collapsed linkage
+    must produce EXACTLY the edge set (ids and scores) of scoring every
+    raw mention pair directly, on randomized frames with heavy tuple
+    duplication and NULL fields."""
+    import random
+
+    from postal_address_spark.operators.scoring import score_pairs
+
+    rng = random.Random(31)
+    lines = ["10 MAIN ST", "10 MAIN STREET", "22 OAK AVE", "99 ELM RD", None]
+    cities = ["PARIS", "BERLIN", None]
+    postals = ["75008", "10115"]
+
+    def mk(tag, n):
+        rows = []
+        for i in range(n):
+            postal = rng.choice(postals)
+            rows.append(
+                (
+                    f"{tag}{i:03d}",
+                    rng.choice(lines),
+                    rng.choice(cities),
+                    postal,
+                    f"FR|{postal}",
+                )
+            )
+        return _blocked(spark, rows)
+
+    a, b = mk("a", 60), mk("b", 40)
+    collapsed = {
+        (r["rec_id_a"], r["rec_id_b"], r["score"])
+        for r in link_datasets(a, b, threshold=0.82).collect()
+    }
+    direct = {
+        (r["rec_id_a"], r["rec_id_b"], r["score"])
+        for r in score_pairs(
+            cross_candidate_pairs(a, b, threshold=0.82), 0.82
+        ).collect()
+    }
+    assert collapsed == direct and collapsed
+
+
 def test_best_match_margins(spark):
     """Guards the link_best_matches oracle's two float assumptions at
     both gate scales: (1) every raw cross-pair score is far from a
