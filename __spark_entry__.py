@@ -158,6 +158,10 @@ def _mentions_df(
     key: str = "c_custkey",
 ) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _mentions_from_df(customer, key)
+
+
+def _mentions_from_df(customer: DataFrame, key: str = "c_custkey") -> DataFrame:
     k = F.col(key)
     return customer.select(
         k.alias("mention_id"),
@@ -1590,6 +1594,44 @@ def _q_link_two_datasets(spark, sf_dir):
     return edges.select("rec_id_a", "rec_id_b").orderBy("rec_id_a", "rec_id_b")
 
 
+def _q_streaming_link_datasets(spark, sf_dir):
+    """STREAM-STATIC linkage join (streaming/ingest.py
+    stream_static_link): the customer mention feed read BY the streaming
+    runtime (availableNow drain) and linked against the static supplier
+    catalog — normalize/block/score all executing inside the streaming
+    plan.  Edge semantics equal the batch link (scores are pure tuple
+    functions), so the batch mirror oracle grades the streaming
+    execution, exactly like er_streaming_link does for the dedup
+    flagship."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.streaming.ingest import stream_static_link
+
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    cust_stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/customer.parquet*")
+    )
+
+    def tag_and_block(m, tag):
+        tagged = m.select(
+            F.concat(
+                F.lit(tag), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        return with_block_key(normalize_mentions(tagged))
+
+    stream_side = tag_and_block(_mentions_from_df(cust_stream), "m")
+    static_side = tag_and_block(
+        _mentions_df(spark, sf_dir, "supplier", "s_suppkey"), "s"
+    )
+    linked = stream_static_link(stream_side, static_side)
+    return linked.select("rec_id_a", "rec_id_b").orderBy("rec_id_a", "rec_id_b")
+
+
 def _q_link_best_matches(spark, sf_dir):
     """Best-match-per-record over the two-dataset linkage
     (operators/link_datasets.py best_links): for every A mention with at
@@ -1762,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
         "link_best_matches": _q_link_best_matches,
+        "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "unblocked_mentions": _q_unblocked_mentions,
     }
@@ -3160,6 +3203,11 @@ def oracle_sql() -> dict[str, str]:
                  + 0.15 * {jw('xc', 'yc')}) >= 0.82
     ORDER BY rec_id_a, rec_id_b
     """
+
+    # -- streaming_link_datasets: the STREAMING execution of the same
+    # link_only join (stream-static); edge semantics equal the batch
+    # link, so the same mirror grades it (er_streaming_link precedent).
+    sql["streaming_link_datasets"] = sql["link_two_datasets"]
 
     # -- link_best_matches: one best B match per A record.  Both engines
     # argmax on the ROUND-6 score (1-ulp kernel agreement -> identical

@@ -253,6 +253,66 @@ def streaming_interval_join(
     )
 
 
+def stream_static_link(
+    stream_blocked: DataFrame,
+    static_blocked: DataFrame,
+    threshold: float = 0.82,
+    name: str = "stream_static_link_sink",
+) -> DataFrame:
+    """STREAM-STATIC linkage join — the remaining streaming join family
+    member (stream-stream interval join is `streaming_interval_join`):
+    a live mention feed linked against a static reference catalog, the
+    streaming form of operators/link_datasets.py link_only.
+
+    Everything here is STATELESS per micro-batch (refined-key
+    projection, inner equi-join against the static side, the scoring
+    cascade's codegen features + one Arrow kernel), so no watermark is
+    needed and the runtime replans the static side per batch (Spark
+    broadcasts a small catalog automatically).  The batch machinery's
+    hot-key histogram/salting is deliberately absent — aggregating the
+    stream to find hot keys is not expressible pre-join in a streaming
+    plan; a skewed FEED is the static side's problem only if the catalog
+    key is hot, which the batch report (jobs/er_report.py coverage)
+    surfaces ahead of deployment.
+
+    Edge semantics are identical to the batch link (the score is a pure
+    function of the pair tuple), so the batch mirror oracle grades the
+    streaming execution directly.
+    """
+    from ..operators.link_datasets import _keyed
+    from ..operators.pairs import PAIR_FIELDS
+    from ..operators.scoring import score_pairs
+
+    spark = static_blocked.sparkSession
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+
+    def sided(df: DataFrame, side: str, extra=()) -> DataFrame:
+        return df.select(
+            "join_key",
+            *[F.col(c).alias(f"{c}_{side}") for c in PAIR_FIELDS + list(extra)],
+        )
+
+    a = sided(_keyed(stream_blocked, threshold), "a", extra=["block_key"])
+    b = sided(_keyed(static_blocked, threshold), "b")
+    pairs = a.join(b, "join_key").withColumnRenamed(
+        "block_key_a", "block_key"
+    ).drop("join_key")
+    edges = score_pairs(pairs, threshold)
+
+    query = (
+        edges.select("rec_id_a", "rec_id_b", "score")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("rec_id_a", "rec_id_b")
+
+
 def run_ingest_to_parquet(
     spark: SparkSession,
     source_path: str,

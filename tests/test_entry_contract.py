@@ -42,7 +42,7 @@ EXPECTED_QUERIES = {
     "udtf_doc_chunks",
     "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "unblocked_mentions",
-    "link_best_matches",
+    "link_best_matches", "streaming_link_datasets",
 }
 
 

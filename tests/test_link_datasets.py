@@ -67,6 +67,31 @@ def test_salting_is_pair_set_preserving(spark):
     assert plain == salted and plain
 
 
+def test_b_side_hot_key_salts_and_preserves_pairs(spark):
+    """Hot detection measures BOTH sides: a key below threshold on A but
+    hot on B must route through the salted branch (per-key pair volume is
+    nA*nB — the one-sided-hot catalog case), with the pair set unchanged."""
+    a = _blocked(
+        spark,
+        [(f"a{i}", "10 MAIN ST", "PARIS", "75008", "FR|75008") for i in range(3)],
+    )
+    b = _blocked(
+        spark,
+        [(f"b{i:02d}", "10 MAIN ST", "PARIS", "75008", "FR|75008") for i in range(30)],
+    )
+    plain = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in cross_candidate_pairs(a, b, hot_threshold=10_000).collect()
+    }
+    # hot_threshold=10: nA=3 stays under it, nB=30 exceeds it -> salted
+    salted_df = cross_candidate_pairs(a, b, hot_threshold=10, n_salt=4)
+    salted = {(r["rec_id_a"], r["rec_id_b"]) for r in salted_df.collect()}
+    assert salted == plain and len(plain) == 90
+    # the salted branch actually engaged: the plan carries the salt union
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "xxhash64" in plan
+
+
 def test_link_and_best_links(spark):
     a, b = _blocked(spark, A_ROWS), _blocked(spark, B_ROWS)
     edges = link_datasets(a, b, threshold=0.82)
