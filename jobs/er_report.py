@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-root", required=True, help="report destination dir")
     p.add_argument("--snm-window", type=int, default=4)
     p.add_argument("--threshold", type=float, default=0.82)
+    p.add_argument(
+        "--estimation-sample", type=int, default=1, metavar="K",
+        help="fit the FS model on a deterministic 1-in-K candidate-pair "
+        "sample (hash of the pair key) — m/u are population ratios, so "
+        "a sample estimates them while cutting kernel work K-fold at "
+        "10^12-pair scale; 1 = every pair",
+    )
     return p
 
 
@@ -71,6 +78,7 @@ def main(argv=None, spark=None) -> dict:
     from postal_address_spark.operators.fs_em import (
         comparison_vectors,
         em_fit_df,
+        pair_sample,
         params_df,
         pattern_counts,
         term_frequency_table,
@@ -112,7 +120,12 @@ def main(argv=None, spark=None) -> dict:
     # zero-pair corpus is a legitimate report outcome (it is exactly the
     # de-risking answer "blocking produces nothing"), not a crash: the
     # fit is skipped and the params table written empty.
-    explained = explain_pairs(candidate_pairs(norm, threshold=args.threshold))
+    explained = explain_pairs(
+        pair_sample(
+            candidate_pairs(norm, threshold=args.threshold),
+            args.estimation_sample,
+        )
+    )
     patterns = pattern_counts(comparison_vectors(explained))
     write_table(patterns, f"{root}/fs_patterns")
     params = None

@@ -80,6 +80,25 @@ def comparison_vectors(explained: DataFrame) -> DataFrame:
     )
 
 
+def pair_sample(pairs: DataFrame, one_in: int) -> DataFrame:
+    """Deterministic 1-in-``one_in`` candidate-pair sample for parameter
+    estimation (Splink's estimation-sample idea): at 10^12-pair scale the
+    EM sufficient statistics do not need every pair — m/u probabilities
+    are population ratios, so a hash-sample of the PAIR key estimates
+    them with standard-error ~1/sqrt(sample size) while cutting the
+    kernel work ``one_in``-fold.  xxhash64 of both ids makes the sample a
+    pure function of the data (reruns and the two engines agree), unlike
+    ``DataFrame.sample``'s partition-seeded RNG.  ``one_in=1`` is the
+    identity (the gate queries use it so the oracle stays exact)."""
+    if one_in < 1:
+        raise ValueError("one_in must be >= 1")
+    if one_in == 1:
+        return pairs
+    return pairs.where(
+        F.pmod(F.xxhash64("rec_id_a", "rec_id_b"), F.lit(one_in)) == 0
+    )
+
+
 def pattern_counts(vectors: DataFrame) -> DataFrame:
     """Comparison vectors -> pattern frequency table (the EM sufficient
     statistics).  One aggregation, <= prod(levels) rows out; Spark's

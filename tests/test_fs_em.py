@@ -142,6 +142,23 @@ def test_pattern_counts_partial_aggregation(spark):
     assert "Python" not in plan and "Arrow" not in plan
 
 
+def test_pair_sample_deterministic_subset(spark):
+    pairs = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(400)],
+        "rec_id_a string, rec_id_b string",
+    )
+    s1 = {tuple(r) for r in fs_em.pair_sample(pairs, 4).collect()}
+    s2 = {tuple(r) for r in fs_em.pair_sample(pairs, 4).collect()}
+    assert s1 == s2  # pure function of the data
+    assert s1 < {tuple(r) for r in pairs.collect()}
+    # roughly 1-in-4 (hash uniformity, generous bounds)
+    assert 50 <= len(s1) <= 150
+    # identity and validation
+    assert fs_em.pair_sample(pairs, 1) is pairs
+    with pytest.raises(ValueError):
+        fs_em.pair_sample(pairs, 0)
+
+
 def test_tf_adjustment_math(spark):
     """Float half of the TF adjustment (the gate grades the integer
     evidence): agreeing on a rare value adds log2(u_col / tf_v) > 0,
