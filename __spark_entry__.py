@@ -446,6 +446,45 @@ def _q_rare_token_pairs(spark, sf_dir):
     )
 
 
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Exact edit-distance similarity join (operators/edjoin.py): every
+    pair within Levenshtein <= 2 via padded q-gram prefix filtering —
+    Ed-Join's candidate shape, value-collapsed (rule 9), id-only gram
+    shuffle (rule 7), verified with the JVM banded-DP levenshtein.
+
+    Fixture: the first 400 part names plus a deterministically
+    perturbed copy of each (one char deleted at position
+    rec_id % len + 1 — expressible identically in Spark and DuckDB, no
+    engine hash involved), so the result is dense in true matches.
+    The oracle is BRUTE-FORCE all-pairs levenshtein over the same
+    derived fixture: nothing about the candidate generation is
+    mirrored, so the gate proves the filter chain is recall-lossless."""
+    from postal_address_spark.operators.edjoin import edit_distance_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = (
+        part.orderBy("p_partkey")
+        .limit(400)
+        .select(
+            F.col("p_partkey").cast("long").alias("rec_id"),
+            F.lower(F.col("p_name")).alias("s"),
+        )
+    )
+    variant = base.select(
+        (F.col("rec_id") + F.lit(1000000)).alias("rec_id"),
+        F.concat(
+            F.expr("substring(s, 1, cast(pmod(rec_id, length(s)) as int))"),
+            F.expr("substring(s, cast(pmod(rec_id, length(s)) as int) + 2)"),
+        ).alias("s"),
+    )
+    fixture = base.unionByName(variant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return edit_distance_pairs(fixture, "rec_id", "s", k=2, q=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
@@ -1772,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": _q_cc_clusters,
         "exact_dedup_documents": _q_exact_dedup,
         "rare_token_pairs": _q_rare_token_pairs,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
@@ -2452,6 +2492,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_a, doc_b, COUNT(*) AS n_shared, CAST(SUM(w) AS BIGINT) AS score
     FROM pairs GROUP BY doc_a, doc_b
     ORDER BY score DESC, doc_a, doc_b
+    """
+
+    # -- edit_distance_pairs: brute-force all-pairs Levenshtein over the
+    # same derived fixture.  Deliberately NOT a mirror of the engine's
+    # prefix-filter candidate generation — the gate thereby proves the
+    # q-gram filter chain is recall-lossless, not merely self-consistent.
+    # The length prefilter only bounds the oracle's own runtime (pairs
+    # failing it fail levenshtein <= 2 a fortiori).
+    sql["edit_distance_pairs"] = """
+    WITH base AS (
+      SELECT CAST(p_partkey AS BIGINT) AS rec_id, lower(p_name) AS s
+      FROM part ORDER BY p_partkey LIMIT 400
+    ),
+    variant AS (
+      SELECT rec_id + 1000000 AS rec_id,
+             substr(s, 1, CAST(rec_id % length(s) AS INT)) ||
+             substr(s, CAST(rec_id % length(s) AS INT) + 2) AS s
+      FROM base
+    ),
+    fx AS (SELECT * FROM base UNION ALL SELECT * FROM variant)
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM fx a JOIN fx b
+      ON a.rec_id < b.rec_id
+     AND abs(length(a.s) - length(b.s)) <= 2
+     AND levenshtein(a.s, b.s) <= 2
+    ORDER BY id_a, id_b
     """
 
     sql["exact_dedup_documents"] = """

@@ -1,0 +1,105 @@
+"""edit_distance_pairs (operators/edjoin.py): the prefix filter must be
+recall-LOSSLESS — every test compares the full pair set against a
+brute-force all-pairs Levenshtein DP, on fixtures chosen to stress the
+places a q-gram filter classically leaks:
+
+* repeated-gram strings ("aaaa" vs "aaab" — the multiset-vs-set trap);
+* short strings below the gram-count bound (the dedicated short path);
+* empty strings and single chars;
+* duplicate values under different ids (value-collapse expansion, both
+  the ed=0 clique and the cross-value fan-out);
+* unicode (Levenshtein counts codepoints, not bytes).
+"""
+from __future__ import annotations
+
+import pytest
+
+from postal_address_spark.operators.edjoin import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, k, include_exact=True):
+    want = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1 :]:
+            if sa is None or sb is None:
+                continue
+            d = _lev(sa, sb)
+            if d == 0 and not include_exact:
+                continue
+            if d <= k:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                want.add((lo, hi, d))
+    return want
+
+
+FIXTURE = [
+    (1, "aaaa"),
+    (2, "aaab"),
+    (3, "abab"),
+    (4, ""),
+    (5, "a"),
+    (6, "ab"),
+    (7, "ba"),
+    (8, "abcd"),
+    (9, "abcde"),
+    (10, "xbcde"),
+    (11, "jonathan smith"),
+    (12, "jonathon smith"),
+    (13, "jonathan smyth"),
+    (14, "completely different"),
+    (15, "cafe"),
+    (16, "café"),
+    (17, "jonathan smith"),  # duplicate value, distinct id
+    (18, None),
+    (19, "zz"),
+    (20, "z"),
+]
+
+
+def _run(spark, k, q, include_exact=True):
+    df = spark.createDataFrame(FIXTURE, "rec_id int, s string")
+    out = edit_distance_pairs(
+        df, "rec_id", "s", k=k, q=q, include_exact=include_exact
+    )
+    return {(r.id_a, r.id_b, r.dist) for r in out.collect()}
+
+
+@pytest.mark.parametrize("k,q", [(1, 2), (2, 2), (2, 3), (3, 2)])
+def test_matches_brute_force(spark, k, q):
+    assert _run(spark, k, q) == _brute(FIXTURE, k)
+
+
+def test_exclude_exact(spark):
+    got = _run(spark, 2, 2, include_exact=False)
+    assert got == _brute(FIXTURE, 2, include_exact=False)
+    assert all(d > 0 for _, _, d in got)
+
+
+def test_string_columns_ride_in_id_order(spark):
+    df = spark.createDataFrame(
+        [(30, "abc"), (10, "abd")], "rec_id int, s string"
+    )
+    [r] = edit_distance_pairs(df, "rec_id", "s", k=1).collect()
+    assert (r.id_a, r.id_b) == (10, 30)
+    assert (r.s_a, r.s_b) == ("abd", "abc")
+    assert r.dist == 1
+
+
+def test_k_zero_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "rec_id int, s string")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "rec_id", "s", k=0)

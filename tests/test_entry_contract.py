@@ -31,7 +31,8 @@ EXPECTED_QUERIES = {
     "er_golden_records", "er_cluster_cohesion", "er_incremental_link",
     "er_explain_pairs", "er_streaming_link",
     # training-data ops
-    "exact_dedup_documents", "rare_token_pairs", "ngram_jaccard_neighbors",
+    "exact_dedup_documents", "rare_token_pairs", "edit_distance_pairs",
+    "ngram_jaccard_neighbors",
     "cosine_topk",
     "text_analysis", "pii_redaction", "doc_repetition",
     "quality_filter_stats", "dataset_split", "vocab_topk",
