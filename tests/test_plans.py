@@ -271,3 +271,34 @@ def test_tf_evidence_broadcasts_vocabulary(spark):
     df = em.queries()["tf_city_evidence"](spark, SF)
     plan = physical(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_edjoin_gram_explode_carries_no_strings(spark):
+    """edit_distance_pairs (operators/edjoin.py): the prefix-gram
+    explosion must carry (vid, gram) only — a Generate whose output
+    includes the string column (or the intermediate padded/gram arrays)
+    means payloads ride the multiplied shuffle (rule 7).  The only
+    nested-loop join allowed is the BROADCAST short-string side path;
+    a plain CartesianProduct anywhere is the all-pairs shape this
+    operator exists to avoid."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.edjoin import edit_distance_pairs
+
+    df = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .select(
+            F.col("p_partkey").alias("rec_id"),
+            F.lower(F.col("p_name")).alias("s"),
+        )
+    )
+    plan = physical(edit_distance_pairs(df, "rec_id", "s", k=2, q=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded short path
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            assert not re.search(r"[^a-zA-Z_]s#\d", line), line
+            assert "padded#" not in line, line
+            assert "grams#" not in line, line
