@@ -485,6 +485,21 @@ def _q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+def _q_span_dup_stats(spark, sf_dir):
+    """Cross-document duplicated-span measurement (operators/spandup.py):
+    per document, how many of its 8-token spans occur verbatim in ANOTHER
+    document, and the union length of those spans — the quantity
+    exact-substring dedup (Lee et al., ACL 2022) removes.  All-integer
+    output; the oracle replays tokenize -> gram -> cross-doc support ->
+    gaps-and-islands interval union in SQL, keyed on the gram STRING
+    (the engine keys on xxhash64 of it — identical counts absent a
+    64-bit collision)."""
+    from postal_address_spark.operators.spandup import span_dup_stats
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dup_stats(docs, w=8).orderBy("doc_id")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
@@ -1812,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup,
         "rare_token_pairs": _q_rare_token_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "span_dup_stats": _q_span_dup_stats,
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
@@ -2520,6 +2536,57 @@ def oracle_sql() -> dict[str, str]:
      AND abs(length(a.s) - length(b.s)) <= 2
      AND levenshtein(a.s, b.s) <= 2
     ORDER BY id_a, id_b
+    """
+
+    # -- span_dup_stats: full SQL replay of the span-dup measurement,
+    # keyed on the gram STRING; interval union via the gaps-and-islands
+    # window (running max of prior span ends).  Positions are 1-based on
+    # both sides; every column is an integer, so the hash is exact.
+    sql["span_dup_stats"] = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM base
+    ),
+    grams AS (
+      SELECT s.doc_id, gs.i AS pos,
+             array_to_string(s.toks[gs.i : gs.i + 7], chr(31)) AS g
+      FROM sized s,
+           LATERAL unnest(generate_series(1, s.n_tokens - 7)) AS gs(i)
+    ),
+    dupg AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+      ) WHERE nd >= 2
+    ),
+    dpos AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ),
+    cov AS (
+      SELECT doc_id,
+             GREATEST(0, pos + 8 - GREATEST(
+               COALESCE(MAX(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8, 0),
+               pos)) AS covered
+      FROM dpos
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_dup_grams,
+             CAST(SUM(covered) AS INT) AS dup_token_cover
+      FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           GREATEST(s.n_tokens - 7, 0) AS n_grams,
+           COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(a.dup_token_cover, 0) AS dup_token_cover
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    ORDER BY s.doc_id
     """
 
     sql["exact_dedup_documents"] = """
