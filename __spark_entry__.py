@@ -500,6 +500,22 @@ def _q_span_dup_stats(spark, sf_dir):
     return span_dup_stats(docs, w=8).orderBy("doc_id")
 
 
+def _q_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/spandup.py): per corpus doc,
+    the 8-token spans occurring verbatim in the benchmark set and their
+    union token cover — GPT-3-style n-gram overlap removal's gate
+    statistic.  The benchmark reduces to a DISTINCT gram-hash set and
+    BROADCASTS, so corpus grams are probed without any shuffle.
+    Fixture: benchmark = documents with doc_id < 20 (deterministic
+    subset; the testdata's planted near-dups make the overlap dense).
+    The oracle replays everything in SQL keyed on the gram string."""
+    from postal_address_spark.operators.spandup import contamination_stats
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination_stats(docs, bench, w=8).orderBy("doc_id")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
@@ -1828,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_pairs": _q_rare_token_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "span_dup_stats": _q_span_dup_stats,
+        "benchmark_contamination": _q_benchmark_contamination,
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
@@ -2585,6 +2602,54 @@ def oracle_sql() -> dict[str, str]:
            GREATEST(s.n_tokens - 7, 0) AS n_grams,
            COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
            COALESCE(a.dup_token_cover, 0) AS dup_token_cover
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    ORDER BY s.doc_id
+    """
+
+    # -- benchmark_contamination: same machinery as span_dup_stats, with
+    # the duplicated-gram set replaced by the benchmark subset's distinct
+    # grams (doc_id < 20) — the two-dataset decontamination statistic.
+    sql["benchmark_contamination"] = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM base
+    ),
+    grams AS (
+      SELECT s.doc_id, gs.i AS pos,
+             array_to_string(s.toks[gs.i : gs.i + 7], chr(31)) AS g
+      FROM sized s,
+           LATERAL unnest(generate_series(1, s.n_tokens - 7)) AS gs(i)
+    ),
+    bgrams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ),
+    dpos AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM bgrams)
+    ),
+    cov AS (
+      SELECT doc_id,
+             GREATEST(0, pos + 8 - GREATEST(
+               COALESCE(MAX(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8, 0),
+               pos)) AS covered
+      FROM dpos
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_contam_grams,
+             CAST(SUM(covered) AS INT) AS contam_token_cover
+      FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           GREATEST(s.n_tokens - 7, 0) AS n_grams,
+           COALESCE(a.n_contam_grams, 0) AS n_contam_grams,
+           COALESCE(a.contam_token_cover, 0) AS contam_token_cover
     FROM sized s LEFT JOIN agg a USING (doc_id)
     ORDER BY s.doc_id
     """

@@ -32,7 +32,7 @@ EXPECTED_QUERIES = {
     "er_explain_pairs", "er_streaming_link",
     # training-data ops
     "exact_dedup_documents", "rare_token_pairs", "edit_distance_pairs",
-    "span_dup_stats", "ngram_jaccard_neighbors",
+    "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
     "cosine_topk",
     "text_analysis", "pii_redaction", "doc_repetition",
     "quality_filter_stats", "dataset_split", "vocab_topk",

@@ -302,3 +302,22 @@ def test_edjoin_gram_explode_carries_no_strings(spark):
             assert not re.search(r"[^a-zA-Z_]s#\d", line), line
             assert "padded#" not in line, line
             assert "grams#" not in line, line
+
+
+def test_contamination_probe_is_broadcast(spark):
+    """contamination_stats (operators/spandup.py): the benchmark gram set
+    must BROADCAST into a left-semi probe of the corpus grams — an
+    Exchange hashpartitioning on ghash feeding the semi join means the
+    whole corpus gram relation shuffles for a vocabulary-sized probe
+    side."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.spandup import contamination_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("doc_id") < 5)
+    plan = physical(contamination_stats(docs, bench, w=8))
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi), semi or plan[:2000]
