@@ -1351,6 +1351,26 @@ def _q_er_eval_metrics(spark, sf_dir):
     return pairwise_metrics(labeled, pred_col="cluster_id", truth_col="truth_id")
 
 
+def _q_er_bcubed_stats(spark, sf_dir):
+    """Per-record B³ sufficient statistics (operators/evaluate.py) over
+    the same mirrored integer-kernel closure and mod-360 generator truth
+    as er_eval_metrics: (pred cluster size, truth entity size, cell
+    intersection size) per record — ALL integers, so the one evaluation
+    surface that was pytest-only (b_cubed's float averages) gets a
+    hash-graded projection; the averages are a single division away for
+    any consumer."""
+    from postal_address_spark.operators.evaluate import b_cubed_stats
+
+    _, asg = _er_closure_assignments(spark, sf_dir)
+    labeled = asg.withColumn(
+        "truth_id",
+        F.pmod(F.substring("rec_id", 2, 8).cast("long"), F.lit(360).cast("long")),
+    )
+    return b_cubed_stats(
+        labeled, pred_col="cluster_id", truth_col="truth_id"
+    ).orderBy("rec_id")
+
+
 def _q_er_golden_records(spark, sf_dir):
     """Survivorship (operators/survivorship.py) over the integer-kernel
     clustering: one golden row per linked entity — modal non-null value
@@ -1866,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
         "er_eval_metrics": _q_er_eval_metrics,
+        "er_bcubed_stats": _q_er_bcubed_stats,
         "er_golden_records": _q_er_golden_records,
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_incremental_link": _q_er_incremental_link,
@@ -3142,6 +3163,31 @@ def oracle_sql() -> dict[str, str]:
            (2 * tp_pairs) / nullif(pred_pairs + truth_pairs, 0) AS f1,
            n_null_labels
     FROM tallies
+    """
+
+    # -- er_bcubed_stats: per-record B-cubed sufficient statistics over
+    # the same mirrored closure and mod-360 truth.  Pure integer sizes
+    # (cell, predicted-cluster, truth-entity), so the hash is exact; the
+    # float B3 averages remain pytest-graded (tests/test_evaluate.py).
+    sql["er_bcubed_stats"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    lab AS MATERIALIZED (
+      SELECT rec_id, cluster_id AS p, mention_id % 360 AS t FROM asg
+    ),
+    cells AS MATERIALIZED (
+      SELECT p, t, COUNT(*) AS inter_size FROM lab GROUP BY p, t
+    ),
+    ps AS (SELECT p, SUM(inter_size) AS pred_size FROM cells GROUP BY p),
+    ts AS (SELECT t, SUM(inter_size) AS truth_size FROM cells GROUP BY t)
+    SELECT l.rec_id, l.p AS cluster_id, CAST(l.t AS BIGINT) AS truth_id,
+           CAST(ps.pred_size AS BIGINT) AS pred_size,
+           CAST(ts.truth_size AS BIGINT) AS truth_size,
+           CAST(c.inter_size AS BIGINT) AS inter_size
+    FROM lab l
+    JOIN cells c ON l.p = c.p AND l.t = c.t
+    JOIN ps ON l.p = ps.p
+    JOIN ts ON l.t = ts.t
+    ORDER BY l.rec_id
     """
 
     # -- er_cluster_cohesion: over-merge audit on the same mirrored

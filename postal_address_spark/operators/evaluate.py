@@ -31,7 +31,9 @@ Scale design (the whole point — NEVER materialize pairs):
 * B³ averages are genuine float sums (sum over cells of n^2/|P|) whose
   bit pattern depends on Spark's partial-agg order, so ``b_cubed`` is
   pytest-graded with tolerance rather than oracle-hashed — documented
-  here, asserted in tests/test_evaluate.py.
+  here, asserted in tests/test_evaluate.py.  ``b_cubed_stats`` exposes
+  the same computation's per-record INTEGER sufficient statistics,
+  which IS oracle-hashable (driver query ``er_bcubed_stats``).
 """
 from __future__ import annotations
 
@@ -162,6 +164,53 @@ def b_cubed(
         (F.lit(2.0) * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias(
             "b3_f1"
         ),
+    )
+
+
+def b_cubed_stats(
+    assignments: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Per-record B³ SUFFICIENT STATISTICS, all integers: for record r in
+    contingency cell (p, t), its predicted cluster size, truth entity
+    size, and cell (intersection) size.  B³ precision/recall are the
+    averages of inter_size/pred_size and inter_size/truth_size — genuine
+    float sums whose bit pattern depends on aggregation order, which is
+    why ``b_cubed`` itself is pytest-graded; THIS frame is the
+    hash-gradable projection of the same computation (the driver oracle
+    replays it cell-for-cell), and any consumer can finish the division
+    downstream.
+
+    Same scale discipline as the rest of the module: sizes come from the
+    cells frame (one input scan, three map-side-combinable aggregations);
+    the per-record join keys are cluster/entity ids, never pairs.
+    Records with a NULL label on either side are excluded, mirroring
+    ``pairwise_metrics``/``b_cubed``.
+    """
+    lab = assignments.select(
+        F.col(id_col).alias("rec_id"),
+        F.col(pred_col).alias("p"),
+        F.col(truth_col).alias("t"),
+    ).where(F.col("p").isNotNull() & F.col("t").isNotNull())
+    cells = lab.groupBy("p", "t").agg(F.count(F.lit(1)).alias("inter_size"))
+    pred_sizes = cells.groupBy("p").agg(F.sum("inter_size").alias("pred_size"))
+    truth_sizes = cells.groupBy("t").agg(
+        F.sum("inter_size").alias("truth_size")
+    )
+    return (
+        lab.join(cells, ["p", "t"])
+        .join(pred_sizes, "p")
+        .join(truth_sizes, "t")
+        .select(
+            "rec_id",
+            F.col("p").alias(pred_col),
+            F.col("t").alias(truth_col),
+            "pred_size",
+            "truth_size",
+            "inter_size",
+        )
     )
 
 

@@ -28,7 +28,8 @@ EXPECTED_QUERIES = {
     "blocking_stats", "phonetic_blocking_stats", "candidate_pair_counts",
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
-    "er_golden_records", "er_cluster_cohesion", "er_incremental_link",
+    "er_golden_records", "er_cluster_cohesion", "er_bcubed_stats",
+    "er_incremental_link",
     "er_explain_pairs", "er_streaming_link",
     # training-data ops
     "exact_dedup_documents", "rare_token_pairs", "edit_distance_pairs",

@@ -2,7 +2,11 @@
 truth for pairwise / B³ metrics and golden-record election."""
 import pytest
 
-from postal_address_spark.operators.evaluate import b_cubed, pairwise_metrics
+from postal_address_spark.operators.evaluate import (
+    b_cubed,
+    b_cubed_stats,
+    pairwise_metrics,
+)
 from postal_address_spark.operators.survivorship import golden_records
 
 
@@ -71,6 +75,21 @@ def test_b_cubed_hand_case(spark):
     assert row.b3_recall == pytest.approx(8 / 15, abs=1e-12)
     f1 = 2 * 0.8 * (8 / 15) / (0.8 + 8 / 15)
     assert row.b3_f1 == pytest.approx(f1, abs=1e-12)
+
+
+def test_b_cubed_stats_hand_case_and_consistency(spark):
+    rows = {r.rec_id: r for r in b_cubed_stats(_assignments(spark)).collect()}
+    assert len(rows) == 5
+    # record c: pred c2 (size 2), truth X (size 3), cell (c2, X) = {c}
+    assert (rows["c"].pred_size, rows["c"].truth_size, rows["c"].inter_size) == (2, 3, 1)
+    assert (rows["a"].pred_size, rows["a"].truth_size, rows["a"].inter_size) == (2, 3, 2)
+    assert (rows["e"].pred_size, rows["e"].truth_size, rows["e"].inter_size) == (1, 2, 1)
+    # the averages of the per-record ratios ARE b_cubed's metrics
+    prec = sum(r.inter_size / r.pred_size for r in rows.values()) / len(rows)
+    rec = sum(r.inter_size / r.truth_size for r in rows.values()) / len(rows)
+    b3 = b_cubed(_assignments(spark)).collect()[0]
+    assert prec == pytest.approx(b3.b3_precision, abs=1e-12)
+    assert rec == pytest.approx(b3.b3_recall, abs=1e-12)
 
 
 def _records(spark):
