@@ -215,6 +215,31 @@ def main() -> None:
             "WholeStageCodegen.",
             em.queries()["phonetic_blocking_stats"](spark, SF),
         ),
+        (
+            "edit_distance_pairs — id-only gram prefix join",
+            "Look for: the prefix-gram Generate emitting (vid, gram) only "
+            "(no string/padded/grams payload in the explode output or the "
+            "gram-keyed Exchange), the ONLY nested-loop join being the "
+            "BROADCAST short-string side path, and the banded levenshtein "
+            "verification as a post-join Filter inside codegen.",
+            em.queries()["edit_distance_pairs"](spark, SF),
+        ),
+        (
+            "span_dup_stats — semi-join span probe + aggregate sweep",
+            "Look for: the gram relation carrying (doc_id, pos, xxhash64) "
+            "only, duplicated occurrences kept by a LeftSemi join (no "
+            "fan-out multiplication on corpus-wide boilerplate grams), and "
+            "the interval union as one aggregate() HOF over the per-doc "
+            "sorted position array — no Python nodes anywhere.",
+            em.queries()["span_dup_stats"](spark, SF),
+        ),
+        (
+            "benchmark_contamination — broadcast decontamination probe",
+            "Look for: EVERY LeftSemi join broadcast (the benchmark gram "
+            "set is vocabulary-sized by construction) — the corpus gram "
+            "relation is probed in place with NO Exchange on ghash.",
+            em.queries()["benchmark_contamination"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:
