@@ -2,7 +2,8 @@
 the corpus side of the engine, composing the document operators the same
 way ``jobs/link.py`` composes the linkage ones:
 
-    exact dedup -> MinHash near-dedup -> quality gate -> PII redaction
+    exact dedup -> MinHash near-dedup -> quality gate
+    -> [benchmark decontamination] -> PII redaction
     -> deterministic split -> per-split parquet
 
 Package the engine and submit::
@@ -12,7 +13,8 @@ Package the engine and submit::
         --input  <documents>      # parquet path or Iceberg table ref \
         --output-root <dir>       # writes <dir>/corpus + <dir>/rejected \
         [--near-dup-threshold 0.7] [--no-near-dup] [--no-redact] \
-        [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024]
+        [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024] \
+        [--decontaminate <benchmark table> [--contam-w 13] [--max-contam-pct 0]]
 
 No ``master`` is set — the cluster manager provides it.  The kept corpus
 is written partitioned by ``split`` so downstream training readers prune
@@ -44,6 +46,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=5000)
     p.add_argument("--split-salt", type=int, default=2024)
+    p.add_argument(
+        "--decontaminate",
+        help="benchmark/eval documents table: drop kept docs overlapping it "
+        "at w-gram granularity (operators/spandup.py broadcast probe)",
+    )
+    p.add_argument(
+        "--contam-w", type=int, default=13,
+        help="span width in tokens for the decontamination probe "
+        "(13 = the classic eval-overlap n-gram width)",
+    )
+    p.add_argument(
+        "--max-contam-pct", type=int, default=0,
+        help="drop a doc when contaminated-token cover exceeds this percent "
+        "of its tokens; 0 (default) drops on ANY overlapping span",
+    )
     return p
 
 
@@ -109,6 +126,31 @@ def main(argv=None, spark=None) -> dict:
     rejected = gated.where(~F.col("keep")).drop("keep")
     kept = gated.where(F.col("keep")).drop("keep", "reasons")
 
+    # 3b. benchmark decontamination: drop kept docs whose w-gram overlap
+    # with the eval set exceeds the threshold.  The benchmark side
+    # broadcasts as a distinct gram-hash set, so this is one linear probe
+    # of the kept corpus; the percent rule is an integer cross-multiplied
+    # comparison (cover*100 > pct*n_tokens) — no float thresholds.
+    n_contam_dropped = 0
+    if args.decontaminate:
+        from postal_address_spark.operators.spandup import contamination_stats
+
+        bench = read_table(spark, args.decontaminate)
+        stats = contamination_stats(kept, bench, w=args.contam_w)
+        bad = stats.where(
+            (F.col("n_tokens") > 0)
+            & (
+                F.col("contam_token_cover") * 100
+                > F.lit(args.max_contam_pct) * F.col("n_tokens")
+            )
+        ).select("doc_id")
+        contaminated = kept.join(bad, "doc_id", "left_semi").withColumn(
+            "reasons", F.lit("benchmark_contamination")
+        )
+        n_contam_dropped = contaminated.count()
+        rejected = rejected.unionByName(contaminated)
+        kept = kept.join(bad, "doc_id", "left_anti")
+
     # 4. PII redaction (codegen regexp chain), in place on the text column.
     if not args.no_redact:
         kept = kept.withColumn("text", redact_pii(F.col("text")))
@@ -134,6 +176,7 @@ def main(argv=None, spark=None) -> dict:
         "input": args.input,
         "n_input": int(n_input),
         "n_near_dup_dropped": int(n_near_dropped),
+        "n_contam_dropped": int(n_contam_dropped),
         "n_kept": int(sum(split_counts.values())),
         "n_rejected": int(sum(reject_reasons.values())),
         "split_counts": split_counts,

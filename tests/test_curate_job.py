@@ -79,3 +79,42 @@ def test_curate_job_flags(spark, tmp_path):
     )
     assert summary["n_near_dup_dropped"] == 0
     assert summary["n_kept"] == 2
+
+
+def test_curate_job_decontaminate(spark, tmp_path):
+    import curate
+
+    other = (
+        "a completely different note about the harvest season and the "
+        "long road that winds between the hills and the river toward "
+        "the old stone bridge near the market square"
+    )
+    rows = [(1, BASE), (2, other)]
+    inp = str(tmp_path / "docs3")
+    bench = str(tmp_path / "bench3")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    # benchmark shares a verbatim 13-token span with doc 1 only
+    spark.createDataFrame(
+        [(100, "eval question: " + " ".join(BASE.split()[5:25]))],
+        "doc_id long, text string",
+    ).write.parquet(bench)
+
+    summary = curate.main(
+        [
+            "--input", inp,
+            "--output-root", str(tmp_path / "curated3"),
+            "--no-near-dup", "--no-redact",
+            "--decontaminate", bench,
+        ],
+        spark=spark,
+    )
+    assert summary["n_contam_dropped"] == 1
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(summary["corpus"]).select("doc_id").collect()
+    }
+    assert kept_ids == {2}
+    reasons = spark.read.parquet(summary["rejected"]).collect()
+    assert {r["doc_id"]: r["reasons"] for r in reasons} == {
+        1: "benchmark_contamination"
+    }
