@@ -1630,6 +1630,23 @@ def _q_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_analysis(rules)
 
 
+def _q_meta_blocking_pairs(spark, sf_dir):
+    """Meta-blocking with CBS weights + weighted-edge pruning
+    (operators/blocking_analysis.py meta_blocking_prune, Papadakis et
+    al. TKDE 2014) over the SAME three production rules the coverage
+    report analyses: pairs weighted by how many rules agree, kept when
+    weight reaches the global mean via the integer cross-multiplication
+    weight * n_pairs >= sum_weights.  The oracle replays the rule
+    definitions (shared CTE prefix with blocking_rule_coverage) and the
+    exact integer threshold."""
+    from postal_address_spark.operators.blocking_analysis import (
+        meta_blocking_prune,
+    )
+
+    _, rules = _blocking_rules(spark, sf_dir)
+    return meta_blocking_prune(rules).orderBy("rec_id_a", "rec_id_b")
+
+
 def _q_unblocked_mentions(spark, sf_dir):
     """The blocked-into-nothing population (operators/blocking_analysis
     unblocked_records): mentions NO blocking rule pairs with anything —
@@ -1900,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_best_matches": _q_link_best_matches,
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
+        "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
     }
 
@@ -3557,6 +3575,30 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- meta_blocking_pairs: CBS weights over the SAME three rule pair
+    # sets, weighted-edge pruning at the global mean via the integer
+    # cross-multiplication (weight * n_pairs >= sum_weights) — exact,
+    # order-free, no float mean on either engine.
+    sql["meta_blocking_pairs"] = f"""
+    WITH {_bcov_prefix},
+    ap AS (
+      SELECT s, d FROM p1
+      UNION ALL SELECT s, d FROM p2
+      UNION ALL SELECT s, d FROM p3
+    ),
+    wts AS (SELECT s, d, COUNT(*) AS weight FROM ap GROUP BY s, d),
+    tot AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS sw,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM wts
+    )
+    SELECT w.s AS rec_id_a, w.d AS rec_id_b,
+           CAST(w.weight AS BIGINT) AS weight
+    FROM wts w, tot
+    WHERE w.weight * tot.np >= tot.sw
+    ORDER BY rec_id_a, rec_id_b
     """
 
     # -- unblocked_mentions: the NOT-IN complement of the KEYED rule pair

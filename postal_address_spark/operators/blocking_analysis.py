@@ -162,6 +162,48 @@ def standard_blocking_rules(
     return rules
 
 
+def meta_blocking_prune(
+    rules: Sequence[Tuple[str, DataFrame]],
+) -> DataFrame:
+    """Meta-blocking with CBS weights + weighted-edge pruning (Papadakis
+    et al., "Meta-Blocking: Taking Entity Resolution to the Next Level",
+    TKDE 2014): weight every candidate pair by HOW MANY rules produced it
+    (common-block scheme), then keep only pairs whose weight reaches the
+    global mean — redundancy across blocking passes is evidence, and
+    pruning on it shrinks the comparison set before any scoring kernel
+    runs.
+
+    Returns (rec_id_a, rec_id_b, weight) for the retained pairs.
+
+    Scale shape: same discipline as ``blocking_rule_analysis`` — the
+    tagged union reduces in ONE ``groupBy(pair).count()`` (map-side
+    combinable, duplicates collapse before the shuffle), the global
+    threshold is a one-row aggregate broadcast back, and the mean test is
+    the INTEGER cross-multiplication ``weight * n_pairs >= sum_weights``
+    (never a float mean — exact, order-free, oracle-replayable).  Each
+    rule's stream emits a pair at most once by construction (one key per
+    record per rule; SNM's ghost-row join pairs each window slot once),
+    so the count IS the number of agreeing rules.
+    """
+    ap = None
+    for _, pair_df in rules:
+        tagged = pair_df.select("rec_id_a", "rec_id_b")
+        ap = tagged if ap is None else ap.unionByName(tagged)
+    if ap is None:
+        raise ValueError("meta_blocking_prune needs at least one rule")
+    weighted = ap.groupBy("rec_id_a", "rec_id_b").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    tot = weighted.agg(
+        F.sum("weight").alias("_sw"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .where(F.col("weight") * F.col("_np") >= F.col("_sw"))
+        .select("rec_id_a", "rec_id_b", "weight")
+    )
+
+
 def unblocked_records(
     records: DataFrame, id_col: str, rules: Sequence[Tuple[str, DataFrame]]
 ) -> DataFrame:

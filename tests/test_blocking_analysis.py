@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from postal_address_spark.operators.blocking_analysis import (  # noqa: E402
     blocking_rule_analysis,
     key_pairs,
+    meta_blocking_prune,
     unblocked_records,
 )
 
@@ -77,3 +78,29 @@ def test_unblocked_records(spark):
         for r in unblocked_records(records, "rid", [("r1", r1), ("r2", r2)]).collect()
     }
     assert got == {"z"}
+
+
+def test_meta_blocking_prune_hand_case(spark):
+    # weights: (1,2)=3, (2,3)=2, (1,3)=1, (4,5)=1; sum=7 over 4 pairs,
+    # mean=1.75 -> keep weight*4 >= 7, i.e. (1,2) and (2,3) only
+    r1 = _pairs(spark, [("1", "2"), ("1", "3"), ("2", "3")])
+    r2 = _pairs(spark, [("1", "2"), ("4", "5")])
+    r3 = _pairs(spark, [("1", "2"), ("2", "3")])
+    out = {
+        (r.rec_id_a, r.rec_id_b): r.weight
+        for r in meta_blocking_prune(
+            [("a", r1), ("b", r2), ("c", r3)]
+        ).collect()
+    }
+    assert out == {("1", "2"): 3, ("2", "3"): 2}
+
+
+def test_meta_blocking_single_rule_keeps_everything(spark):
+    # one rule: every weight is 1 == the mean, so nothing is pruned
+    r1 = _pairs(spark, [("1", "2"), ("3", "4")])
+    assert meta_blocking_prune([("only", r1)]).count() == 2
+
+
+def test_meta_blocking_empty_rules_rejected(spark):
+    with pytest.raises(ValueError):
+        meta_blocking_prune([])

@@ -43,7 +43,8 @@ EXPECTED_QUERIES = {
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks",
     "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
-    "link_two_datasets", "blocking_rule_coverage", "unblocked_mentions",
+    "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
+    "unblocked_mentions",
     "link_best_matches", "streaming_link_datasets",
 }
 
