@@ -1630,6 +1630,22 @@ def _q_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_analysis(rules)
 
 
+def _q_profile_customer(spark, sf_dir):
+    """Column profiling (operators/profiling.py — Splink's
+    profile_columns): per column the row/null/distinct tallies and the
+    top-5 values, all from ONE (column, value) shuffle, melted via stack
+    (never a join per column) with the tallies re-aggregated from the
+    cells frame (no countDistinct expand).  Deterministic tie-break
+    (count desc, value asc) makes the window replayable; the oracle
+    mirrors the melt/count/window chain."""
+    from postal_address_spark.operators.profiling import profile_columns
+
+    customer = _read_spread(spark, sf_dir, "customer")
+    return profile_columns(
+        customer, ["c_mktsegment", "c_nationkey", "c_name"], top_k=5
+    ).orderBy("col_name", "rank")
+
+
 def _q_meta_blocking_pairs(spark, sf_dir):
     """Meta-blocking with CBS weights + weighted-edge pruning
     (operators/blocking_analysis.py meta_blocking_prune, Papadakis et
@@ -1918,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
+        "profile_customer": _q_profile_customer,
         "unblocked_mentions": _q_unblocked_mentions,
     }
 
@@ -3575,6 +3592,44 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- profile_customer: full replay of the melt/count/window profiling
+    # chain; rank ties break on (count desc, value asc) on both engines.
+    sql["profile_customer"] = """
+    WITH melted AS (
+      SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'c_name', CAST(c_name AS VARCHAR) FROM customer
+    ),
+    cells AS (
+      SELECT col_name, value, COUNT(*) AS n_value
+      FROM melted GROUP BY col_name, value
+    ),
+    stats AS (
+      SELECT col_name,
+             CAST(SUM(n_value) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN value IS NULL THEN n_value ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_distinct
+      FROM cells GROUP BY col_name
+    ),
+    topk AS (
+      SELECT col_name, value, n_value,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY col_name ORDER BY n_value DESC, value ASC
+             ) AS INT) AS rank
+      FROM cells WHERE value IS NOT NULL
+      QUALIFY rank <= 5
+    )
+    SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct,
+           t.rank, t.value, CAST(t.n_value AS BIGINT) AS n_value
+    FROM stats s JOIN topk t USING (col_name)
+    ORDER BY s.col_name, t.rank
     """
 
     # -- meta_blocking_pairs: CBS weights over the SAME three rule pair

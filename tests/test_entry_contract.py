@@ -44,7 +44,7 @@ EXPECTED_QUERIES = {
     "udtf_doc_chunks",
     "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
-    "unblocked_mentions",
+    "unblocked_mentions", "profile_customer",
     "link_best_matches", "streaming_link_datasets",
 }
 
