@@ -48,8 +48,17 @@ def profile_columns(
             f"stack({len(columns)}, {stack_args}) AS (col_name, value)"
         )
     )
-    cells = melted.groupBy("col_name", "value").agg(
-        F.count(F.lit(1)).alias("n_value")
+    # the cells frame feeds BOTH the tallies and the top-k window, whose
+    # plans diverge after it — without help the table would be scanned
+    # and melted twice.  Persist (memory-then-disk, token_join.py
+    # precedent): one scan, one melt, one cells shuffle; the second
+    # consumer reads the cache.
+    from pyspark import StorageLevel
+
+    cells = (
+        melted.groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n_value"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = cells.groupBy("col_name").agg(
         F.sum("n_value").alias("n_rows"),

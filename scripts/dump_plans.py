@@ -240,6 +240,24 @@ def main() -> None:
             "relation is probed in place with NO Exchange on ghash.",
             em.queries()["benchmark_contamination"](spark, SF),
         ),
+        (
+            "meta_blocking_pairs — one pair shuffle + broadcast threshold",
+            "Look for: the rules' tagged Union reducing through ONE "
+            "HashAggregate pair count (partial before the Exchange), the "
+            "one-row global-threshold aggregate coming back as a "
+            "BroadcastNestedLoopJoin over a single row, and the integer "
+            "cross-multiplied mean test as a plain Filter.",
+            em.queries()["meta_blocking_pairs"](spark, SF),
+        ),
+        (
+            "profile_customer — single melt, single cells shuffle",
+            "Look for: ONE Generate (the stack melt) feeding ONE "
+            "(col_name, value) HashAggregate with partial combine before "
+            "its Exchange; tallies and top-k both re-read the cells "
+            "frame (ReusedExchange/InMemoryTableScan or a second cheap "
+            "agg), and no Expand node (no countDistinct).",
+            em.queries()["profile_customer"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:

@@ -321,3 +321,16 @@ def test_contamination_probe_is_broadcast(spark):
     plan = physical(contamination_stats(docs, bench, w=8))
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert semi and all("Broadcast" in l for l in semi), semi or plan[:2000]
+
+
+def test_profile_columns_single_melt(spark):
+    """profile_columns (operators/profiling.py): the cells frame feeds
+    both the tallies and the top-k window — it must be cached so the
+    table is scanned and melted once (InMemoryTableScan in both
+    branches), and there must be no Expand (no countDistinct)."""
+    from postal_address_spark.operators.profiling import profile_columns
+
+    df = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = physical(profile_columns(df, ["c_mktsegment", "c_nationkey"]))
+    assert "InMemoryTableScan" in plan
+    assert "Expand" not in plan
