@@ -10,7 +10,9 @@ and AFTER committing a full linkage run):
 * **Fellegi-Sunter model fit**: comparison-pattern sufficient statistics
   (one aggregation) + EM-learned m/u probabilities and log2 Bayes factors;
 * **term-frequency profile** of the city column (value counts + the
-  column-agreement mass the TF adjustment divides by).
+  column-agreement mass the TF adjustment divides by);
+* **column profile** of the comparison/blocking fields (null rates,
+  distinct counts, top values — the measured skew behind key choices).
 
 Package the engine and submit::
 
@@ -19,6 +21,7 @@ Package the engine and submit::
         --input  <transcripts>    # parquet path or Iceberg table ref \
         --output-root <dir>       # writes coverage/ unblocked/ \
                                   #   fs_patterns/ fs_params/ city_tf/ \
+                                  #   column_profile/ \
         [--snm-window 4] [--threshold 0.82]
 
 No ``master`` is set — the cluster manager provides it.  Cost profile:
@@ -85,6 +88,7 @@ def main(argv=None, spark=None) -> dict:
         tf_column_stats,
     )
     from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.profiling import profile_columns
     from postal_address_spark.operators.pairs import (
         REFINE_SAFE_THRESHOLD,
         candidate_pairs,
@@ -148,6 +152,16 @@ def main(argv=None, spark=None) -> dict:
     write_table(tf, f"{root}/city_tf")
     n_total, sum_sq = tf_column_stats(spark.read.parquet(f"{root}/city_tf"))
 
+    # ---- column profile of the comparison/blocking fields: null rates,
+    # distinct counts and the top values — the skew evidence blocking-key
+    # choices are made from (one melt, one cells shuffle; profiling.py).
+    profile = profile_columns(
+        norm,
+        ["city_name", "postal_code", "top_country", "phonetic_key"],
+        top_k=10,
+    )
+    write_table(profile, f"{root}/column_profile")
+
     cov_rows = {
         r["rule"]: {
             "n_pairs": r["n_pairs"],
@@ -167,6 +181,14 @@ def main(argv=None, spark=None) -> dict:
             "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),
             "n_total": n_total,
             "agree_mass_num": sum_sq,
+        },
+        "column_profile": {
+            r["col_name"]: {
+                "n_null": r["n_null"], "n_distinct": r["n_distinct"]
+            }
+            for r in spark.read.parquet(f"{root}/column_profile")
+            .where(F.col("rank") == 1)
+            .collect()
         },
     }
     print(json.dumps(summary))

@@ -47,3 +47,14 @@ def test_er_report_job_end_to_end(spark, tmp_path):
 
     # unblocked population is a subset of all mentions
     assert 0 <= summary["n_unblocked"] < summary["n_mentions"]
+
+    # column profile covers the comparison/blocking fields with sane
+    # tallies (distinct city values must agree with the TF vocabulary)
+    prof = summary["column_profile"]
+    assert set(prof) == {
+        "city_name", "postal_code", "top_country", "phonetic_key"
+    }
+    assert prof["city_name"]["n_distinct"] == summary["city_tf"]["n_values"]
+    assert all(
+        0 <= v["n_null"] <= summary["n_mentions"] for v in prof.values()
+    )
