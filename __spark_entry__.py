@@ -3628,7 +3628,7 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct,
            t.rank, t.value, CAST(t.n_value AS BIGINT) AS n_value
-    FROM stats s JOIN topk t USING (col_name)
+    FROM stats s LEFT JOIN topk t USING (col_name)
     ORDER BY s.col_name, t.rank
     """
 

@@ -77,8 +77,11 @@ def profile_columns(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+    # LEFT join: an all-NULL column has no top-k rows but MUST still
+    # appear (100%-null is the single most important profiling finding);
+    # it reports one row with NULL rank/value.
     return (
-        stats.join(topk, "col_name")
+        stats.join(topk, "col_name", "left")
         .select(
             "col_name", "n_rows", "n_null", "n_distinct",
             "rank", "value", "n_value",

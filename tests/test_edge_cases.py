@@ -125,3 +125,69 @@ def test_asof_empty_right_side(spark):
     right = spark.createDataFrame([], "user_id string, ts timestamp")
     rows = asof_join(left, right, on=["user_id"]).collect()
     assert len(rows) == 1 and rows[0]["ts_asof"] is None
+
+
+def test_edjoin_degenerate_inputs(spark):
+    from postal_address_spark.operators.edjoin import edit_distance_pairs
+
+    empty = spark.createDataFrame([], "rec_id int, s string")
+    assert edit_distance_pairs(empty, "rec_id", "s", k=2).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "rec_id int, s string"
+    )
+    assert edit_distance_pairs(nulls, "rec_id", "s", k=2).count() == 0
+
+
+def test_spandup_degenerate_inputs(spark):
+    from postal_address_spark.operators.spandup import (
+        contamination_stats,
+        span_dup_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert span_dup_stats(empty, w=8).count() == 0
+    blanks = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id int, text string"
+    )
+    rows = span_dup_stats(blanks, w=8).collect()
+    assert len(rows) == 3
+    assert all(
+        (r.n_tokens, r.n_dup_grams, r.dup_token_cover) == (0, 0, 0)
+        for r in rows
+    )
+    # empty benchmark: every corpus doc reports zero contamination
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    out = contamination_stats(docs, empty, w=8).collect()
+    assert len(out) == 1 and out[0].n_contam_grams == 0
+
+
+def test_profile_all_null_column(spark):
+    from postal_address_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x")], "a string, b string"
+    )
+    rows = profile_columns(df, ["a", "b"], top_k=3).collect()
+    # the all-NULL column MUST still appear (100%-null is the most
+    # important profiling finding): one row, NULL rank/value
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.col_name, []).append(r)
+    assert set(by_col) == {"a", "b"}
+    [a] = by_col["a"]
+    assert (a.n_rows, a.n_null, a.n_distinct) == (2, 2, 0)
+    assert a.rank is None and a.value is None
+    [b] = by_col["b"]
+    assert (b.n_null, b.n_distinct, b.value) == (0, 1, "x")
+
+
+def test_meta_blocking_empty_pair_streams(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        meta_blocking_prune,
+    )
+
+    empty = spark.createDataFrame([], "rec_id_a string, rec_id_b string")
+    assert meta_blocking_prune([("r1", empty), ("r2", empty)]).count() == 0
