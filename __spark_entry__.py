@@ -1371,6 +1371,24 @@ def _q_er_bcubed_stats(spark, sf_dir):
     ).orderBy("rec_id")
 
 
+def _q_er_merge_distance(spark, sf_dir):
+    """Generalized merge distance with unit costs (operators/evaluate.py
+    merge_distance, Menestrina et al. VLDB 2010) over the same mirrored
+    closure + mod-360 truth: the minimum split+merge operation count
+    transforming the predicted clustering into the truth, derived from
+    three counts over the contingency cells — the third standard ER
+    clustering metric next to pairwise F1 and B-cubed, all-integer so
+    the oracle replays it exactly."""
+    from postal_address_spark.operators.evaluate import merge_distance
+
+    _, asg = _er_closure_assignments(spark, sf_dir)
+    labeled = asg.withColumn(
+        "truth_id",
+        F.pmod(F.substring("rec_id", 2, 8).cast("long"), F.lit(360).cast("long")),
+    )
+    return merge_distance(labeled, pred_col="cluster_id", truth_col="truth_id")
+
+
 def _q_er_golden_records(spark, sf_dir):
     """Survivorship (operators/survivorship.py) over the integer-kernel
     clustering: one golden row per linked entity — modal non-null value
@@ -1920,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_link_closure": _q_er_link_closure,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
+        "er_merge_distance": _q_er_merge_distance,
         "er_golden_records": _q_er_golden_records,
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_incremental_link": _q_er_incremental_link,
@@ -3223,6 +3242,31 @@ def oracle_sql() -> dict[str, str]:
     JOIN ps ON l.p = ps.p
     JOIN ts ON l.t = ts.t
     ORDER BY l.rec_id
+    """
+
+    # -- er_merge_distance: unit-cost GMD over the same mirrored closure
+    # and mod-360 truth; three counts over the contingency cells, all
+    # integers.
+    sql["er_merge_distance"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    lab AS MATERIALIZED (
+      SELECT cluster_id AS p, mention_id % 360 AS t FROM asg
+    ),
+    cells AS MATERIALIZED (
+      SELECT p, t, COUNT(*) AS n FROM lab GROUP BY p, t
+    ),
+    agg AS (
+      SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_records,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(COUNT(DISTINCT p) AS BIGINT) AS n_pred_clusters,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS n_truth_entities
+      FROM cells
+    )
+    SELECT n_records, n_cells, n_pred_clusters, n_truth_entities,
+           n_cells - n_pred_clusters AS n_splits,
+           n_cells - n_truth_entities AS n_merges,
+           2 * n_cells - n_pred_clusters - n_truth_entities AS gmd
+    FROM agg
     """
 
     # -- er_cluster_cohesion: over-merge audit on the same mirrored

@@ -214,6 +214,47 @@ def b_cubed_stats(
     )
 
 
+def merge_distance(
+    assignments: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "truth_id",
+) -> DataFrame:
+    """Generalized merge distance with unit costs (Menestrina, Whang,
+    Garcia-Molina, VLDB 2010): the minimum number of cluster split +
+    merge operations transforming the predicted clustering into the
+    truth.  The optimal unit-cost path goes through the contingency
+    cells — split every predicted cluster into its cells
+    (``n_cells - n_pred`` splits), then merge cells into truth entities
+    (``n_cells - n_truth`` merges) — so the whole metric reduces to
+    THREE counts over the same cells frame the other metrics use: one
+    scan, one (pred, truth) aggregation, a driver-trivial one-row
+    result.  All integers; the driver oracle replays it exactly.
+    """
+    p, t = F.col(pred_col), F.col(truth_col)
+    clean = assignments.select(p.alias("p"), t.alias("t")).where(
+        p.isNotNull() & t.isNotNull()
+    )
+    cells = clean.groupBy("p", "t").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_records"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("p").alias("n_pred_clusters"),
+        F.countDistinct("t").alias("n_truth_entities"),
+    ).select(
+        "n_records",
+        "n_cells",
+        "n_pred_clusters",
+        "n_truth_entities",
+        (F.col("n_cells") - F.col("n_pred_clusters")).alias("n_splits"),
+        (F.col("n_cells") - F.col("n_truth_entities")).alias("n_merges"),
+        (
+            2 * F.col("n_cells")
+            - F.col("n_pred_clusters")
+            - F.col("n_truth_entities")
+        ).alias("gmd"),
+    )
+
+
 def cluster_cohesion(
     assigned: DataFrame,
     value_col: str = "line1",

@@ -29,7 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_bcubed_stats",
-    "er_incremental_link",
+    "er_merge_distance", "er_incremental_link",
     "er_explain_pairs", "er_streaming_link",
     # training-data ops
     "exact_dedup_documents", "rare_token_pairs", "edit_distance_pairs",

@@ -5,6 +5,7 @@ import pytest
 from postal_address_spark.operators.evaluate import (
     b_cubed,
     b_cubed_stats,
+    merge_distance,
     pairwise_metrics,
 )
 from postal_address_spark.operators.survivorship import golden_records
@@ -90,6 +91,22 @@ def test_b_cubed_stats_hand_case_and_consistency(spark):
     b3 = b_cubed(_assignments(spark)).collect()[0]
     assert prec == pytest.approx(b3.b3_precision, abs=1e-12)
     assert rec == pytest.approx(b3.b3_recall, abs=1e-12)
+
+
+def test_merge_distance_hand_case(spark):
+    # pred {a,b},{c,d},{e} vs truth {a,b,c},{d,e}: split c2 into {c},{d}
+    # (1 split), merge {a,b}+{c} and {d}+{e} (2 merges) -> GMD 3
+    row = merge_distance(_assignments(spark)).collect()[0]
+    assert (row.n_records, row.n_cells) == (5, 4)
+    assert (row.n_pred_clusters, row.n_truth_entities) == (3, 2)
+    assert (row.n_splits, row.n_merges, row.gmd) == (1, 2, 3)
+    # identity clustering: GMD 0
+    perfect = spark.createDataFrame(
+        [("a", "p", "p"), ("b", "p", "p"), ("c", "q", "q")],
+        "rec_id string, cluster_id string, truth_id string",
+    )
+    r2 = merge_distance(perfect).collect()[0]
+    assert (r2.n_splits, r2.n_merges, r2.gmd) == (0, 0, 0)
 
 
 def _records(spark):
