@@ -1580,6 +1580,24 @@ def _q_fs_pattern_counts(spark, sf_dir):
     return counts.orderBy(*gammas)
 
 
+def _q_er_review_queue(spark, sf_dir):
+    """Clerical-review queue (operators/fs_em.py review_queue): the
+    candidate pairs whose comparison pattern is ambiguous — some
+    comparisons agree, some disagree — i.e. Fellegi-Sunter's "possible
+    match" region a human adjudicates.  Selection is STRUCTURAL on the
+    integer gamma levels (0 < sum < max), never a float score band, so
+    the oracle replays it exactly from the mirrored kernels; the gate
+    runs unsampled (one_in=1) and the xxhash64 thinning path is
+    pytest-pinned."""
+    from postal_address_spark.operators.fs_em import (
+        comparison_vectors,
+        review_queue,
+    )
+
+    vecs = comparison_vectors(_fs_explained(spark, sf_dir))
+    return review_queue(vecs, one_in=1).orderBy("rec_id_a", "rec_id_b")
+
+
 def _q_fs_em_weights(spark, sf_dir):
     """Unsupervised Fellegi-Sunter match weights (operators/fs_em.py):
     EM over the pattern-count table learns per-comparison-level m/u
@@ -1945,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_streaming_link": _q_er_streaming_link,
         "er_explain_pairs": _q_er_explain_pairs,
         "fs_pattern_counts": _q_fs_pattern_counts,
+        "er_review_queue": _q_er_review_queue,
         "fs_em_weights": _q_fs_em_weights,
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
@@ -3487,6 +3506,26 @@ def oracle_sql() -> dict[str, str]:
     SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pairs
     FROM vec GROUP BY {_fs_gcols}
     ORDER BY {_fs_gcols}
+    """
+
+    # -- er_review_queue: the ambiguous-pattern band over the same
+    # mirrored kernels — structural integer selection (0 < sum < max),
+    # no float score threshold anywhere.
+    _fs_gmax = sum(len(th) for _, _, th in _FS_CMP)
+    sql["er_review_queue"] = f"""
+    WITH {er_kern_prefix},
+    vec AS (
+      SELECT s AS rec_id_a, d AS rec_id_b, {_fs_gammas} FROM kern
+    ),
+    summed AS (
+      SELECT rec_id_a, rec_id_b, {_fs_gcols},
+             CAST({" + ".join(f"gamma_{n}" for n, _, _ in _FS_CMP)} AS INT)
+               AS gamma_sum
+      FROM vec
+    )
+    SELECT * FROM summed
+    WHERE gamma_sum > 0 AND gamma_sum < {_fs_gmax}
+    ORDER BY rec_id_a, rec_id_b
     """
 
     # -- link_two_datasets: the link_only mode.  Both normalize chains

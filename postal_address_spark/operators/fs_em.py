@@ -99,6 +99,33 @@ def pair_sample(pairs: DataFrame, one_in: int) -> DataFrame:
     )
 
 
+def review_queue(vectors: DataFrame, one_in: int = 1) -> DataFrame:
+    """Clerical-review queue: pairs whose comparison pattern is
+    AMBIGUOUS — agreement on some comparisons, disagreement on others
+    (neither the all-top nor the all-bottom pattern) — the
+    Fellegi-Sunter "possible match" region a human review adjudicates
+    (Splink's comparison-viewer workflow).
+
+    The band is chosen STRUCTURALLY on the integer gamma levels
+    (``0 < sum(gamma) < max_sum``), never on a float score threshold —
+    so the selection is exact, engine-portable (the driver oracle
+    replays it), and immune to the rounding-boundary flakiness a score
+    band would reintroduce.  ``one_in`` thins the queue with the same
+    deterministic xxhash64 pair sample the estimation path uses
+    (``pair_sample``; 1 = keep everything, which the gate query uses so
+    the oracle stays exact).
+    """
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    gmax = sum(len(th) for _, _, th in COMPARISONS)
+    gsum = None
+    for g in gammas:
+        gsum = F.col(g) if gsum is None else gsum + F.col(g)
+    out = vectors.withColumn("gamma_sum", gsum.cast("int")).where(
+        (F.col("gamma_sum") > 0) & (F.col("gamma_sum") < F.lit(gmax))
+    )
+    return pair_sample(out, one_in)
+
+
 def pattern_counts(vectors: DataFrame) -> DataFrame:
     """Comparison vectors -> pattern frequency table (the EM sufficient
     statistics).  One aggregation, <= prod(levels) rows out; Spark's

@@ -42,7 +42,8 @@ EXPECTED_QUERIES = {
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks",
-    "fs_pattern_counts", "fs_em_weights", "snm_pairs", "tf_city_evidence",
+    "fs_pattern_counts", "fs_em_weights", "er_review_queue", "snm_pairs",
+    "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
     "unblocked_mentions", "profile_customer",
     "link_best_matches", "streaming_link_datasets",

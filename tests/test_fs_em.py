@@ -218,3 +218,43 @@ def test_gamma_discretisation_levels(spark):
         for r in fs_em.comparison_vectors(df).collect()
     }
     assert got == {"a": (2, 2, 1), "c": (1, 1, 0), "e": (0, 0, 0)}
+
+
+def test_review_queue_structural_band(spark):
+    from postal_address_spark.operators.fs_em import review_queue
+
+    rows = [
+        # all-top pattern (2+2+1): confident match, not reviewable
+        ("a", "b", 2, 2, 1),
+        # all-bottom: confident non-match, not reviewable
+        ("c", "d", 0, 0, 0),
+        # mixed: the possible-match band
+        ("e", "f", 2, 0, 1),
+        ("g", "h", 0, 0, 1),
+    ]
+    vecs = spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int",
+    )
+    out = {(r.rec_id_a, r.rec_id_b): r.gamma_sum
+           for r in review_queue(vecs).collect()}
+    assert out == {("e", "f"): 3, ("g", "h"): 1}
+
+
+def test_review_queue_sampling_deterministic(spark):
+    from postal_address_spark.operators.fs_em import review_queue
+
+    rows = [
+        (f"m{i:08d}", f"m{i + 1:08d}", 1, 1, 0) for i in range(0, 200, 2)
+    ]
+    vecs = spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int",
+    )
+    s1 = {tuple(r) for r in review_queue(vecs, one_in=4).collect()}
+    s2 = {tuple(r) for r in review_queue(vecs, one_in=4).collect()}
+    assert s1 == s2  # pure function of the data
+    full = {tuple(r) for r in review_queue(vecs).collect()}
+    assert s1 < full and len(s1) > 0
