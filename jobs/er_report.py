@@ -12,7 +12,9 @@ and AFTER committing a full linkage run):
 * **term-frequency profile** of the city column (value counts + the
   column-agreement mass the TF adjustment divides by);
 * **column profile** of the comparison/blocking fields (null rates,
-  distinct counts, top values — the measured skew behind key choices).
+  distinct counts, top values — the measured skew behind key choices);
+* **clerical-review queue**: the structural possible-match band
+  (ambiguous integer comparison patterns), deterministically thinned.
 
 Package the engine and submit::
 
@@ -21,7 +23,7 @@ Package the engine and submit::
         --input  <transcripts>    # parquet path or Iceberg table ref \
         --output-root <dir>       # writes coverage/ unblocked/ \
                                   #   fs_patterns/ fs_params/ city_tf/ \
-                                  #   column_profile/ \
+                                  #   column_profile/ review_queue/ \
         [--snm-window 4] [--threshold 0.82]
 
 No ``master`` is set — the cluster manager provides it.  Cost profile:
@@ -49,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
         "sample (hash of the pair key) — m/u are population ratios, so "
         "a sample estimates them while cutting kernel work K-fold at "
         "10^12-pair scale; 1 = every pair",
+    )
+    p.add_argument(
+        "--review-sample", type=int, default=1, metavar="K",
+        help="thin the clerical-review queue to a deterministic 1-in-K "
+        "pair sample before writing it; 1 = every ambiguous pair",
     )
     return p
 
@@ -84,6 +91,7 @@ def main(argv=None, spark=None) -> dict:
         pair_sample,
         params_df,
         pattern_counts,
+        review_queue,
         term_frequency_table,
         tf_column_stats,
     )
@@ -130,8 +138,16 @@ def main(argv=None, spark=None) -> dict:
             args.estimation_sample,
         )
     )
-    patterns = pattern_counts(comparison_vectors(explained))
+    vectors = comparison_vectors(explained)
+    patterns = pattern_counts(vectors)
     write_table(patterns, f"{root}/fs_patterns")
+
+    # ---- clerical-review queue: the structural possible-match band
+    # (0 < gamma sum < max), thinned by the deterministic pair sample.
+    write_table(
+        review_queue(vectors, one_in=args.review_sample),
+        f"{root}/review_queue",
+    )
     params = None
     written_patterns = spark.read.parquet(f"{root}/fs_patterns")
     if written_patterns.limit(1).count() > 0:
@@ -182,6 +198,9 @@ def main(argv=None, spark=None) -> dict:
             "n_total": n_total,
             "agree_mass_num": sum_sq,
         },
+        "n_review_queue": int(
+            spark.read.parquet(f"{root}/review_queue").count()
+        ),
         "column_profile": {
             r["col_name"]: {
                 "n_null": r["n_null"], "n_distinct": r["n_distinct"]

@@ -1,6 +1,7 @@
 """jobs/er_report.py — the model-quality report deploy surface: runs
-end-to-end on a parquet transcript table and writes the four report
-artifacts with an internally consistent summary."""
+end-to-end on a parquet transcript table and writes the report
+artifacts (coverage, unblocked, FS patterns/params, city TF, column
+profile, review queue) with an internally consistent summary."""
 import os
 import sys
 
@@ -47,6 +48,13 @@ def test_er_report_job_end_to_end(spark, tmp_path):
 
     # unblocked population is a subset of all mentions
     assert 0 <= summary["n_unblocked"] < summary["n_mentions"]
+
+    # review queue: ambiguous patterns only (0 < gamma_sum < max), and
+    # the summary count matches the written table
+    rq = spark.read.parquet(f"{root}/review_queue").collect()
+    assert summary["n_review_queue"] == len(rq)
+    gmax = 5  # 2 + 2 + 1 levels (fs_em.COMPARISONS)
+    assert all(0 < r["gamma_sum"] < gmax for r in rq)
 
     # column profile covers the comparison/blocking fields with sane
     # tallies (distinct city values must agree with the TF vocabulary)
