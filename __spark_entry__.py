@@ -516,6 +516,63 @@ def _q_benchmark_contamination(spark, sf_dir):
     return contamination_stats(docs, bench, w=8).orderBy("doc_id")
 
 
+def _conv_turns(spark, sf_dir):
+    """Conversation-shaped view of the events table: conv_id = user_id,
+    turn order = (ts, event_id) (event_id is unique, so the ordering is
+    total and deterministic), action = lowercased event_type.  NULL
+    timestamps / actions carry no sequence information and are dropped on
+    both engines."""
+    return (
+        _read_spread(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "ts",
+            "event_id",
+            F.lower(F.col("event_type")).alias("action"),
+        )
+    )
+
+
+def _q_conv_transitions(spark, sf_dir):
+    """Action-bigram transition profile over conversations
+    (operators/conversations.py:action_transitions): one window per
+    conversation + one map-side-combinable groupBy whose output is at
+    most |alphabet|^2 rows regardless of corpus size — the 'what do
+    agents actually do' report for tool-call transcripts."""
+    from postal_address_spark.operators.conversations import action_transitions
+
+    turns = _conv_turns(spark, sf_dir)
+    return action_transitions(
+        turns, "conv_id", ("ts", "event_id"), "action"
+    ).orderBy("prev_action", "action")
+
+
+def _q_conv_near_dups(spark, sf_dir):
+    """Conversation-level near-dup detection: EXACT Jaccard >= 40/100 over
+    action-sequence trigram sets via the PPJoin probing-prefix join
+    (operators/conversations.py:jaccard_set_join) — recall-LOSSLESS at
+    any threshold, unlike MinHash banding, and decided entirely in 64-bit
+    integer arithmetic (tau_den*|A∩B| >= tau_num*|A∪B|), so the DuckDB
+    all-pairs oracle reproduces the decision bit-for-bit.  Candidate
+    generation ships (conv, shingle-hash, set-size) only; the shingle
+    arrays join back after the candidate distinct (rule 7)."""
+    from postal_address_spark.operators.conversations import (
+        conversation_near_dups,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return conversation_near_dups(
+        turns,
+        "conv_id",
+        ("ts", "event_id"),
+        "action",
+        shingle_n=3,
+        tau_num=40,
+        tau_den=100,
+    ).orderBy("conv_a", "conv_b")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
@@ -1930,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pair_counts": _q_candidate_pairs,
         "cc_clusters": _q_cc_clusters,
         "exact_dedup_documents": _q_exact_dedup,
+        "conv_transitions": _q_conv_transitions,
+        "conv_near_dups": _q_conv_near_dups,
         "rare_token_pairs": _q_rare_token_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "span_dup_stats": _q_span_dup_stats,
@@ -3803,6 +3862,63 @@ def oracle_sql() -> dict[str, str]:
            CAST(b.r - a.r AS BIGINT) AS rank_gap
     FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r < 4
     ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- conv_transitions: conversation-ordered action bigrams.  The
+    # (ts, event_id) ordering is total (event_id unique), so LAG is
+    # deterministic on both engines.
+    sql["conv_transitions"] = """
+    WITH turns AS (
+      SELECT user_id AS conv_id, lower(event_type) AS action, ts, event_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    lagged AS (
+      SELECT LAG(action) OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+               AS prev_action,
+             action
+      FROM turns
+    )
+    SELECT prev_action, action, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM lagged WHERE prev_action IS NOT NULL
+    GROUP BY prev_action, action
+    ORDER BY prev_action, action
+    """
+
+    # -- conv_near_dups: brute-force ALL-PAIRS Jaccard over conversation
+    # action-trigram sets — deliberately NOT a mirror of the engine's
+    # prefix-filtered join, so a pass proves the PPJoin probing prefix
+    # recall-LOSSLESS rather than self-consistent (same adjudication as
+    # the Ed-Join oracle).  Set sizes/intersections agree because the
+    # engine's xxhash64 trigram hashes are collision-free on this domain
+    # (distinct (t1,t2,t3) tuples <-> distinct 'a|b|c' strings — event
+    # types are alnum).  The decision is pure integer arithmetic
+    # (100 * inter >= 40 * union): no float boundary can flip on regen.
+    sql["conv_near_dups"] = """
+    WITH conv AS (
+      SELECT user_id AS conv_id,
+             string_agg(lower(event_type), ' ' ORDER BY ts, event_id) AS seq
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    toks AS (SELECT conv_id, string_split(seq, ' ') AS t, seq FROM conv),
+    grams AS (
+      SELECT conv_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || '|' || t[i+1] || '|' || t[i+2]
+                                      for i in range(1, len(t)-1)])
+                  ELSE [seq] END AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+             CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+             CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+                  AS BIGINT) AS n_union
+      FROM grams a JOIN grams b ON a.conv_id < b.conv_id
+    )
+    SELECT conv_a, conv_b, n_inter, n_union
+    FROM pairs WHERE 100 * n_inter >= 40 * n_union
+    ORDER BY conv_a, conv_b
     """
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /

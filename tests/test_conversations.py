@@ -1,0 +1,186 @@
+"""Conversation-level analytics (operators/conversations.py).
+
+The load-bearing property here is the prefix-filter EXACTNESS claim:
+jaccard_set_join must return the *identical* pair set as brute-force
+all-pairs at every threshold — the PPJoin probing prefix
+(|X| - ceil(tau*|X|) + 1 under a global rarity order) is recall-lossless
+by theorem, and these tests check it empirically against planted
+near-dups, random sets, and the real sf0.001 events distribution.
+"""
+import itertools
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, action string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# action_transitions
+# ---------------------------------------------------------------------------
+
+
+def test_transitions_hand_computed(spark):
+    from postal_address_spark.operators.conversations import action_transitions
+
+    rows = [
+        ("c1", 1, "view"), ("c1", 2, "click"), ("c1", 3, "view"),
+        ("c2", 1, "click"), ("c2", 2, "view"),
+        ("c3", 1, "view"),          # single turn: no transition
+        ("c4", 1, None), ("c4", 2, "view"), ("c4", 3, "click"),  # NULL dropped
+    ]
+    out = action_transitions(_turns_df(spark, rows), "conv_id", ("turn_idx",), "action")
+    got = {(r.prev_action, r.action): r.n_transitions for r in out.collect()}
+    assert got == {
+        ("view", "click"): 2,   # c1 and c4 (NULL first turn dropped)
+        ("click", "view"): 2,   # c1 and c2
+    }
+
+
+def test_transitions_empty_input(spark):
+    from postal_address_spark.operators.conversations import action_transitions
+
+    out = action_transitions(_turns_df(spark, []), "conv_id", ("turn_idx",), "action")
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# conversation_docs
+# ---------------------------------------------------------------------------
+
+
+def test_conversation_docs_order_and_determinism(spark):
+    """Sequence order follows the order columns, never partition layout."""
+    from postal_address_spark.operators.conversations import conversation_docs
+
+    rows = [("c1", i, f"t{i}") for i in range(20, -1, -1)] + [("c2", 0, "x")]
+    for nparts in (1, 7):
+        df = _turns_df(spark, rows).repartition(nparts)
+        out = {
+            r.conv_id: (r.n_turns, r.seq)
+            for r in conversation_docs(df, "conv_id", ("turn_idx",), "action").collect()
+        }
+        assert out["c1"] == (21, " ".join(f"t{i}" for i in range(21)))
+        assert out["c2"] == (1, "x")
+
+
+# ---------------------------------------------------------------------------
+# jaccard_set_join: exactness vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_force(sets, tau_num, tau_den):
+    truth = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * tau_den >= union * tau_num:
+            truth.add((ia, ib, inter, union))
+    return truth
+
+
+def _join_result(spark, sets, tau_num, tau_den):
+    from postal_address_spark.operators.conversations import jaccard_set_join
+
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()],
+        "sid long, sh array<long>",
+    )
+    out = jaccard_set_join(df, "sid", "sh", tau_num, tau_den)
+    return {(r.id_a, r.id_b, r.n_inter, r.n_union) for r in out.collect()}
+
+
+def test_jaccard_join_exact_on_planted_and_random(spark):
+    """Planted near-dup clusters + random background, three thresholds —
+    the prefix-filtered join must equal all-pairs EXACTLY."""
+    rng = random.Random(7)
+    universe = list(range(1, 400))
+    sets = {}
+    sid = 0
+    # planted clusters: a seed set plus mutated copies at various overlap
+    for _ in range(6):
+        seed_set = set(rng.sample(universe, rng.randint(8, 40)))
+        for _ in range(rng.randint(2, 4)):
+            s = set(seed_set)
+            for _ in range(rng.randint(0, max(1, len(s) // 3))):
+                if rng.random() < 0.5 and len(s) > 2:
+                    s.discard(rng.choice(sorted(s)))
+                else:
+                    s.add(rng.choice(universe))
+            sets[sid] = s
+            sid += 1
+    # random background
+    for _ in range(25):
+        sets[sid] = set(rng.sample(universe, rng.randint(3, 30)))
+        sid += 1
+
+    for tau_num, tau_den in ((42, 100), (1, 2), (9, 10)):
+        got = _join_result(spark, sets, tau_num, tau_den)
+        want = _brute_force(sets, tau_num, tau_den)
+        assert got == want, (tau_num, tau_den, got ^ want)
+
+
+def test_jaccard_join_identical_and_tiny_sets(spark):
+    """J=1 pairs and single-element sets survive the prefix math
+    (prefix length is always >= 1)."""
+    sets = {1: {10, 11, 12}, 2: {10, 11, 12}, 3: {10}, 4: {10}, 5: {99}}
+    got = _join_result(spark, sets, 9, 10)
+    assert got == {(1, 2, 3, 3), (3, 4, 1, 1)}
+
+
+def test_conversation_near_dups_matches_brute_force_on_events(spark):
+    """Real-distribution check at sf0.001: the engine's composed pipeline
+    (fold -> hashed trigrams -> prefix join) equals a driver-side
+    brute-force over the same shingle sets."""
+    from postal_address_spark.operators.conversations import (
+        conversation_docs,
+        conversation_near_dups,
+    )
+    from postal_address_spark.operators.dedup import with_shingle_hashes
+
+    turns = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "ts",
+            "event_id",
+            F.lower(F.col("event_type")).alias("action"),
+        )
+    )
+    # moderate threshold so the pair set is non-trivial at this tier
+    got = {
+        (r.conv_a, r.conv_b, r.n_inter, r.n_union)
+        for r in conversation_near_dups(
+            turns, "conv_id", ("ts", "event_id"), "action",
+            shingle_n=3, tau_num=3, tau_den=10,
+        ).collect()
+    }
+    docs = conversation_docs(turns, "conv_id", ("ts", "event_id"), "action")
+    shingled = with_shingle_hashes(docs, "seq", 3, out_col="shingles")
+    sets = {r.conv_id: set(r.shingles) for r in shingled.collect()}
+    want = _brute_force(sets, 3, 10)
+    assert got == want
+    assert len(want) > 0  # non-vacuous at 3/10
+
+
+def test_jaccard_join_rejects_bad_threshold(spark):
+    import pytest
+
+    from postal_address_spark.operators.conversations import jaccard_set_join
+
+    df = spark.createDataFrame([(1, [1, 2])], "sid long, sh array<long>")
+    with pytest.raises(ValueError):
+        jaccard_set_join(df, "sid", "sh", 0, 10)
+    with pytest.raises(ValueError):
+        jaccard_set_join(df, "sid", "sh", 11, 10)

@@ -32,7 +32,8 @@ EXPECTED_QUERIES = {
     "er_merge_distance", "er_incremental_link",
     "er_explain_pairs", "er_streaming_link",
     # training-data ops
-    "exact_dedup_documents", "rare_token_pairs", "edit_distance_pairs",
+    "exact_dedup_documents", "conv_transitions", "conv_near_dups",
+    "rare_token_pairs", "edit_distance_pairs",
     "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
     "cosine_topk",
     "text_analysis", "pii_redaction", "doc_repetition",

@@ -334,3 +334,40 @@ def test_profile_columns_single_melt(spark):
     plan = physical(profile_columns(df, ["c_mktsegment", "c_nationkey"]))
     assert "InMemoryTableScan" in plan
     assert "Expand" not in plan
+
+
+def test_conv_jaccard_join_id_only_shuffles(spark):
+    """jaccard_set_join (operators/conversations.py): the probing-prefix
+    explode must retain only (sid, sz) — a shingle ARRAY column in the
+    Generate output means the sets ride the candidate-join shuffle
+    (rule 7, same property as the LSH explosion guard above).  Also: no
+    cartesian/BNLJ anywhere, and the shingled base must be cached so the
+    conversation fold + shingling runs once, not four times."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.conversations import (
+        conversation_near_dups,
+    )
+
+    turns = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "ts",
+            "event_id",
+            F.lower(F.col("event_type")).alias("action"),
+        )
+    )
+    df = conversation_near_dups(turns, "conv_id", ("ts", "event_id"), "action")
+    plan = physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    prefix_gens = [
+        l for l in plan.splitlines() if "Generate explode(prefix" in l
+    ]
+    assert prefix_gens, plan[:2000]
+    for line in prefix_gens:
+        assert "sh#" not in line and "sh_sorted" not in line, line
+    spark.catalog.clearCache()
