@@ -250,6 +250,17 @@ def main() -> None:
             em.queries()["meta_blocking_pairs"](spark, SF),
         ),
         (
+            "conv_near_dups — exact prefix-filtered Jaccard self-join",
+            "Look for: the probing-prefix Generate emitting (sid, sz, h) "
+            "only (no shingle ARRAY in the explode output or the h-keyed "
+            "candidate join), the shingled base cached once "
+            "(InMemoryTableScan at every consumer), the integer length "
+            "filters riding the candidate join condition, and the "
+            "integer cross-multiplied Jaccard decision as a post-join "
+            "Filter — no CartesianProduct/BNLJ anywhere.",
+            em.queries()["conv_near_dups"](spark, SF),
+        ),
+        (
             "profile_customer — single melt, single cells shuffle",
             "Look for: ONE Generate (the stack melt) feeding ONE "
             "(col_name, value) HashAggregate with partial combine before "
