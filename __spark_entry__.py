@@ -573,6 +573,41 @@ def _q_conv_near_dups(spark, sf_dir):
     ).orderBy("conv_a", "conv_b")
 
 
+def _q_conv_dup_clusters(spark, sf_dir):
+    """End-to-end conversation dedup composition: exact prefix-filtered
+    Jaccard pairs -> large/small-star transitive closure -> one cluster
+    label per conversation (singletons keep their own id) — the
+    keep-one-per-cluster shape a transcript corpus dedup ships.  The
+    oracle re-derives the closure with a recursive CTE over the all-pairs
+    integer-decided edge set (same adjudication as
+    minhash_dup_clusters)."""
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.conversations import (
+        conversation_near_dups,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    pairs = conversation_near_dups(
+        turns,
+        "conv_id",
+        ("ts", "event_id"),
+        "action",
+        shingle_n=3,
+        tau_num=40,
+        tau_den=100,
+    )
+    vertices = turns.select(F.col("conv_id").alias("rec_id")).distinct()
+    clusters = assign_clusters(
+        vertices,
+        pairs.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")),
+    )
+    return clusters.select(
+        "rec_id",
+        "cluster_id",
+        (F.col("rec_id") == F.col("cluster_id")).alias("is_kept"),
+    ).orderBy("rec_id")
+
+
 def _q_exact_dedup(spark, sf_dir):
     from postal_address_spark.operators.dedup import exact_dedup
 
@@ -1989,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup,
         "conv_transitions": _q_conv_transitions,
         "conv_near_dups": _q_conv_near_dups,
+        "conv_dup_clusters": _q_conv_dup_clusters,
         "rare_token_pairs": _q_rare_token_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "span_dup_stats": _q_span_dup_stats,
@@ -3919,6 +3955,58 @@ def oracle_sql() -> dict[str, str]:
     SELECT conv_a, conv_b, n_inter, n_union
     FROM pairs WHERE 100 * n_inter >= 40 * n_union
     ORDER BY conv_a, conv_b
+    """
+
+    # -- conv_dup_clusters: the conversation-dedup closure re-derived with
+    # a recursive CTE over the all-pairs integer-decided Jaccard edges
+    # (cluster id = component minimum; singletons keep their own id) —
+    # grades pairs AND the CC operator end-to-end at conversation
+    # granularity, same modality as minhash_dup_clusters.
+    sql["conv_dup_clusters"] = """
+    WITH RECURSIVE conv AS (
+      SELECT user_id AS conv_id,
+             string_agg(lower(event_type), ' ' ORDER BY ts, event_id) AS seq
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    toks AS (SELECT conv_id, string_split(seq, ' ') AS t, seq FROM conv),
+    grams AS MATERIALIZED (
+      SELECT conv_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || '|' || t[i+1] || '|' || t[i+2]
+                                      for i in range(1, len(t)-1)])
+                  ELSE [seq] END AS g
+      FROM toks
+    ),
+    pairs AS (
+      SELECT conv_a, conv_b FROM (
+        SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+               len(list_intersect(a.g, b.g)) AS li,
+               len(a.g) AS na, len(b.g) AS nb
+        FROM grams a JOIN grams b
+          ON a.conv_id < b.conv_id
+             AND a.g IS NOT NULL AND b.g IS NOT NULL
+      ) WHERE 100 * li >= 40 * (na + nb - li)
+    ),
+    bi AS (
+      SELECT conv_a AS s, conv_b AS d FROM pairs
+      UNION ALL
+      SELECT conv_b, conv_a FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    labels AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT v.conv_id AS rec_id,
+           coalesce(l.cluster_id, v.conv_id) AS cluster_id,
+           coalesce(l.cluster_id, v.conv_id) = v.conv_id AS is_kept
+    FROM conv v LEFT JOIN labels l ON v.conv_id = l.rec_id
+    ORDER BY rec_id
     """
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
