@@ -573,6 +573,55 @@ def _q_conv_near_dups(spark, sf_dir):
     ).orderBy("conv_a", "conv_b")
 
 
+def _q_conv_quality(spark, sf_dir):
+    """Conversation-level curation gate
+    (operators/conversations.py:conversation_quality): n_turns / action
+    diversity / longest identical-action run (the 'agent stuck in a
+    loop' signal), keep/drop with per-rule reasons.  The run statistic
+    is gaps-and-islands computed as ONE codegen `aggregate` sweep over
+    the already-folded token array — no second shuffle, no window, no
+    Python; every rule is an exact integer comparison so the DuckDB
+    oracle (a classic two-window islands replay) matches bit-for-bit."""
+    from postal_address_spark.operators.conversations import (
+        conversation_quality,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return conversation_quality(
+        turns,
+        "conv_id",
+        ("ts", "event_id"),
+        "action",
+        min_turns=3,
+        min_distinct=2,
+        max_run=4,
+    ).orderBy("conv_id")
+
+
+def _q_conv_split_summary(spark, sf_dir):
+    """Leakage-safe dataset split for transcript corpora: the assignment
+    is a pure function of the CONVERSATION id
+    (operators/conversations.py:with_conversation_split — zero shuffle,
+    zero join), so a multi-turn conversation can never straddle splits.
+    Summarized per split; uses the portable 'lcg' map so DuckDB replays
+    the assignment exactly (production default is xxhash64,
+    pytest-pinned like dataset_split)."""
+    from postal_address_spark.operators.conversations import (
+        with_conversation_split,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return (
+        with_conversation_split(turns, "conv_id", method="lcg")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .orderBy("split")
+    )
+
+
 def _q_conv_dup_clusters(spark, sf_dir):
     """End-to-end conversation dedup composition: exact prefix-filtered
     Jaccard pairs -> large/small-star transitive closure -> one cluster
@@ -2025,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_transitions": _q_conv_transitions,
         "conv_near_dups": _q_conv_near_dups,
         "conv_dup_clusters": _q_conv_dup_clusters,
+        "conv_quality_stats": _q_conv_quality,
+        "conv_split_summary": _q_conv_split_summary,
         "rare_token_pairs": _q_rare_token_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "span_dup_stats": _q_span_dup_stats,
@@ -4007,6 +4058,69 @@ def oracle_sql() -> dict[str, str]:
            coalesce(l.cluster_id, v.conv_id) = v.conv_id AS is_kept
     FROM conv v LEFT JOIN labels l ON v.conv_id = l.rec_id
     ORDER BY rec_id
+    """
+
+    # -- conv_quality_stats: the islands replay — run grouping via the
+    # rn - row_number-per-(conv, action) trick, then per-conv max; rule
+    # labels assembled in the same order as the engine's flags array.
+    sql["conv_quality_stats"] = """
+    WITH turns AS (
+      SELECT user_id AS conv_id, lower(event_type) AS action,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    isl AS (
+      SELECT conv_id, action,
+             rn - row_number() OVER (PARTITION BY conv_id, action ORDER BY rn)
+               AS grp
+      FROM turns
+    ),
+    runs AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY conv_id, action, grp
+    ),
+    stats AS (
+      SELECT t.conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(count(DISTINCT t.action) AS INT) AS n_distinct_actions,
+             CAST(max(r.max_run) AS INT) AS max_run
+      FROM turns t JOIN (
+        SELECT conv_id, max(run_len) AS max_run FROM runs GROUP BY conv_id
+      ) r ON t.conv_id = r.conv_id
+      GROUP BY t.conv_id
+    ),
+    flagged AS (
+      SELECT conv_id, n_turns, n_distinct_actions, max_run,
+             concat_ws(',',
+               CASE WHEN n_turns < 3 THEN 'too_short' END,
+               CASE WHEN n_distinct_actions < 2 THEN 'low_diversity' END,
+               CASE WHEN max_run >= 4 THEN 'stuck_loop' END) AS reasons
+      FROM stats
+    )
+    SELECT conv_id, n_turns, n_distinct_actions, max_run,
+           coalesce(reasons, '') AS reasons,
+           coalesce(reasons, '') = '' AS keep
+    FROM flagged ORDER BY conv_id
+    """
+
+    # -- conv_split_summary: the lcg conversation-split replay; pmod of a
+    # positive id is plain % on both engines.
+    sql["conv_split_summary"] = """
+    WITH turns AS (
+      SELECT user_id AS conv_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    assigned AS (
+      SELECT conv_id,
+             CASE WHEN (conv_id * 40503 + 2024) % 100 < 80 THEN 'train'
+                  WHEN (conv_id * 40503 + 2024) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM turns
+    )
+    SELECT split, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM assigned GROUP BY split ORDER BY split
     """
 
     # doc_fingerprints / simhash_near_dups / ivf_ann_topk /

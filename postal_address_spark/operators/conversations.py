@@ -65,23 +65,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def conversation_docs(
+def _ordered_token_arrays(
     turns: DataFrame,
-    conv_col: str = "conv_id",
-    order_cols: Sequence[str] = ("turn_idx",),
-    token_col: str = "action",
-    out_seq: str = "seq",
+    conv_col: str,
+    order_cols: Sequence[str],
+    token_col: str,
 ) -> DataFrame:
-    """One row per conversation: (conv, n_turns, seq) where ``seq`` is the
-    space-joined token sequence in (order_cols) order.
-
-    NULL tokens are dropped before the fold (they carry no sequence
-    information and would silently shift ``concat_ws`` output); NULL
-    order keys sort last but deterministically.  Order keys must be
-    unique per conversation for the result to be well-defined — true for
-    (ts, event_id) and for (conv_id, turn_idx) per the input_hint's
-    stable-ordering invariant.
-    """
+    """(conv, n_turns, toks array<string>) — the turn-ordered token
+    sequence per conversation, recovered deterministically (array_sort
+    over order-key structs) in ONE shuffle.  NULL tokens are dropped
+    before the fold (they carry no sequence information); order keys must
+    be unique per conversation for the result to be well-defined — true
+    for (ts, event_id) and for (conv_id, turn_idx) per the input_hint's
+    stable-ordering invariant."""
     keyed = turns.where(F.col(token_col).isNotNull()).select(
         F.col(conv_col).alias("conv"),
         F.struct(
@@ -96,10 +92,134 @@ def conversation_docs(
     # kts is a real projected column (HOF rule 1): the transform lambda
     # references the aggregation output, never an inline expression.
     return folded.select(
+        "conv",
+        "n_turns",
+        F.transform("kts", lambda s: s["tok"]).alias("toks"),
+    )
+
+
+def conversation_docs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+    out_seq: str = "seq",
+) -> DataFrame:
+    """One row per conversation: (conv, n_turns, seq) where ``seq`` is the
+    space-joined token sequence in (order_cols) order (see
+    :func:`_ordered_token_arrays` for the determinism argument)."""
+    folded = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
+    return folded.select(
         F.col("conv").alias(conv_col),
         "n_turns",
-        F.concat_ws(" ", F.transform("kts", lambda s: s["tok"])).alias(out_seq),
+        F.concat_ws(" ", "toks").alias(out_seq),
     )
+
+
+def conversation_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+) -> DataFrame:
+    """Per-conversation structural profile: (conv, n_turns,
+    n_distinct_actions, max_run) where ``max_run`` is the longest run of
+    CONSECUTIVE identical actions — the "agent stuck in a loop" signal.
+
+    The run statistic is gaps-and-islands, computed WITHOUT a second
+    shuffle: the fold already produced the ordered token array, so the
+    max run is one ``aggregate`` HOF sweep (struct accumulator
+    (prev, run, best)) inside whole-stage codegen — zero Python, zero
+    window.  Total cost: the one groupBy(conv) shuffle every
+    conversation-level operator pays.
+    """
+    folded = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, t):
+        run = (
+            F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return folded.select(
+        F.col("conv").alias(conv_col),
+        "n_turns",
+        F.size(F.array_distinct("toks")).alias("n_distinct_actions"),
+        F.aggregate("toks", acc0, step)["best"].alias("max_run"),
+    )
+
+
+def conversation_quality(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+    min_turns: int = 3,
+    min_distinct: int = 2,
+    max_run: int = 4,
+) -> DataFrame:
+    """Conversation-level keep/drop curation gate with per-rule reasons —
+    the transcript-corpus sibling of corpus.py's document quality_filter.
+
+    Rules (all exact integer comparisons, so an oracle replays the
+    decision bit-for-bit):
+      * ``too_short``      — n_turns < min_turns
+      * ``low_diversity``  — n_distinct_actions < min_distinct
+      * ``stuck_loop``     — the longest identical-action run reaches the
+        ``max_run`` threshold (degenerate tool-call repetition, the
+        classic agent-transcript failure mode)
+
+    Same errors-as-data idiom as quality_filter: reasons is the
+    comma-joined rule list, keep = (reasons == '').
+    """
+    stats = conversation_stats(turns, conv_col, order_cols, token_col)
+    flags = F.array(
+        F.when(F.col("n_turns") < min_turns, F.lit("too_short")),
+        F.when(
+            F.col("n_distinct_actions") < min_distinct, F.lit("low_diversity")
+        ),
+        F.when(F.col("max_run") >= max_run, F.lit("stuck_loop")),
+    )
+    reasons = F.array_join(F.filter(flags, lambda x: x.isNotNull()), ",")
+    return stats.withColumn("reasons", reasons).withColumn(
+        "keep", F.col("reasons") == ""
+    )
+
+
+def with_conversation_split(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    method: str = "xxhash",
+    salt: int = 2024,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment for transcript corpora:
+    the split is a pure function of the CONVERSATION id (corpus.py's
+    split_assign), so every turn of a conversation lands in the same
+    split by construction — no join, no shuffle, no coordination, and no
+    cross-split leakage of multi-turn context.  Splitting transcript data
+    at turn granularity is the classic eval-contamination bug; keying the
+    hash on conv_col makes it structurally impossible."""
+    from postal_address_spark.operators.corpus import split_assign
+
+    bucket = split_assign(F.col(conv_col), 100, method=method, salt=salt)
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return turns.withColumn("split", split)
 
 
 def action_transitions(

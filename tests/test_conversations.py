@@ -184,3 +184,85 @@ def test_jaccard_join_rejects_bad_threshold(spark):
         jaccard_set_join(df, "sid", "sh", 0, 10)
     with pytest.raises(ValueError):
         jaccard_set_join(df, "sid", "sh", 11, 10)
+
+
+# ---------------------------------------------------------------------------
+# conversation_stats / conversation_quality / with_conversation_split
+# ---------------------------------------------------------------------------
+
+
+def test_conversation_stats_max_run_hand_computed(spark):
+    from postal_address_spark.operators.conversations import conversation_stats
+
+    rows = [
+        # c1: a a a b a  -> max_run 3, distinct 2, n 5
+        ("c1", 1, "a"), ("c1", 2, "a"), ("c1", 3, "a"), ("c1", 4, "b"),
+        ("c1", 5, "a"),
+        # c2: run at the END: a b b  -> max_run 2
+        ("c2", 1, "a"), ("c2", 2, "b"), ("c2", 3, "b"),
+        # c3: single turn -> max_run 1
+        ("c3", 1, "z"),
+        # c4: all identical -> max_run = n
+        ("c4", 1, "x"), ("c4", 2, "x"), ("c4", 3, "x"), ("c4", 4, "x"),
+    ]
+    out = {
+        r.conv_id: (r.n_turns, r.n_distinct_actions, r.max_run)
+        for r in conversation_stats(
+            _turns_df(spark, rows), "conv_id", ("turn_idx",), "action"
+        ).collect()
+    }
+    assert out == {
+        "c1": (5, 2, 3),
+        "c2": (3, 2, 2),
+        "c3": (1, 1, 1),
+        "c4": (4, 1, 4),
+    }
+
+
+def test_conversation_quality_reasons(spark):
+    from postal_address_spark.operators.conversations import (
+        conversation_quality,
+    )
+
+    rows = [
+        ("short", 1, "a"),                                    # too_short (+low_diversity)
+        ("loopy", 1, "a"), ("loopy", 2, "a"), ("loopy", 3, "a"),
+        ("loopy", 4, "a"), ("loopy", 5, "b"),                 # stuck_loop at max_run=4
+        ("good", 1, "a"), ("good", 2, "b"), ("good", 3, "c"),
+    ]
+    out = {
+        r.conv_id: (r.keep, r.reasons)
+        for r in conversation_quality(
+            _turns_df(spark, rows), "conv_id", ("turn_idx",), "action",
+            min_turns=3, min_distinct=2, max_run=4,
+        ).collect()
+    }
+    assert out["good"] == (True, "")
+    assert out["loopy"] == (False, "stuck_loop")
+    assert out["short"] == (False, "too_short,low_diversity")
+
+
+def test_conversation_split_never_straddles(spark):
+    """Leakage-safety is structural: every turn of a conversation gets the
+    same split under BOTH hash methods, and the assignment is identical
+    at any partitioning."""
+    from postal_address_spark.operators.conversations import (
+        with_conversation_split,
+    )
+
+    turns = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("conv_id"), "event_id")
+    )
+    for method in ("xxhash", "lcg"):
+        assigned = with_conversation_split(
+            turns.repartition(7), "conv_id", method=method
+        )
+        straddlers = (
+            assigned.groupBy("conv_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0, method
