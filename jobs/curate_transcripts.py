@@ -1,0 +1,183 @@
+"""Transcript-corpus curation job — the ``spark-submit`` deploy surface
+for multi-turn conversation data, composing the conversation operators
+the way ``jobs/curate.py`` composes the document ones:
+
+    conversation quality gate -> exact-sequence dedup
+    -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
+    -> leakage-safe split -> per-split parquet of the KEPT TURNS
+
+Package the engine and submit::
+
+    (cd /root/repo && zip -qr engine.zip postal_address_spark)
+    spark-submit --py-files engine.zip jobs/curate_transcripts.py \
+        --input  <turns table>    # parquet path or Iceberg table ref \
+        --output-root <dir>       # writes <dir>/turns + <dir>/rejected_convs \
+        [--conv-col conv_id] [--order-cols turn_idx] [--action-col role] \
+        [--min-turns 3] [--min-distinct 2] [--max-run 6] \
+        [--tau-num 7 --tau-den 10] [--no-near-dup] [--split-salt 2024]
+
+Differences from the document job that matter at transcript scale:
+
+* The unit of curation is the CONVERSATION, but the payload written is
+  the TURNS table — every decision (quality, dedup survivor, split) is
+  made once per conversation and applied to its turns with semi/anti
+  joins on conv_col, so no turn of a kept conversation is ever lost and
+  no conversation straddles a split (the split is a pure function of
+  conv_col — see operators/conversations.py:with_conversation_split).
+* Near-dup here is the EXACT threshold-Jaccard join over action-sequence
+  trigrams (recall-lossless at any tau) — conversations built from a
+  small tool alphabet sit in the moderate-tau regime where MinHash
+  banding recall decays.
+* Exact-sequence dedup (identical action sequence AND identical turn
+  count) rides the same fold: one xxhash64 of the folded sequence,
+  min-id survivor — the conversation analogue of document exact_dedup.
+
+Rejected conversations are written WITH their firing rule names
+(reasons are data, like every error surface in this engine).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="postal-address-spark transcript curation job"
+    )
+    p.add_argument("--input", required=True,
+                   help="turns table (parquet path or iceberg ref)")
+    p.add_argument("--output-root", required=True,
+                   help="destination dir: writes turns/ + rejected_convs/")
+    p.add_argument("--conv-col", default="conv_id")
+    p.add_argument("--order-cols", default="turn_idx",
+                   help="comma-separated turn-order columns")
+    p.add_argument("--action-col", default="role",
+                   help="token column for sequence stats/dedup (role, tool, ...)")
+    p.add_argument("--min-turns", type=int, default=3)
+    p.add_argument("--min-distinct", type=int, default=2)
+    p.add_argument("--max-run", type=int, default=6)
+    p.add_argument("--tau-num", type=int, default=7)
+    p.add_argument("--tau-den", type=int, default=10)
+    p.add_argument("--no-near-dup", action="store_true",
+                   help="skip the near-dup conversation dedup")
+    p.add_argument("--split-salt", type=int, default=2024)
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+    order_cols = tuple(c.strip() for c in args.order_cols.split(",") if c.strip())
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("postal-address-transcript-curation")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.cluster import connected_components
+    from postal_address_spark.operators.conversations import (
+        conversation_docs,
+        conversation_near_dups,
+        conversation_quality,
+        with_conversation_split,
+    )
+    from postal_address_spark.sources.io import read_table, write_table
+
+    conv, act = args.conv_col, args.action_col
+    turns = read_table(spark, args.input)
+    n_turns_in = turns.count()
+
+    # 1. quality gate at conversation granularity.  The gate output is
+    # conversation-sized (one row per conv) — tiny next to the turns.
+    gated = conversation_quality(
+        turns, conv, order_cols, act,
+        min_turns=args.min_turns, min_distinct=args.min_distinct,
+        max_run=args.max_run,
+    )
+    rejected = gated.where(~F.col("keep")).drop("keep")
+    kept_convs = gated.where(F.col("keep")).select(conv)
+    n_convs_in = gated.count()
+    turns = turns.join(kept_convs, conv, "left_semi")
+
+    # 2. exact-sequence dedup: identical (n_turns, action sequence) keeps
+    # the min-id conversation.  One fold + one tiny groupBy on the
+    # sequence hash; never the turns.
+    docs = conversation_docs(turns, conv, order_cols, act)
+    exact_reps = (
+        docs.select(conv, F.xxhash64("n_turns", "seq").alias("_sig"))
+        .groupBy("_sig")
+        .agg(F.min(conv).alias(conv))
+        .select(conv)
+    )
+    n_exact_dropped = n_convs_in - rejected.count() - exact_reps.count()
+    turns = turns.join(exact_reps, conv, "left_semi")
+
+    # 3. near-dup dedup: exact prefix-filtered Jaccard pairs over the
+    # surviving conversations -> connected components -> keep min id.
+    n_near_dropped = 0
+    if not args.no_near_dup:
+        pairs = conversation_near_dups(
+            turns, conv, order_cols, act,
+            tau_num=args.tau_num, tau_den=args.tau_den,
+        )
+        edges = pairs.select(
+            F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")
+        )
+        comp = connected_components(edges)  # (rec_id, cluster_id)
+        drop = comp.where(F.col("rec_id") != F.col("cluster_id")).select(
+            F.col("rec_id").alias(conv)
+        )
+        n_near_dropped = drop.count()
+        turns = turns.join(drop, conv, "left_anti")
+
+    # 4. leakage-safe split (pure function of conv id), write the turns
+    # partitioned by split; rejected conversations with their reasons.
+    kept_turns = with_conversation_split(turns, conv, salt=args.split_salt)
+    turns_path = f"{args.output_root.rstrip('/')}/turns"
+    rejected_path = f"{args.output_root.rstrip('/')}/rejected_convs"
+    write_table(kept_turns, turns_path, partition_by=["split"])
+    write_table(rejected, rejected_path)
+
+    out = spark.read.parquet(turns_path)
+    split_counts = {
+        r["split"]: {"n_convs": r["n_convs"], "n_turns": r["n_turns"]}
+        for r in out.groupBy("split")
+        .agg(
+            F.countDistinct(conv).alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .collect()
+    }
+    reject_reasons = {
+        r["reasons"]: r["n"]
+        for r in spark.read.parquet(rejected_path)
+        .groupBy("reasons").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    summary = {
+        "input": args.input,
+        "n_turns_in": int(n_turns_in),
+        "n_convs_in": int(n_convs_in),
+        "n_exact_dropped": int(n_exact_dropped),
+        "n_near_dup_dropped": int(n_near_dropped),
+        "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),
+        "n_turns_kept": int(sum(v["n_turns"] for v in split_counts.values())),
+        "n_convs_rejected": int(sum(reject_reasons.values())),
+        "split_counts": split_counts,
+        "reject_reasons": reject_reasons,
+        "turns": turns_path,
+        "rejected_convs": rejected_path,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
