@@ -261,6 +261,15 @@ def main() -> None:
             em.queries()["conv_near_dups"](spark, SF),
         ),
         (
+            "conv_quality_stats — islands without a window",
+            "Look for: NO Window node (the longest identical-action run "
+            "is one aggregate() HOF sweep over the folded token array, "
+            "inside the same projection as the other stats) and no "
+            "Python eval nodes — the whole gate is one groupBy(conv) "
+            "shuffle plus codegen.",
+            em.queries()["conv_quality_stats"](spark, SF),
+        ),
+        (
             "profile_customer — single melt, single cells shuffle",
             "Look for: ONE Generate (the stack melt) feeding ONE "
             "(col_name, value) HashAggregate with partial combine before "

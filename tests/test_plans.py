@@ -371,3 +371,29 @@ def test_conv_jaccard_join_id_only_shuffles(spark):
     for line in prefix_gens:
         assert "sh#" not in line and "sh_sorted" not in line, line
     spark.catalog.clearCache()
+
+
+def test_conv_stats_islands_without_window(spark):
+    """conversation_stats (operators/conversations.py): the longest-run
+    statistic must come from the codegen aggregate() sweep over the
+    folded token array — a Window node means the gaps-and-islands took a
+    second sort+shuffle per conversation for the same answer."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.conversations import (
+        conversation_stats,
+    )
+
+    turns = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "ts",
+            "event_id",
+            F.lower(F.col("event_type")).alias("action"),
+        )
+    )
+    plan = physical(conversation_stats(turns, "conv_id", ("ts", "event_id"), "action"))
+    assert "Window" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
