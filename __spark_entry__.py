@@ -1430,8 +1430,19 @@ def _er_closure_assignments(spark, sf_dir):
     (er_link_closure / er_eval_metrics / er_golden_records) run THIS one
     Spark path, and their oracles share one mirrored CTE chain — a hash
     match on any of them re-grades the same blocking + pairing + closure."""
-    from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.cluster import assign_clusters
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    edges = pairs.where(
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
+    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    return nodes, assign_clusters(nodes, edges)
+
+
+def _er_blocked_pairs(spark, sf_dir):
+    """(nodes, candidate pairs) of the integer-kernel linkage path —
+    shared by _er_closure_assignments and er_apply_review."""
+    from postal_address_spark.operators.blocking import with_block_key
     from postal_address_spark.operators.normalize_op import normalize_mentions
     from postal_address_spark.operators.pairs import candidate_pairs
 
@@ -1444,11 +1455,8 @@ def _er_closure_assignments(spark, sf_dir):
     # threshold=0.82 keeps the production (block, house-number) refinement
     # in the exercised path; the oracle mirrors it.
     pairs = candidate_pairs(blocked, threshold=0.82)
-    edges = pairs.where(
-        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
-    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
     nodes = blocked.where(F.col("block_key").isNotNull())
-    return nodes, assign_clusters(nodes, edges)
+    return nodes, pairs
 
 
 def _q_er_link_closure(spark, sf_dir):
@@ -1465,6 +1473,46 @@ def _q_er_link_closure(spark, sf_dir):
     itself remains pytest-pinned (tests/test_similarity.py + e2e F1)."""
     _, asg = _er_closure_assignments(spark, sf_dir)
     return asg.orderBy("rec_id")
+
+
+def _q_er_apply_review(spark, sf_dir):
+    """The review-feedback loop closed (operators/review.py): clerical
+    decisions fold back into the linkage graph — rejected pairs leave
+    the automatic edge set (one anti-join), confirmed borderline pairs
+    join it (one union) — and the closure re-runs over the adjusted
+    edges.  The decisions here are a DETERMINISTIC stand-in for human
+    adjudications (pure functions of the mention-id pair: reject auto
+    edges with (id_a+id_b) % 5 == 0, confirm borderline
+    5 < levenshtein <= 8 pairs with (id_a+id_b) % 3 == 0), so the DuckDB
+    oracle replays decision application AND the re-closure exactly; in
+    production the decisions table comes from the er_review_queue
+    adjudication UI."""
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.review import apply_review
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    lev = F.levenshtein(F.lower("line1_a"), F.lower("line1_b"))
+    nsum = (
+        F.substring("rec_id_a", 2, 8).cast("long")
+        + F.substring("rec_id_b", 2, 8).cast("long")
+    )
+    cand = pairs.select(
+        F.col("rec_id_a").alias("src"),
+        F.col("rec_id_b").alias("dst"),
+        lev.alias("lev"),
+        nsum.alias("nsum"),
+    )
+    auto = cand.where(F.col("lev") <= 5).select("src", "dst")
+    rejected = cand.where(
+        (F.col("lev") <= 5) & (F.pmod(F.col("nsum"), F.lit(5)) == 0)
+    ).select("src", "dst")
+    confirmed = cand.where(
+        (F.col("lev") > 5)
+        & (F.col("lev") <= 8)
+        & (F.pmod(F.col("nsum"), F.lit(3)) == 0)
+    ).select("src", "dst")
+    adjusted = apply_review(auto, rejected, confirmed)
+    return assign_clusters(nodes, adjusted).orderBy("rec_id")
 
 
 def _q_er_eval_metrics(spark, sf_dir):
@@ -2100,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_doc_chunks": _q_udtf_doc_chunks,
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
+        "er_apply_review": _q_er_apply_review,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
         "er_merge_distance": _q_er_merge_distance,
@@ -3341,6 +3390,37 @@ def oracle_sql() -> dict[str, str]:
 
     sql["er_link_closure"] = f"""
     WITH RECURSIVE {closure_ctes}
+    SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
+    """
+
+    # -- er_apply_review: the SAME chain with the edge set adjusted by
+    # the deterministic review decisions (reject auto edges on id-sum
+    # mod 5, confirm borderline 5 < lev <= 8 pairs on id-sum mod 3) —
+    # grades decision application AND the re-closure.
+    _auto_pairs_cte = """pairs AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 5
+    ),"""
+    _reviewed_pairs_cte = """cand AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             a.mention_id + b.mention_id AS nsum,
+             levenshtein(lower(a.line1), lower(b.line1)) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT s, d FROM cand WHERE lev <= 5 AND (nsum % 5) <> 0
+      UNION
+      SELECT s, d FROM cand WHERE lev > 5 AND lev <= 8 AND (nsum % 3) = 0
+    ),"""
+    reviewed_ctes = closure_ctes.replace(_auto_pairs_cte, _reviewed_pairs_cte)
+    assert reviewed_ctes != closure_ctes, "review oracle: pairs CTE not found"
+    sql["er_apply_review"] = f"""
+    WITH RECURSIVE {reviewed_ctes}
     SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
     """
 
