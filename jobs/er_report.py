@@ -14,7 +14,12 @@ and AFTER committing a full linkage run):
 * **column profile** of the comparison/blocking fields (null rates,
   distinct counts, top values — the measured skew behind key choices);
 * **clerical-review queue**: the structural possible-match band
-  (ambiguous integer comparison patterns), deterministically thinned.
+  (ambiguous integer comparison patterns), deterministically thinned;
+* **review impact** (opt-in, ``--decisions``): fold adjudicated
+  confirm/reject decisions back into the production match edges
+  (operators/review.py) and report what the re-closure changes —
+  before/after cluster counts plus the records whose label moves
+  (``review_impact/``).
 
 Package the engine and submit::
 
@@ -56,6 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--review-sample", type=int, default=1, metavar="K",
         help="thin the clerical-review queue to a deterministic 1-in-K "
         "pair sample before writing it; 1 = every ambiguous pair",
+    )
+    p.add_argument(
+        "--decisions",
+        help="adjudicated decisions table (rec_id_a, rec_id_b, decision in "
+        "{'confirm','reject'}) — typically the written review_queue plus a "
+        "decision column.  When given, the report scores the production "
+        "edges, folds the decisions in (operators/review.py), re-runs the "
+        "closure and writes review_impact/ (the records whose cluster "
+        "label changes) with before/after cluster counts in the summary",
     )
     return p
 
@@ -178,6 +192,53 @@ def main(argv=None, spark=None) -> dict:
     )
     write_table(profile, f"{root}/column_profile")
 
+    # ---- review impact (opt-in): fold adjudicated decisions into the
+    # production match edges and measure what the re-closure changes.
+    # This is the only stage that runs the full scoring kernels; it is
+    # exactly the delta a practitioner wants before committing a relink.
+    impact = None
+    if args.decisions:
+        from postal_address_spark.operators.cluster import assign_clusters
+        from postal_address_spark.operators.review import apply_review
+        from postal_address_spark.operators.scoring import score_pairs
+
+        decisions = read_table(spark, args.decisions)
+        dec = decisions.select(
+            F.col("rec_id_a"), F.col("rec_id_b"),
+            F.lower(F.col("decision")).alias("decision"),
+        )
+        rejected = dec.where(F.col("decision") == "reject").drop("decision")
+        confirmed = dec.where(F.col("decision") == "confirm").drop("decision")
+        edges = score_pairs(
+            candidate_pairs(norm, threshold=args.threshold),
+            threshold=args.threshold,
+        ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+        adjusted = apply_review(edges, rejected, confirmed)
+        nodes = norm.where(F.col("block_key").isNotNull()).select("rec_id")
+        before = assign_clusters(nodes, edges).withColumnRenamed(
+            "cluster_id", "cluster_before"
+        )
+        after = assign_clusters(nodes, adjusted).withColumnRenamed(
+            "cluster_id", "cluster_after"
+        )
+        changed = before.join(after, "rec_id").where(
+            F.col("cluster_before") != F.col("cluster_after")
+        )
+        write_table(changed, f"{root}/review_impact")
+        impact = {
+            "n_decisions_reject": int(rejected.count()),
+            "n_decisions_confirm": int(confirmed.count()),
+            "n_clusters_before": int(
+                before.agg(F.countDistinct("cluster_before")).collect()[0][0]
+            ),
+            "n_clusters_after": int(
+                after.agg(F.countDistinct("cluster_after")).collect()[0][0]
+            ),
+            "n_labels_changed": int(
+                spark.read.parquet(f"{root}/review_impact").count()
+            ),
+        }
+
     cov_rows = {
         r["rule"]: {
             "n_pairs": r["n_pairs"],
@@ -201,6 +262,7 @@ def main(argv=None, spark=None) -> dict:
         "n_review_queue": int(
             spark.read.parquet(f"{root}/review_queue").count()
         ),
+        "review_impact": impact,
         "column_profile": {
             r["col_name"]: {
                 "n_null": r["n_null"], "n_distinct": r["n_distinct"]

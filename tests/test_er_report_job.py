@@ -66,3 +66,59 @@ def test_er_report_job_end_to_end(spark, tmp_path):
     assert all(
         0 <= v["n_null"] <= summary["n_mentions"] for v in prof.values()
     )
+
+
+def test_er_report_review_impact(spark, tmp_path):
+    """--decisions: adjudications fold into the production edges and the
+    re-closure delta is reported.  Rejecting EVERY automatic edge must
+    split every non-singleton cluster; confirming queue pairs can only
+    merge."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.extract import extract_mentions
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import score_pairs
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=80, n_entities=30
+    ).write.parquet(inp)
+
+    # adjudications: reject every production edge, confirm nothing — the
+    # strongest possible reviewer override, with a provable outcome
+    norm = with_block_key(
+        normalize_mentions(extract_mentions(spark.read.parquet(inp)))
+    )
+    edges = score_pairs(
+        candidate_pairs(norm, threshold=0.82), threshold=0.82
+    ).select("rec_id_a", "rec_id_b")
+    decisions_path = str(tmp_path / "decisions")
+    edges.withColumn("decision", F.lit("reject")).write.parquet(decisions_path)
+
+    root = str(tmp_path / "report_impact")
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root,
+         "--decisions", decisions_path],
+        spark=spark,
+    )
+    impact = summary["review_impact"]
+    assert impact is not None
+    assert impact["n_decisions_reject"] > 0
+    assert impact["n_decisions_confirm"] == 0
+    # with every edge rejected the after-closure is all singletons
+    n_nodes = norm.where(F.col("block_key").isNotNull()).count()
+    assert impact["n_clusters_after"] == n_nodes
+    assert impact["n_clusters_after"] > impact["n_clusters_before"]
+    # every member of a non-singleton cluster except its min-id label
+    # holder changes label; the written table matches the count
+    assert impact["n_labels_changed"] > 0
+    assert impact["n_labels_changed"] == spark.read.parquet(
+        f"{root}/review_impact"
+    ).count()
