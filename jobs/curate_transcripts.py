@@ -103,8 +103,17 @@ def main(argv=None, spark=None) -> dict:
         max_run=args.max_run,
     )
     rejected = gated.where(~F.col("keep")).drop("keep")
+    # conversations whose EVERY action is NULL never reach the stats fold
+    # (NULL tokens carry no sequence) — surface them as rejects instead of
+    # letting them vanish from both outputs.
+    no_actions = (
+        turns.select(conv).distinct()
+        .join(gated.select(conv), conv, "left_anti")
+        .withColumn("reasons", F.lit("no_actions"))
+    )
+    rejected = rejected.unionByName(no_actions, allowMissingColumns=True)
     kept_convs = gated.where(F.col("keep")).select(conv)
-    n_convs_in = gated.count()
+    n_convs_in = gated.count() + no_actions.count()
     turns = turns.join(kept_convs, conv, "left_semi")
 
     # 2. exact-sequence dedup: identical (n_turns, action sequence) keeps

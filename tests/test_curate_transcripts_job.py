@@ -29,6 +29,7 @@ def test_curate_transcripts_end_to_end(spark, tmp_path):
         + _conv(3, ["user"])                    # too_short (+low_diversity)
         + _conv(4, ["tool"] * 8)                # stuck_loop + low_diversity
         + _conv(5, ["user", "assistant"] * 6)   # clean, far from seq_a
+        + _conv(6, [None, None, None])          # every action NULL -> no_actions
     )
     inp = str(tmp_path / "turns")
     out_root = str(tmp_path / "curated")
@@ -41,11 +42,12 @@ def test_curate_transcripts_end_to_end(spark, tmp_path):
          "--max-run", "6", "--tau-num", "7", "--tau-den", "10"],
         spark=spark,
     )
-    assert summary["n_turns_in"] == 51
-    assert summary["n_convs_in"] == 6
+    assert summary["n_turns_in"] == 54
+    assert summary["n_convs_in"] == 7
     assert summary["reject_reasons"] == {
         "too_short,low_diversity": 1,
         "low_diversity,stuck_loop": 1,
+        "no_actions": 1,
     }
     assert summary["n_exact_dropped"] == 1     # conv 9
     assert summary["n_near_dup_dropped"] == 1  # conv 2
@@ -69,7 +71,7 @@ def test_curate_transcripts_end_to_end(spark, tmp_path):
     assert straddle == 0
 
     rejected = spark.read.parquet(summary["rejected_convs"])
-    assert {r["conv_id"] for r in rejected.collect()} == {3, 4}
+    assert {r["conv_id"] for r in rejected.collect()} == {3, 4, 6}
 
 
 def test_curate_transcripts_no_near_dup_flag(spark, tmp_path):
