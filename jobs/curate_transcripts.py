@@ -2,7 +2,7 @@
 for multi-turn conversation data, composing the conversation operators
 the way ``jobs/curate.py`` composes the document ones:
 
-    conversation quality gate -> exact-sequence dedup
+    conversation quality gate -> exact dedup (content signature)
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
 
@@ -24,13 +24,17 @@ Differences from the document job that matter at transcript scale:
   joins on conv_col, so no turn of a kept conversation is ever lost and
   no conversation straddles a split (the split is a pure function of
   conv_col — see operators/conversations.py:with_conversation_split).
-* Near-dup here is the EXACT threshold-Jaccard join over action-sequence
-  trigrams (recall-lossless at any tau) — conversations built from a
-  small tool alphabet sit in the moderate-tau regime where MinHash
-  banding recall decays.
-* Exact-sequence dedup (identical action sequence AND identical turn
-  count) rides the same fold: one xxhash64 of the folded sequence,
-  min-id survivor — the conversation analogue of document exact_dedup.
+* Dedup identity is the per-turn TEXT when the table carries it
+  (--text-col, coalesced with the action for text-less turns), else the
+  action sequence.  Deduping on roles alone is a chat-corpus trap: every
+  same-length user/assistant alternation has the identical role
+  sequence, and role-trigram Jaccard is 1.0 corpus-wide.
+* Near-dup is the EXACT threshold-Jaccard join over trigrams of the
+  dedup tokens (recall-lossless at any tau) — moderate-tau territory
+  where MinHash banding recall decays.
+* Exact dedup hashes the ordered token ARRAY (no separator to inject)
+  plus the turn count: one fold, one tiny groupBy, min-id survivor —
+  the conversation analogue of document exact_dedup.
 
 Rejected conversations are written WITH their firing rule names
 (reasons are data, like every error surface in this engine).
@@ -54,7 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--order-cols", default="turn_idx",
                    help="comma-separated turn-order columns")
     p.add_argument("--action-col", default="role",
-                   help="token column for sequence stats/dedup (role, tool, ...)")
+                   help="token column for the quality gate's sequence stats")
+    p.add_argument("--text-col", default="text",
+                   help="per-turn text column: when present it becomes the "
+                   "dedup identity (coalesced with --action-col for "
+                   "text-less turns); pass a non-existent name to dedup on "
+                   "the action sequence alone")
     p.add_argument("--min-turns", type=int, default=3)
     p.add_argument("--min-distinct", type=int, default=2)
     p.add_argument("--max-run", type=int, default=6)
@@ -84,16 +93,37 @@ def main(argv=None, spark=None) -> dict:
 
     from postal_address_spark.operators.cluster import connected_components
     from postal_address_spark.operators.conversations import (
-        conversation_docs,
         conversation_near_dups,
+        conversation_signatures,
         conversation_quality,
         with_conversation_split,
     )
     from postal_address_spark.sources.io import read_table, write_table
 
     conv, act = args.conv_col, args.action_col
-    turns = read_table(spark, args.input)
+    turns_raw = read_table(spark, args.input)
+    # NULL conversation ids can neither be gated, deduped, nor split
+    # (every join/groupBy key misses them) — count and exclude them
+    # explicitly rather than letting them double-count or vanish.
+    n_null_conv = turns_raw.where(F.col(conv).isNull()).count()
+    # the turns table feeds the gate fold, both dedup folds, three
+    # semi/anti joins and the final write — cache it once (er_report.py's
+    # norm.persist() precedent).
+    turns = turns_raw.where(F.col(conv).isNotNull()).persist()
     n_turns_in = turns.count()
+
+    # dedup identity: per-turn TEXT when the table carries it (falling
+    # back to the action token for text-less turns), else the action
+    # sequence alone.  Deduping on --action-col by itself is a trap for
+    # chat corpora — every same-length user/assistant alternation has the
+    # IDENTICAL role sequence, and role-trigram Jaccard is 1.0 across the
+    # whole corpus; text makes the signature content-bearing.
+    text_col = args.text_col if args.text_col in turns.columns else None
+    dedup_tok = "_dedup_tok"
+    turns = turns.withColumn(
+        dedup_tok,
+        F.coalesce(F.col(text_col), F.col(act)) if text_col else F.col(act),
+    )
 
     # 1. quality gate at conversation granularity.  The gate output is
     # conversation-sized (one row per conv) — tiny next to the turns.
@@ -101,7 +131,7 @@ def main(argv=None, spark=None) -> dict:
         turns, conv, order_cols, act,
         min_turns=args.min_turns, min_distinct=args.min_distinct,
         max_run=args.max_run,
-    )
+    ).persist()
     rejected = gated.where(~F.col("keep")).drop("keep")
     # conversations whose EVERY action is NULL never reach the stats fold
     # (NULL tokens carry no sequence) — surface them as rejects instead of
@@ -116,25 +146,26 @@ def main(argv=None, spark=None) -> dict:
     n_convs_in = gated.count() + no_actions.count()
     turns = turns.join(kept_convs, conv, "left_semi")
 
-    # 2. exact-sequence dedup: identical (n_turns, action sequence) keeps
-    # the min-id conversation.  One fold + one tiny groupBy on the
-    # sequence hash; never the turns.
-    docs = conversation_docs(turns, conv, order_cols, act)
+    # 2. exact dedup: identical (n_turns, ordered dedup-token array)
+    # keeps the min-id conversation — the signature hashes the ARRAY
+    # (conversation_signatures), so multi-word texts cannot collide via
+    # separator injection.  One fold + one tiny groupBy on the hash.
+    sigs = conversation_signatures(turns, conv, order_cols, dedup_tok)
     exact_reps = (
-        docs.select(conv, F.xxhash64("n_turns", "seq").alias("_sig"))
-        .groupBy("_sig")
-        .agg(F.min(conv).alias(conv))
-        .select(conv)
+        sigs.groupBy("sig").agg(F.min(conv).alias(conv)).select(conv)
     )
     n_exact_dropped = n_convs_in - rejected.count() - exact_reps.count()
     turns = turns.join(exact_reps, conv, "left_semi")
 
     # 3. near-dup dedup: exact prefix-filtered Jaccard pairs over the
     # surviving conversations -> connected components -> keep min id.
+    # Shingles come from the dedup tokens too: with text present this is
+    # word-trigram overlap of the conversation content; without it, the
+    # structural action-sequence overlap.
     n_near_dropped = 0
     if not args.no_near_dup:
         pairs = conversation_near_dups(
-            turns, conv, order_cols, act,
+            turns, conv, order_cols, dedup_tok,
             tau_num=args.tau_num, tau_den=args.tau_den,
         )
         edges = pairs.select(
@@ -149,13 +180,19 @@ def main(argv=None, spark=None) -> dict:
 
     # 4. leakage-safe split (pure function of conv id), write the turns
     # partitioned by split; rejected conversations with their reasons.
-    kept_turns = with_conversation_split(turns, conv, salt=args.split_salt)
+    kept_turns = with_conversation_split(
+        turns.drop(dedup_tok), conv, salt=args.split_salt
+    )
     turns_path = f"{args.output_root.rstrip('/')}/turns"
     rejected_path = f"{args.output_root.rstrip('/')}/rejected_convs"
     write_table(kept_turns, turns_path, partition_by=["split"])
     write_table(rejected, rejected_path)
 
-    out = spark.read.parquet(turns_path)
+    # an all-rejected corpus is a legitimate outcome, not a crash: a
+    # partitioned empty write leaves no part files, so read the summary
+    # from the (already computed) kept frame when the output is empty.
+    has_kept = kept_turns.limit(1).count() > 0
+    out = spark.read.parquet(turns_path) if has_kept else kept_turns
     split_counts = {
         r["split"]: {"n_convs": r["n_convs"], "n_turns": r["n_turns"]}
         for r in out.groupBy("split")
@@ -173,6 +210,7 @@ def main(argv=None, spark=None) -> dict:
     summary = {
         "input": args.input,
         "n_turns_in": int(n_turns_in),
+        "n_null_conv_turns": int(n_null_conv),
         "n_convs_in": int(n_convs_in),
         "n_exact_dropped": int(n_exact_dropped),
         "n_near_dup_dropped": int(n_near_dropped),

@@ -209,10 +209,14 @@ def main(argv=None, spark=None) -> dict:
         )
         rejected = dec.where(F.col("decision") == "reject").drop("decision")
         confirmed = dec.where(F.col("decision") == "confirm").drop("decision")
+        # edges feed BOTH closures (before + after); persist so the
+        # kernel scoring pass — the expensive stage — runs exactly once.
         edges = score_pairs(
             candidate_pairs(norm, threshold=args.threshold),
             threshold=args.threshold,
-        ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+        ).select(
+            F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst")
+        ).persist()
         adjusted = apply_review(edges, rejected, confirmed)
         nodes = norm.where(F.col("block_key").isNotNull()).select("rec_id")
         before = assign_clusters(nodes, edges).withColumnRenamed(

@@ -107,12 +107,38 @@ def conversation_docs(
 ) -> DataFrame:
     """One row per conversation: (conv, n_turns, seq) where ``seq`` is the
     space-joined token sequence in (order_cols) order (see
-    :func:`_ordered_token_arrays` for the determinism argument)."""
+    :func:`_ordered_token_arrays` for the determinism argument).
+
+    ``seq`` is a whitespace-joined RENDERING: consumers that re-split it
+    (shingling) work at word granularity, so multi-word tokens dissolve
+    into their words.  That is the intended semantics for text payloads;
+    identity-sensitive consumers (exact dedup) must hash the token ARRAY
+    instead — :func:`conversation_signatures` — because the rendering
+    conflates ['a b','c'] with ['a','b c']."""
     folded = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
     return folded.select(
         F.col("conv").alias(conv_col),
         "n_turns",
         F.concat_ws(" ", "toks").alias(out_seq),
+    )
+
+
+def conversation_signatures(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+) -> DataFrame:
+    """(conv, n_turns, sig) — a 64-bit content signature of the ORDERED
+    token array, for exact conversation dedup.  ``xxhash64`` hashes the
+    array structurally (length + elements), so there is no separator to
+    inject: ['a b', 'c'] and ['a', 'b c'] get different signatures, which
+    the whitespace-joined ``seq`` rendering cannot guarantee."""
+    folded = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
+    return folded.select(
+        F.col("conv").alias(conv_col),
+        "n_turns",
+        F.xxhash64("n_turns", "toks").alias("sig"),
     )
 
 

@@ -266,3 +266,28 @@ def test_conversation_split_never_straddles(spark):
             .count()
         )
         assert straddlers == 0, method
+
+
+def test_testdata_action_alphabet_guard():
+    """Oracle-boundary guard (CLAUDE.md mirrored-oracle discipline): the
+    conv_* oracles tokenize seq with string_split(' ') while the engine
+    splits on \\s+ — equivalent ONLY while event_type values are
+    non-empty and whitespace-free.  Fail loudly if a testdata regen ever
+    breaks that, instead of letting the gate flake."""
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        vals = [
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT event_type FROM "
+                f"'/root/testdata/{sf}/events.parquet' "
+                f"WHERE event_type IS NOT NULL"
+            ).fetchall()
+        ]
+        assert vals, sf
+        for v in vals:
+            assert re.fullmatch(r"[a-z0-9_]+", v), (sf, repr(v))

@@ -91,3 +91,50 @@ def test_curate_transcripts_no_near_dup_flag(spark, tmp_path):
     )
     assert summary["n_near_dup_dropped"] == 0
     assert summary["n_convs_kept"] == 2
+
+
+def test_curate_transcripts_text_identity_and_empty_output(spark, tmp_path):
+    """With a text column present: identical role sequences with DIFFERENT
+    texts are NOT dups; identical texts are.  NULL conv_id turns are
+    counted and excluded.  An all-rejected corpus returns a summary
+    instead of crashing on the empty partitioned read-back."""
+    rows = [
+        # three convs, identical role alternation (the chat-corpus trap)
+        (1, 0, "user", "how do i sort a list"), (1, 1, "assistant", "use sorted()"),
+        (1, 2, "user", "thanks"), (1, 3, "assistant", "welcome"),
+        (2, 0, "user", "what is a monad"), (2, 1, "assistant", "a monoid in..."),
+        (2, 2, "user", "huh"), (2, 3, "assistant", "let me rephrase"),
+        # exact text copy of conv 1 -> dropped
+        (9, 0, "user", "how do i sort a list"), (9, 1, "assistant", "use sorted()"),
+        (9, 2, "user", "thanks"), (9, 3, "assistant", "welcome"),
+        # NULL conv_id turn: counted, excluded
+        (None, 0, "user", "orphan"),
+    ]
+    inp = str(tmp_path / "turns_text")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    import curate_transcripts
+
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_text"),
+         "--min-turns", "3", "--max-run", "4"],
+        spark=spark,
+    )
+    assert summary["n_null_conv_turns"] == 1
+    assert summary["n_turns_in"] == 12
+    # conv 2 survives despite sharing conv 1's exact role sequence
+    kept = spark.read.parquet(summary["turns"])
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} == {1, 2}
+    assert summary["n_exact_dropped"] == 1  # conv 9 (text copy)
+
+    # all-rejected corpus: min-turns above every conversation length
+    summary2 = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_empty"),
+         "--min-turns", "99"],
+        spark=spark,
+    )
+    assert summary2["n_convs_kept"] == 0
+    assert summary2["split_counts"] == {}
+    assert summary2["n_convs_rejected"] == 3
