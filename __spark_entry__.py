@@ -1748,6 +1748,35 @@ def _fs_explained(spark, sf_dir):
     return explain_pairs(candidate_pairs(blocked))
 
 
+def _q_fs_pattern_truth(spark, sf_dir):
+    """Fellegi–Sunter threshold-selection evidence
+    (operators/fs_em.py:pattern_truth_counts): per comparison pattern the
+    candidate-pair count AND the labeled-true-pair count (mod-360
+    generator truth, same labels as er_eval_metrics) — rank patterns by
+    their learned log2 Bayes factor and the cumulative tallies give the
+    expected precision/recall at every admission threshold.  Deliberately
+    STRUCTURAL: binning the float blended score would place bin
+    boundaries exactly on attainable values (0.5 + exact weight sums, a
+    measured cross-engine rounding trap); the pattern space is
+    integer-exact, so the oracle replays the table bit-for-bit."""
+    from postal_address_spark.operators.fs_em import (
+        COMPARISONS,
+        comparison_vectors,
+        pattern_truth_counts,
+    )
+
+    vecs = comparison_vectors(_fs_explained(spark, sf_dir))
+    labeled = vecs.withColumn(
+        "truth_match",
+        (
+            F.pmod(F.substring("rec_id_a", 2, 8).cast("long"), F.lit(360))
+            == F.pmod(F.substring("rec_id_b", 2, 8).cast("long"), F.lit(360))
+        ).cast("long"),
+    )
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    return pattern_truth_counts(labeled).orderBy(*gammas)
+
+
 def _q_fs_pattern_counts(spark, sf_dir):
     """Fellegi-Sunter sufficient statistics (operators/fs_em.py): the
     comparison vectors of every refined candidate pair, discretised into
@@ -2158,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_streaming_link": _q_er_streaming_link,
         "er_explain_pairs": _q_er_explain_pairs,
         "fs_pattern_counts": _q_fs_pattern_counts,
+        "fs_pattern_truth": _q_fs_pattern_truth,
         "er_review_queue": _q_er_review_queue,
         "fs_em_weights": _q_fs_em_weights,
         "tf_city_evidence": _q_tf_city_evidence,
@@ -3730,6 +3760,23 @@ def oracle_sql() -> dict[str, str]:
     WITH {er_kern_prefix},
     vec AS (SELECT {_fs_gammas} FROM kern)
     SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM vec GROUP BY {_fs_gcols}
+    ORDER BY {_fs_gcols}
+    """
+
+    # -- fs_pattern_truth: the pattern table with mod-360 truth tallies
+    # (threshold-selection evidence) — all-integer, same kern mirror.
+    sql["fs_pattern_truth"] = f"""
+    WITH {er_kern_prefix},
+    vec AS (
+      SELECT {_fs_gammas},
+             CASE WHEN CAST(substring(s, 2, 8) AS BIGINT) % 360
+                       = CAST(substring(d, 2, 8) AS BIGINT) % 360
+                  THEN 1 ELSE 0 END AS tm
+      FROM kern
+    )
+    SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(tm) AS BIGINT) AS n_true_pairs
     FROM vec GROUP BY {_fs_gcols}
     ORDER BY {_fs_gcols}
     """

@@ -135,6 +135,33 @@ def pattern_counts(vectors: DataFrame) -> DataFrame:
     return vectors.groupBy(*gammas).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def pattern_truth_counts(
+    vectors: DataFrame, truth_col: str = "truth_match"
+) -> DataFrame:
+    """Pattern frequency table WITH labeled-truth tallies: per comparison
+    pattern, (n_pairs, n_true_pairs) — the Fellegi–Sunter-native
+    threshold-selection evidence.
+
+    Ranking patterns by their learned log2 Bayes factor (em_fit /
+    FSParams) and admitting them in weight order, the cumulative
+    sum(n_true_pairs) / sum(n_pairs) IS the expected precision and
+    sum(n_true_pairs) / total-true the recall at every candidate
+    threshold — the chart a practitioner picks the match threshold from.
+    Binning the float blended SCORE would put bin boundaries exactly on
+    attainable values (0.5 + exact weight sums), a cross-engine rounding
+    trap; the pattern space is integer-exact by construction, so a
+    DuckDB oracle replays this table bit-for-bit.
+
+    ``truth_col`` is 0/1 per pair.  Same cost shape as pattern_counts:
+    one map-side-combinable aggregation, ≤ prod(levels) rows out.
+    """
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    return vectors.groupBy(*gammas).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col(truth_col).cast("long")).alias("n_true_pairs"),
+    )
+
+
 @dataclass(frozen=True)
 class FSParams:
     """Learned Fellegi-Sunter parameters.

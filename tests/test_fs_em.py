@@ -258,3 +258,42 @@ def test_review_queue_sampling_deterministic(spark):
     assert s1 == s2  # pure function of the data
     full = {tuple(r) for r in review_queue(vecs).collect()}
     assert s1 < full and len(s1) > 0
+
+
+def test_pattern_truth_counts_hand_computed(spark):
+    """(n_pairs, n_true_pairs) tallies per pattern; truth never changes
+    the pattern grouping, only the sum."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark import operators
+    from postal_address_spark.operators import fs_em
+
+    names = [n for n, _, _ in fs_em.COMPARISONS]
+    rows = [
+        # (gammas..., truth)
+        ([2, 0, 0], 1),
+        ([2, 0, 0], 0),
+        ([2, 0, 0], 1),
+        ([0, 1, 1], 0),
+    ]
+    df = spark.createDataFrame(
+        [tuple(g) + (t,) for g, t in rows],
+        ", ".join(f"gamma_{n} int" for n in names) + ", truth_match int",
+    )
+    out = {
+        tuple(r[f"gamma_{n}"] for n in names): (r.n_pairs, r.n_true_pairs)
+        for r in fs_em.pattern_truth_counts(df).collect()
+    }
+    assert out == {(2, 0, 0): (3, 2), (0, 1, 1): (1, 0)}
+
+    # threshold-selection consumer math: cumulative precision over
+    # patterns admitted in descending weight order is derivable from the
+    # two integer columns alone
+    ranked = sorted(out.values(), key=lambda v: -(v[1] / v[0]))
+    cum_pairs = cum_true = 0
+    precisions = []
+    for n_pairs, n_true in ranked:
+        cum_pairs += n_pairs
+        cum_true += n_true
+        precisions.append(cum_true / cum_pairs)
+    assert precisions == [2 / 3, 2 / 4]
