@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(survivorship: modal non-null value per field, min-rec_id "
         "representative — operators/survivorship.py)",
     )
+    p.add_argument(
+        "--entity-index-output",
+        default=None,
+        help="optional destination for the entity↔conversation index "
+        "(per resolved entity its conversation footprint — "
+        "operators/entity_index.py); writes <dir>/by_entity + <dir>/by_conv",
+    )
     return p
 
 
@@ -97,6 +104,28 @@ def main(argv=None, spark=None) -> dict:
         write_table(goldens, args.golden_output)
         n_golden = read_table(spark, args.golden_output).count()
 
+    entity_index_paths = None
+    if args.entity_index_output:
+        from postal_address_spark.operators.entity_index import (
+            conversation_entities,
+            entity_conversation_index,
+        )
+
+        mentions = result["mentions"]
+        root = args.entity_index_output.rstrip("/")
+        write_table(
+            entity_conversation_index(mentions, result["clusters"]),
+            f"{root}/by_entity",
+        )
+        write_table(
+            conversation_entities(mentions, result["clusters"]),
+            f"{root}/by_conv",
+        )
+        entity_index_paths = {
+            "by_entity": f"{root}/by_entity",
+            "by_conv": f"{root}/by_conv",
+        }
+
     from pyspark.sql import functions as F
 
     # Summarize from the just-written output: a plain parquet scan, never a
@@ -123,6 +152,8 @@ def main(argv=None, spark=None) -> dict:
     if n_golden is not None:
         summary["golden_output"] = args.golden_output
         summary["n_golden"] = int(n_golden)
+    if entity_index_paths is not None:
+        summary["entity_index"] = entity_index_paths
     print(json.dumps(summary))
     return summary
 

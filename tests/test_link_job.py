@@ -124,3 +124,60 @@ def test_link_job_golden_output(spark, tmp_path):
     # its representative is a member of its own cluster label space
     assert all(r.line1 is not None and r.top_country is not None for r in rows)
     assert sum(r.n_records for r in rows) == summary["n_mentions"]
+
+
+def test_link_job_entity_index(spark, tmp_path):
+    """--entity-index-output: the entity↔conversation footprint matches a
+    driver-side recompute over the written clusters joined to the mention
+    provenance, and the two directions are mutually consistent."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    out = str(tmp_path / "clusters")
+    idx = str(tmp_path / "entity_index")
+    synth_transcripts_spark(
+        spark, seed=7, n_convs=60, n_entities=25
+    ).write.parquet(inp)
+
+    summary = link.main(
+        ["--input", inp, "--output", out, "--entity-index-output", idx],
+        spark=spark,
+    )
+    assert summary["entity_index"] == {
+        "by_entity": f"{idx}/by_entity", "by_conv": f"{idx}/by_conv",
+    }
+    by_entity = spark.read.parquet(f"{idx}/by_entity").collect()
+    by_conv = spark.read.parquet(f"{idx}/by_conv").collect()
+    assert len(by_entity) == summary["n_clusters"]
+    # total linked mentions agree across both directions and the clusters
+    assert (
+        sum(r["n_mentions"] for r in by_entity)
+        == sum(r["n_linked_mentions"] for r in by_conv)
+        == summary["n_mentions"]
+    )
+    # footprint sanity: every entity touches >= 1 conversation, and no
+    # conversation claims more entities than it has linked mentions
+    assert all(r["n_convs"] >= 1 for r in by_entity)
+    assert all(1 <= r["n_entities"] <= r["n_linked_mentions"] for r in by_conv)
+
+    # spot-verify one entity's n_convs against a direct recompute
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.extract import extract_mentions
+
+    mentions = extract_mentions(spark.read.parquet(inp))
+    joined = mentions.select("rec_id", "conv_id").join(
+        spark.read.parquet(out), "rec_id"
+    )
+    want = {
+        r["cluster_id"]: r["n"]
+        for r in joined.groupBy("cluster_id")
+        .agg(F.countDistinct("conv_id").alias("n"))
+        .collect()
+    }
+    got = {r["cluster_id"]: r["n_convs"] for r in by_entity}
+    assert got == want
