@@ -5,7 +5,7 @@ treats each CONVERSATION as the unit — the granularity a training-data
 pipeline dedups and profiles multi-turn chat/agent transcripts at
 (BASELINE.json input_hint: (conv_id, turn_idx, role, text, tool, ts)).
 
-Three operators:
+The operator surface:
 
 * :func:`conversation_docs` — fold a turns table into one row per
   conversation carrying the turn-ordered action/token sequence.  ONE
@@ -32,6 +32,14 @@ Three operators:
   prefixes of length |X| − ceil(τ·|X|) + 1.  Conversations built from a
   small action alphabet sit in exactly the moderate-τ regime where LSH
   banding recall decays, so the exact join is the right tool.
+
+* :func:`conversation_signatures` — injection-free exact-dedup identity
+  (xxhash64 of the ordered token ARRAY); :func:`conversation_stats` /
+  :func:`conversation_quality` — the structural curation gate
+  (turn count, action diversity, longest identical-action run via one
+  codegen ``aggregate`` sweep — no window); and
+  :func:`with_conversation_split` — leakage-safe train/valid/test as a
+  pure function of the conversation id.
 
 Scale design:
 
