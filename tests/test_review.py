@@ -73,3 +73,44 @@ def test_null_and_self_pairs_dropped(spark):
     edges = _pairs(spark, [("a", "b"), ("x", "x"), ("a", None)])
     adjusted = apply_review(edges)
     assert [(r.src, r.dst) for r in adjusted.collect()] == [("a", "b")]
+
+
+def test_apply_review_matches_set_model(spark):
+    """Property: apply_review == (normalized(edges) \\ rejected) ∪ confirmed
+    for arbitrary pair sets (order, duplicates, self-pairs included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from postal_address_spark.operators.review import apply_review
+
+    ids = st.integers(min_value=0, max_value=9).map(lambda i: f"n{i}")
+    pair = st.tuples(ids, ids)
+    pairs = st.lists(pair, max_size=12)
+
+    def norm(ps):
+        return {
+            (min(a, b), max(a, b)) for a, b in ps if a is not None and a != b
+        }
+
+    @given(pairs, pairs, pairs)
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(edges, rejected, confirmed):
+        e = _pairs(spark, edges) if edges else _pairs(spark, [])
+        r = _pairs(spark, rejected) if rejected else None
+        c = _pairs(spark, confirmed) if confirmed else None
+        got = {
+            (row.src, row.dst)
+            for row in apply_review(e, rejected=r, confirmed=c).collect()
+        }
+        want = norm(edges)
+        if rejected:
+            want -= norm(rejected)
+        if confirmed:
+            want |= norm(confirmed)
+        assert got == want
+
+    check()
