@@ -1971,6 +1971,43 @@ def _q_link_two_datasets(spark, sf_dir):
     return edges.select("rec_id_a", "rec_id_b").orderBy("rec_id_a", "rec_id_b")
 
 
+def _q_link_and_dedupe(spark, sf_dir):
+    """Splink's third link type, completing the triple: link_and_dedupe —
+    deduplicate WITHIN each dataset AND link ACROSS them in one closure.
+    The tagged union of both mention sources flows through the standard
+    dedup path (block -> refined pairs -> edges -> CC), so within-A,
+    within-B and cross pairs all compete in the same blocks and the
+    cluster labels span sources.  Edges use the integer levenshtein
+    kernel (er_link_closure precedent) so the DuckDB oracle re-derives
+    BOTH normalize chains, the unioned blocking, pairing, and the
+    recursive closure exactly; fixed-width 'm…'/'s…' ids make varchar
+    least() agree with Spark's string min for the component label."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    def side(table, key, tag):
+        return _mentions_df(spark, sf_dir, table, key).select(
+            F.concat(
+                F.lit(tag), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+
+    un = side("customer", "c_custkey", "m").unionByName(
+        side("supplier", "s_suppkey", "s")
+    )
+    blocked = with_block_key(normalize_mentions(un))
+    pairs = candidate_pairs(blocked, threshold=0.82)
+    edges = pairs.where(
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
+    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    nodes = blocked.where(F.col("block_key").isNotNull())
+    return assign_clusters(nodes, edges).orderBy("rec_id")
+
+
 def _q_streaming_link_datasets(spark, sf_dir):
     """STREAM-STATIC linkage join (streaming/ingest.py
     stream_static_link): the customer mention feed read BY the streaming
@@ -2193,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
+        "link_and_dedupe": _q_link_and_dedupe,
         "link_best_matches": _q_link_best_matches,
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
@@ -3421,6 +3459,56 @@ def oracle_sql() -> dict[str, str]:
     sql["er_link_closure"] = f"""
     WITH RECURSIVE {closure_ctes}
     SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
+    """
+
+    # -- link_and_dedupe: the closure chain over the UNION of both
+    # mention sources (within-A, within-B and cross pairs in one
+    # closure) — Splink's third link type, graded end-to-end.
+    sql["link_and_dedupe"] = f"""
+    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    norm_b AS MATERIALIZED (
+      {_oracle_er_normalize("supplier", "s_suppkey")}
+    ),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+      UNION ALL
+      SELECT 's' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm_b
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 5
+    ),
+    bi AS (
+      SELECT s, d FROM pairs
+      UNION ALL
+      SELECT d, s FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM bi
+      UNION
+      SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s
+    ),
+    labels AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s
+    )
+    SELECT v.rec_id AS rec_id,
+           coalesce(l.cluster_id, v.rec_id) AS cluster_id
+    FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
+    ORDER BY v.rec_id
     """
 
     # -- er_apply_review: the SAME chain with the edge set adjusted by

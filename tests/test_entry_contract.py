@@ -31,7 +31,7 @@ EXPECTED_QUERIES = {
     "er_golden_records", "er_cluster_cohesion", "er_bcubed_stats",
     "er_merge_distance", "er_incremental_link",
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
-    "fs_pattern_truth",
+    "fs_pattern_truth", "link_and_dedupe",
     # training-data ops
     "exact_dedup_documents", "conv_transitions", "conv_near_dups",
     "conv_dup_clusters", "conv_quality_stats", "conv_split_summary",
