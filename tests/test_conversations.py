@@ -291,3 +291,26 @@ def test_testdata_action_alphabet_guard():
         assert vals, sf
         for v in vals:
             assert re.fullmatch(r"[a-z0-9_]+", v), (sf, repr(v))
+
+
+def test_conversation_signatures_injection_free(spark):
+    """The exact-dedup signature hashes the ordered token ARRAY: tokens
+    containing the join separator cannot conflate distinct sequences
+    (['a b','c'] vs ['a','b c']), while identical sequences collide."""
+    from postal_address_spark.operators.conversations import (
+        conversation_signatures,
+    )
+
+    rows = [
+        ("c1", 0, "a b"), ("c1", 1, "c"),
+        ("c2", 0, "a"), ("c2", 1, "b c"),
+        ("c3", 0, "a b"), ("c3", 1, "c"),
+    ]
+    sigs = {
+        r.conv_id: (r.n_turns, r.sig)
+        for r in conversation_signatures(
+            _turns_df(spark, rows), "conv_id", ("turn_idx",), "action"
+        ).collect()
+    }
+    assert sigs["c1"] == sigs["c3"]
+    assert sigs["c1"] != sigs["c2"]
