@@ -1395,6 +1395,52 @@ def _q_udtf_doc_chunks(spark, sf_dir):
     return chunk_documents(spark, docs).orderBy("doc_id", "chunk_idx")
 
 
+def _sft_turns(spark, sf_dir):
+    """Text-bearing transcript fixture for the SFT extractor, derived
+    deterministically from the documents table so the DuckDB oracle can
+    rebuild it with plain SQL: conv = doc_id mod 200, turn order =
+    doc_id, role alternates user/assistant on doc_id parity.  Convs 0-19
+    are planted AGAIN (conv + 1000) so the pair-dedup branch has real
+    work: every gate-passing pair in a planted conv is an exact
+    (context, response) duplicate of its original."""
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(200)).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    planted = base.where(F.col("conv_id") < 20).select(
+        (F.col("conv_id") + F.lit(1000)).alias("conv_id"),
+        "turn_idx", "role", "text",
+    )
+    return base.union(planted)
+
+
+def _q_sft_pairs(spark, sf_dir):
+    """SFT / instruction-pair extraction (operators/sft.py): every
+    assistant turn becomes a (context, response) pair — context = the
+    previous <=4 turns rendered 'role: text' — with the quality gate
+    (no_context / short_response, errors-as-data) and exact keep-one
+    dedup applied at PAIR granularity.  One groupBy(conv) shuffle + one
+    window over the 64-bit pair hash; all expressions JVM codegen.  The
+    DuckDB oracle replays the fold with a windowed self-join and keys
+    the dedup on the (context, response) STRINGS — deliberately
+    non-mirrored, so an engine-side hash collision would FAIL the gate
+    rather than be reproduced by it."""
+    from postal_address_spark.operators.sft import sft_pairs
+
+    turns = _sft_turns(spark, sf_dir)
+    return sft_pairs(
+        turns,
+        max_context_turns=4,
+        min_context_turns=1,
+        min_response_chars=80,
+    ).orderBy("conv", "position")
+
+
 def _q_er_link_mentions(spark, sf_dir):
     """Blocking + scoring + CC over the derived mention table — the whole
     linkage engine minus transcript extraction.  Oracle-verified END TO
@@ -2205,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_features": _q_multimodal_features,
         "udtf_doc_chunks": _q_udtf_doc_chunks,
+        "sft_pairs": _q_sft_pairs,
         # --- reference scalar semantics (SURVEY §2.A) ---
         "postal_canon": _q_postal_canon,
         "ws_normalize": _q_ws_normalize,
@@ -4206,6 +4253,65 @@ def oracle_sql() -> dict[str, str]:
     FROM lagged WHERE prev_action IS NOT NULL
     GROUP BY prev_action, action
     ORDER BY prev_action, action
+    """
+
+    # -- sft_pairs: the SFT extraction replayed relationally — fold via
+    # row_number, context via a windowed self-join (b.pos in
+    # [a.pos-4, a.pos-1]) + ordered string_agg, gate as CASE, and the
+    # keep-one dedup keyed on the (context, response) STRINGS.
+    # Deliberately NON-mirrored identity: the engine dedups on
+    # xxhash64(context, response), so a hash collision would fail here
+    # instead of being reproduced (Ed-Join oracle adjudication).
+    sql["sft_pairs"] = """
+    WITH base AS (
+      SELECT doc_id % 200 AS conv, doc_id AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             text
+      FROM documents
+    ),
+    turns AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT conv + 1000, turn_idx, role, text FROM base WHERE conv < 20
+    ),
+    ord AS (
+      SELECT conv, role, text,
+             CAST(row_number() OVER (PARTITION BY conv ORDER BY turn_idx)
+                  AS INT) AS pos
+      FROM turns
+    ),
+    ctx AS (
+      SELECT a.conv, a.pos,
+             string_agg(coalesce(b.role, '') || ': ' || coalesce(b.text, ''),
+                        chr(10) ORDER BY b.pos) AS context,
+             CAST(count(*) AS INT) AS n_ctx
+      FROM ord a JOIN ord b
+        ON a.conv = b.conv AND b.pos < a.pos AND b.pos >= a.pos - 4
+      GROUP BY a.conv, a.pos
+    ),
+    pairs AS (
+      SELECT o.conv, o.pos AS position, o.text AS response,
+             coalesce(c.n_ctx, 0) AS n_context_turns,
+             coalesce(c.context, '') AS context
+      FROM ord o LEFT JOIN ctx c ON o.conv = c.conv AND o.pos = c.pos
+      WHERE o.role = 'assistant'
+    ),
+    gated AS (
+      SELECT *,
+        CASE WHEN n_context_turns < 1 AND coalesce(length(response), 0) < 80
+               THEN 'no_context,short_response'
+             WHEN n_context_turns < 1 THEN 'no_context'
+             WHEN coalesce(length(response), 0) < 80 THEN 'short_response'
+             ELSE '' END AS reasons
+      FROM pairs
+    )
+    SELECT conv, position, response, n_context_turns, context, reasons,
+           (reasons = '') AS keep,
+           (reasons = '') AND row_number() OVER (
+               PARTITION BY context, response, (reasons = '')
+               ORDER BY conv, position) = 1 AS is_kept
+    FROM gated
+    ORDER BY conv, position
     """
 
     # -- conv_near_dups: brute-force ALL-PAIRS Jaccard over conversation
