@@ -1419,6 +1419,60 @@ def _sft_turns(spark, sf_dir):
     return base.union(planted)
 
 
+def _conv_semantic_turns(spark, sf_dir):
+    """Conversation fixture with planted PARAPHRASE duplicates: every 5th
+    conversation is copied (conv_id + 1000000) with two extra turns
+    appended (ts pinned far in the future so they sort last) — near but
+    not exact duplicates, the case token-set Jaccard at high thresholds
+    and exact dedup both miss.  SQL-replayable on both engines."""
+    turns = _conv_turns(spark, sf_dir)
+    sel = turns.where(F.pmod(F.col("conv_id"), F.lit(5)) == 0)
+    planted = sel.select(
+        (F.col("conv_id") + F.lit(1000000)).alias("conv_id"),
+        "ts", "event_id", "action",
+    )
+    extra_base = sel.select("conv_id").distinct()
+    far_ts = F.lit("2999-01-01 00:00:00").cast("timestamp")
+
+    def _extra(eid: int, action: str):
+        return extra_base.select(
+            (F.col("conv_id") + F.lit(1000000)).alias("conv_id"),
+            far_ts.alias("ts"),
+            F.lit(eid).cast("long").alias("event_id"),
+            F.lit(action).alias("action"),
+        )
+
+    return (
+        turns.union(planted)
+        .union(_extra(1000000000, "planted_a"))
+        .union(_extra(1000000001, "planted_b"))
+    )
+
+
+def _q_conv_semantic_dups(spark, sf_dir):
+    """Conversation-level SEMANTIC near-dup detection (operators/
+    semantic.py): conversation fold -> seeded hashed-gram integer
+    embedding -> sign-LSH candidates -> exact integer-cosine verify at
+    cos >= 19/20.  Every decision is 64-bit integer arithmetic (integer
+    projection matrix, cross-multiplied threshold), so the DuckDB
+    all-pairs oracle — with the SAME seeded matrix emitted as SQL
+    literals (the sign-LSH hyperplane precedent) — replays it
+    bit-for-bit; a pass additionally proves LSH candidate recall 1.0 on
+    this data at the pinned seed (the minhash adjudication).  Uses the
+    md5-backed portable gram hash (oracle fixtures only; hot paths use
+    xxhash64 per engine rule 4)."""
+    from postal_address_spark.operators.semantic import (
+        conversation_semantic_dups,
+    )
+
+    turns = _conv_semantic_turns(spark, sf_dir)
+    return conversation_semantic_dups(
+        turns, "conv_id", ("ts", "event_id"), "action",
+        dim=8, vocab=64, seed=42, shingle_n=3, tau_num=19, tau_den=20,
+        n_tables=16, bits=4, portable=True,
+    ).orderBy("conv_a", "conv_b")
+
+
 def _q_sft_pairs(spark, sf_dir):
     """SFT / instruction-pair extraction (operators/sft.py): every
     assistant turn becomes a (context, response) pair — context = the
@@ -2252,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "udtf_doc_chunks": _q_udtf_doc_chunks,
         "sft_pairs": _q_sft_pairs,
+        "conv_semantic_dups": _q_conv_semantic_dups,
         # --- reference scalar semantics (SURVEY §2.A) ---
         "postal_canon": _q_postal_canon,
         "ws_normalize": _q_ws_normalize,
@@ -4253,6 +4308,82 @@ def oracle_sql() -> dict[str, str]:
     FROM lagged WHERE prev_action IS NOT NULL
     GROUP BY prev_action, action
     ORDER BY prev_action, action
+    """
+
+    # -- conv_semantic_dups: exact ALL-PAIRS integer-cosine oracle over
+    # the same seeded hashed-gram embeddings — the projection matrix
+    # R[64][8] is re-generated from the pinned seed and emitted as SQL
+    # literals (sign-LSH hyperplane precedent), the md5-backed portable
+    # gram hash replays as CAST('0x'||substr(md5(g),1,8) AS BIGINT), and
+    # the threshold is the integer cross-multiply — no float boundary
+    # anywhere.  All-pairs (not LSH-mirrored): a pass proves candidate
+    # recall 1.0 at the pinned seed, the minhash adjudication.
+    from postal_address_spark.operators.semantic import projection_matrix
+
+    _sem_R = projection_matrix(64, 8, 42)
+    _sem_dims = ",\n             ".join(
+        "CAST(list_sum(list_transform(s, x -> list_extract(["
+        + ", ".join(str(_sem_R[row][d]) for row in range(64))
+        + "], x + 1))) AS BIGINT) AS e" + str(d)
+        for d in range(8)
+    )
+    _sem_dot = "+".join(f"a.e{d}*b.e{d}" for d in range(8))
+    _sem_na = "+".join(f"a.e{d}*a.e{d}" for d in range(8))
+    _sem_nb = "+".join(f"b.e{d}*b.e{d}" for d in range(8))
+    sql["conv_semantic_dups"] = f"""
+    WITH turns0 AS (
+      SELECT user_id AS conv_id, ts, event_id, lower(event_type) AS action
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    sel AS (SELECT DISTINCT conv_id FROM turns0 WHERE conv_id % 5 = 0),
+    turns AS (
+      SELECT * FROM turns0
+      UNION ALL
+      SELECT conv_id + 1000000, ts, event_id, action
+      FROM turns0 WHERE conv_id % 5 = 0
+      UNION ALL
+      SELECT conv_id + 1000000, TIMESTAMP '2999-01-01', 1000000000,
+             'planted_a' FROM sel
+      UNION ALL
+      SELECT conv_id + 1000000, TIMESTAMP '2999-01-01', 1000000001,
+             'planted_b' FROM sel
+    ),
+    conv AS (
+      SELECT conv_id, string_agg(action, ' ' ORDER BY ts, event_id) AS seq
+      FROM turns GROUP BY conv_id
+    ),
+    toks AS (SELECT conv_id, string_split(seq, ' ') AS t, seq FROM conv),
+    grams AS (
+      SELECT conv_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t)-1)])
+                  ELSE [seq] END AS g
+      FROM toks
+    ),
+    slots AS (
+      SELECT conv_id,
+             list_transform(
+               g, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 64
+             ) AS s
+      FROM grams
+    ),
+    embs AS (
+      SELECT conv_id,
+             {_sem_dims}
+      FROM slots
+    ),
+    pairs AS (
+      SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+             ({_sem_dot}) AS dot,
+             ({_sem_na}) AS norm_a,
+             ({_sem_nb}) AS norm_b
+      FROM embs a JOIN embs b ON a.conv_id < b.conv_id
+    )
+    SELECT conv_a, conv_b, dot, norm_a, norm_b
+    FROM pairs
+    WHERE dot > 0 AND dot*dot*400 >= norm_a*norm_b*361
+    ORDER BY conv_a, conv_b
     """
 
     # -- sft_pairs: the SFT extraction replayed relationally — fold via

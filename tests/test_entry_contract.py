@@ -44,7 +44,7 @@ EXPECTED_QUERIES = {
     "doc_fingerprints", "minhash_near_dups",
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
-    "udtf_doc_chunks", "sft_pairs",
+    "udtf_doc_chunks", "sft_pairs", "conv_semantic_dups",
     "fs_pattern_counts", "fs_em_weights", "er_review_queue", "snm_pairs",
     "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
