@@ -830,13 +830,19 @@ def _q_length_dispersion(spark, sf_dir):
 
 
 def _q_doc_fingerprints(spark, sf_dir):
-    """Winnowing rolling-hash document fingerprints (xxhash64-based ->
-    rows-only check by design)."""
+    """Winnowing rolling-hash document fingerprints, MIRRORED oracle as of
+    round 4: the md5-backed portable gram hash (semantic.portable_hash32)
+    replays in DuckDB, so the distinct-window-minima count and the global
+    minimum hash-match bit-for-bit (production default stays xxhash64 —
+    structure pinned in tests/test_dataops.py, plan discipline in
+    tests/test_plans.py::test_fingerprint_no_hof_reinlining)."""
     from postal_address_spark.operators.text_analysis import with_doc_fingerprint
 
-    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
     return (
-        with_doc_fingerprint(docs)
+        with_doc_fingerprint(docs, portable=True)
         .select(
             "doc_id",
             F.size("fingerprint").alias("n_fingerprints"),
@@ -4597,9 +4603,49 @@ def oracle_sql() -> dict[str, str]:
     FROM assigned GROUP BY split ORDER BY split
     """
 
-    # doc_fingerprints / simhash_near_dups / ivf_ann_topk /
+    # -- doc_fingerprints: the winnowing fingerprint MIRRORED (round-4
+    # graduation from rows-only): tokens -> clipped 3-gram render ->
+    # portable md5-prefix hash -> per-window minima -> distinct.  The
+    # window minima and the distinct count replay exactly because every
+    # value is a 64-bit integer; min_fp is the global gram-hash minimum.
+    sql["doc_fingerprints"] = r"""
+    WITH docs AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM docs
+    ),
+    grams AS (
+      SELECT doc_id,
+             [array_to_string(t[i:least(i+2, len(t))], ' ')
+              for i in range(1, greatest(len(t) - 2, 1) + 1)] AS g
+      FROM toks
+    ),
+    gh AS (
+      SELECT doc_id,
+             list_transform(
+               g, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+             ) AS h
+      FROM grams
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(
+               [list_min(h[j:least(j+7, len(h))])
+                for j in range(1, greatest(len(h) - 7, 1) + 1)]
+             ) AS fp
+      FROM gh
+    )
+    SELECT doc_id, CAST(len(fp) AS INT) AS n_fingerprints,
+           CAST(list_min(fp) AS BIGINT) AS min_fp
+    FROM fps ORDER BY doc_id
+    """
+
+    # simhash_near_dups / ivf_ann_topk /
     # multimodal_features / fs_em_weights: intentionally no oracle (xxhash64
-    # winnowing/simhash, the driver-side seeded IVF quantizer,
+    # simhash chunks, the driver-side seeded IVF quantizer,
     # Spark-synthesized media payloads, and the iterative EM fit are not
     # expressible in ANSI SQL) -> driver records rows-only checks; each
     # has dedicated pytest coverage (exact simhash recall, IVF recall

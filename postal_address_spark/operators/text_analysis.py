@@ -96,11 +96,16 @@ def lang_id(text: Column) -> Column:
 
 def with_doc_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8,
-    out_col: str = "fingerprint",
+    out_col: str = "fingerprint", portable: bool = False,
 ) -> DataFrame:
-    """Adds ``out_col``: winnowing-style rolling fingerprint — min xxhash64
+    """Adds ``out_col``: winnowing-style rolling fingerprint — min gram-hash
     over each window of word 3-gram hashes, distinct-collected.  A compact,
     shift-robust content signature for near-dup detection.
+
+    ``portable=True`` swaps the gram hash from xxhash64 to the 32-bit
+    md5 prefix (semantic.portable_hash32) so a DuckDB oracle replays the
+    fingerprint bit-for-bit; md5 is MessageDigest-backed and must stay
+    off hot paths (engine rule 4) — oracle-graded fixtures only.
 
     The token and gram-hash arrays are materialized as real columns: inlined
     into the window lambdas, Catalyst re-expands the gram-hash expression
@@ -108,13 +113,17 @@ def with_doc_fingerprint(
     split) per window — O(windows x grams x tokens) instead of O(grams)
     (same pathology as dedup.with_shingle_hashes, measured 40x there).
     """
+    if portable:
+        from .semantic import portable_hash32 as _gram_hash
+    else:
+        _gram_hash = F.xxhash64
     step = df.withColumn("_toks", tokens_col(F.col(text_col)))
     count = F.greatest(F.size("_toks") - F.lit(2), F.lit(1))
     step = step.withColumn(
         "_gh",
         F.transform(
             F.sequence(F.lit(1), count),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, 3))),
+            lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_toks"), i, 3))),
         ),
     )
     n_windows = F.greatest(F.size("_gh") - F.lit(window - 1), F.lit(1))
