@@ -1307,15 +1307,13 @@ def _q_streaming_sessions(spark, sf_dir):
     per key — graded against a LAG-based SQL oracle, so even the custom
     stateful operator is hash-verified (streaming/sessionize.py).
 
-    Oracle-equality assumption (documented per the round-2 advice): the
-    LAG oracle orders strictly by ts, while the sessionizer's late-arrival
-    rule (ts behind the frontier never opens a session) matches that only
-    when the availableNow drain delivers the data in ts-nondecreasing
-    micro-batches.  The single-file events table drains in ONE micro-batch
-    (maxFilesPerTrigger can't split a file), where the sessionizer sorts
-    all timestamps itself, so equality is exact here by construction; a
-    multi-file table whose mtime order diverges from ts order would need
-    watermark-based session windows instead (the production-grade shape)."""
+    As of round 4 the sessionizer keeps merged SESSION INTERVALS in state
+    (O(sessions), not O(turns)), so oracle equality holds under ANY
+    micro-batch order — a late timestamp correctly fuses or opens
+    sessions behind the frontier.  The previous frontier-only design was
+    exact only under a single-micro-batch drain; the multi-file
+    out-of-mtime-order drain is pytest-asserted
+    (tests/test_streaming.py::test_sessionize_out_of_order_files_match_lag_oracle)."""
     from pyspark.sql import Window
 
     from postal_address_spark.streaming.ingest import EVENTS_DDL

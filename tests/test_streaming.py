@@ -140,6 +140,91 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     assert len(out[out["conv_id"] == "a"]) == 2
 
 
+def test_sessionize_out_of_order_files_match_lag_oracle(spark, tmp_path):
+    """The round-4 interval-merge state: THREE source files whose mtime
+    order diverges from ts order (late file carries the EARLIEST
+    timestamps, including one that fuses two already-separate sessions),
+    drained one file per micro-batch — final state per conversation must
+    equal the batch LAG ground truth exactly."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.streaming.sessionize import sessionize_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = lambda minutes: base + dt.timedelta(minutes=minutes)  # noqa: E731
+    # conv A's true timeline: 0, 20, 40, 120 -> sessions {0,20,40}, {120}
+    # but the 20-minute turn (which FUSES 0 and 40 into one session)
+    # arrives LAST.  conv B: a turn 100 minutes EARLIER than anything the
+    # first two batches saw arrives last -> opens a PRIOR session and
+    # widens first_ts backward.
+    f1 = [("a", m(0)), ("a", m(40)), ("b", m(0))]
+    f2 = [("a", m(120)), ("b", m(10))]
+    f3 = [("a", m(20)), ("b", m(-100))]  # the late, frontier-behind file
+    schema = "conv_id string, ts timestamp_ntz"
+    src = str(tmp_path / "ooo_src")
+    for i, rows in enumerate((f1, f2, f3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f{i}.parquet"
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    name = "sessionize_ooo_sink"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    q = (
+        sessionize_stream(stream, session_gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    out = spark.table(name).toPandas()
+    last = out.sort_values("n_turns").groupby("conv_id").tail(1).set_index("conv_id")
+
+    # LAG ground truth over the union of all three files
+    allrows = spark.createDataFrame(f1 + f2 + f3, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    truth = (
+        allrows.withColumn(
+            "brk",
+            (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
+            ).cast("int"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_turns"),
+            (F.lit(1) + F.coalesce(F.sum("brk"), F.lit(0))).alias("n_sessions"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    for conv in ("a", "b"):
+        for col in ("first_ts", "last_ts", "n_turns", "n_sessions"):
+            assert last.loc[conv, col] == truth.loc[conv, col], (conv, col)
+    # and the scenario really exercised both late-arrival paths:
+    assert int(last.loc["a", "n_sessions"]) == 2  # 20' fused {0},{40}
+    assert int(last.loc["b", "n_sessions"]) == 2  # -100' opened a prior one
+    assert last.loc["b", "first_ts"] == m(-100)
+
+
 def test_streaming_dedup_matches_batch_distinct(spark):
     """Watermark-bounded dropDuplicatesWithinWatermark drained over the
     events table == batch SELECT DISTINCT on the same key (the memory-sink
