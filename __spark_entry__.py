@@ -4561,6 +4561,10 @@ def oracle_sql() -> dict[str, str]:
     stats AS (
       SELECT t.conv_id,
              CAST(count(*) AS BIGINT) AS n_turns,
+             -- the driver fixture pre-drops NULL actions, so total ==
+             -- non-NULL here; the partial-NULL distinction is exercised
+             -- in tests/test_conversations.py instead
+             CAST(count(*) AS BIGINT) AS n_total_turns,
              CAST(count(DISTINCT t.action) AS INT) AS n_distinct_actions,
              CAST(max(r.max_run) AS INT) AS max_run
       FROM turns t JOIN (
@@ -4569,14 +4573,14 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY t.conv_id
     ),
     flagged AS (
-      SELECT conv_id, n_turns, n_distinct_actions, max_run,
+      SELECT conv_id, n_turns, n_total_turns, n_distinct_actions, max_run,
              concat_ws(',',
                CASE WHEN n_turns < 3 THEN 'too_short' END,
                CASE WHEN n_distinct_actions < 2 THEN 'low_diversity' END,
                CASE WHEN max_run >= 4 THEN 'stuck_loop' END) AS reasons
       FROM stats
     )
-    SELECT conv_id, n_turns, n_distinct_actions, max_run,
+    SELECT conv_id, n_turns, n_total_turns, n_distinct_actions, max_run,
            coalesce(reasons, '') AS reasons,
            coalesce(reasons, '') = '' AS keep
     FROM flagged ORDER BY conv_id

@@ -37,7 +37,12 @@ Differences from the document job that matter at transcript scale:
   the conversation analogue of document exact_dedup.
 
 Rejected conversations are written WITH their firing rule names
-(reasons are data, like every error surface in this engine).
+(reasons are data, like every error surface in this engine).  The gate's
+``n_turns`` counts NON-NULL-action turns (the sequence statistics'
+domain); the rejected output also carries ``n_total_turns`` so a
+partial-NULL conversation (many turns, few actions) is distinguishable
+from a genuinely short one — only fully-NULL conversations get the
+separate ``no_actions`` reject.
 """
 from __future__ import annotations
 
@@ -79,6 +84,7 @@ def main(argv=None, spark=None) -> dict:
     args = build_parser().parse_args(argv)
     order_cols = tuple(c.strip() for c in args.order_cols.split(",") if c.strip())
 
+    owns_session = spark is None
     if spark is None:
         from pyspark.sql import SparkSession
 
@@ -109,7 +115,8 @@ def main(argv=None, spark=None) -> dict:
     # the turns table feeds the gate fold, both dedup folds, three
     # semi/anti joins and the final write — cache it once (er_report.py's
     # norm.persist() precedent).
-    turns = turns_raw.where(F.col(conv).isNotNull()).persist()
+    turns_cached = turns_raw.where(F.col(conv).isNotNull()).persist()
+    turns = turns_cached
     n_turns_in = turns.count()
 
     # dedup identity: per-turn TEXT when the table carries it (falling
@@ -207,6 +214,15 @@ def main(argv=None, spark=None) -> dict:
         for r in spark.read.parquet(rejected_path)
         .groupBy("reasons").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # every output is materialized (writes + collected summaries above):
+    # release the job-owned caches, and — when this job owns the session
+    # (spark-submit) — the internal jaccard_set_join base cache too (its
+    # documented caller obligation; a passed-in session may hold caches
+    # that aren't ours to clear).
+    turns_cached.unpersist()
+    gated.unpersist()
+    if owns_session:
+        spark.catalog.clearCache()
     summary = {
         "input": args.input,
         "n_turns_in": int(n_turns_in),

@@ -79,29 +79,42 @@ def _ordered_token_arrays(
     order_cols: Sequence[str],
     token_col: str,
 ) -> DataFrame:
-    """(conv, n_turns, toks array<string>) — the turn-ordered token
-    sequence per conversation, recovered deterministically (array_sort
-    over order-key structs) in ONE shuffle.  NULL tokens are dropped
-    before the fold (they carry no sequence information); order keys must
-    be unique per conversation for the result to be well-defined — true
-    for (ts, event_id) and for (conv_id, turn_idx) per the input_hint's
-    stable-ordering invariant."""
-    keyed = turns.where(F.col(token_col).isNotNull()).select(
+    """(conv, n_turns, n_total_turns, toks array<string>) — the
+    turn-ordered token sequence per conversation, recovered
+    deterministically (array_sort over order-key structs) in ONE shuffle.
+    NULL tokens are dropped from the fold (they carry no sequence
+    information), so ``n_turns`` counts NON-NULL-token turns;
+    ``n_total_turns`` counts every turn, letting consumers distinguish a
+    partial-NULL conversation from a genuinely short one (round-3
+    ADVICE).  Conversations with NO non-NULL token at all are absent from
+    the output entirely (callers that must surface them handle it
+    explicitly — jobs/curate_transcripts.py's ``no_actions`` reject).
+    Order keys must be unique per conversation for the result to be
+    well-defined — true for (ts, event_id) and for (conv_id, turn_idx)
+    per the input_hint's stable-ordering invariant."""
+    keyed = turns.select(
         F.col(conv_col).alias("conv"),
-        F.struct(
-            *[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)],
-            F.col(token_col).alias("tok"),
+        # NULL-token turns contribute a NULL struct, which collect_list
+        # skips — one aggregation yields both counts and the fold.
+        F.when(
+            F.col(token_col).isNotNull(),
+            F.struct(
+                *[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)],
+                F.col(token_col).alias("tok"),
+            ),
         ).alias("kt"),
     )
     folded = keyed.groupBy("conv").agg(
         F.array_sort(F.collect_list("kt")).alias("kts"),
-        F.count(F.lit(1)).alias("n_turns"),
+        F.count("kt").alias("n_turns"),
+        F.count(F.lit(1)).alias("n_total_turns"),
     )
     # kts is a real projected column (HOF rule 1): the transform lambda
     # references the aggregation output, never an inline expression.
-    return folded.select(
+    return folded.where(F.col("n_turns") > 0).select(
         "conv",
         "n_turns",
+        "n_total_turns",
         F.transform("kts", lambda s: s["tok"]).alias("toks"),
     )
 
@@ -157,8 +170,11 @@ def conversation_stats(
     token_col: str = "action",
 ) -> DataFrame:
     """Per-conversation structural profile: (conv, n_turns,
-    n_distinct_actions, max_run) where ``max_run`` is the longest run of
-    CONSECUTIVE identical actions — the "agent stuck in a loop" signal.
+    n_total_turns, n_distinct_actions, max_run) where ``max_run`` is the
+    longest run of CONSECUTIVE identical actions — the "agent stuck in a
+    loop" signal.  ``n_turns`` counts non-NULL-token turns (the sequence
+    statistics' domain); ``n_total_turns`` counts every turn, so a
+    partial-NULL conversation is distinguishable from a short one.
 
     The run statistic is gaps-and-islands, computed WITHOUT a second
     shuffle: the fold already produced the ordered token array, so the
@@ -188,6 +204,7 @@ def conversation_stats(
     return folded.select(
         F.col("conv").alias(conv_col),
         "n_turns",
+        "n_total_turns",
         F.size(F.array_distinct("toks")).alias("n_distinct_actions"),
         F.aggregate("toks", acc0, step)["best"].alias("max_run"),
     )
@@ -206,7 +223,10 @@ def conversation_quality(
     the transcript-corpus sibling of corpus.py's document quality_filter.
 
     Rules (all exact integer comparisons, so an oracle replays the
-    decision bit-for-bit):
+    decision bit-for-bit).  They run on ``n_turns`` = NON-NULL-token
+    turns — the domain the sequence statistics are defined on; the output
+    carries ``n_total_turns`` alongside so callers can see when a
+    conversation was short on ACTIONS rather than short outright:
       * ``too_short``      — n_turns < min_turns
       * ``low_diversity``  — n_distinct_actions < min_distinct
       * ``stuck_loop``     — the longest identical-action run reaches the
@@ -289,6 +309,7 @@ def jaccard_set_join(
     set_col: str,
     tau_num: int,
     tau_den: int,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-threshold self-join over (id, array<long> set) rows.
 
@@ -296,6 +317,17 @@ def jaccard_set_join(
     |A∩B| / |A∪B| ≥ tau_num / tau_den — recall-lossless via the PPJoin
     probing prefix (module docstring).  The set column must hold DISTINCT
     elements (``with_shingle_hashes`` output qualifies) and be non-empty.
+
+    CACHING CONTRACT: with ``persist=True`` (default) the projected
+    (id, set, size) base is persisted MEMORY_AND_DISK and — because the
+    returned DataFrame is lazy — can only be released by the CALLER
+    (``spark.catalog.clearCache()``, or materialize-then-clear as
+    jobs/curate_transcripts.py does after its writes).  Long-lived
+    sessions (notebooks, iterative curation loops) that call this
+    repeatedly must do so or accumulate cached partitions.  Pass
+    ``persist=False`` to opt out; the upstream set construction (fold +
+    shingling) then recomputes once per consumer (4x) — acceptable when
+    the input is itself already cached or cheap.
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("threshold must satisfy 0 < tau_num/tau_den <= 1")
@@ -306,12 +338,14 @@ def jaccard_set_join(
     # and both verify sides) whose shuffles differ — without the cache the
     # upstream set construction (conversation fold + shingling) would run
     # four times.  Same discipline as token_join.py's token cache; the
-    # cache lives until clearCache()/unpersist.
+    # cache lives until clearCache()/unpersist (see docstring contract).
     base = sets.select(
         F.col(id_col).alias("sid"),
         F.col(set_col).alias("sh"),
         F.size(set_col).cast("long").alias("sz"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # set arrays are never empty (shingle fallback hashes the whole text),
     # and explode_outer avoids the inferred size>0 filter that re-inlines
     # the array expression (engine rule 2).

@@ -219,6 +219,47 @@ def test_conversation_stats_max_run_hand_computed(spark):
     }
 
 
+def test_partial_null_actions_counted_separately(spark):
+    """Round-3 ADVICE: n_turns counts non-NULL-action turns (the
+    sequence-stats domain) while n_total_turns counts every turn, so a
+    conversation with many turns but mostly NULL actions is visible as
+    such; a FULLY-NULL conversation stays absent from the fold (the
+    curate job's explicit no_actions reject owns that case)."""
+    from postal_address_spark.operators.conversations import (
+        conversation_quality,
+        conversation_stats,
+    )
+
+    rows = [
+        # mixed: 6 turns, only 2 carry actions
+        ("mixed", 1, None), ("mixed", 2, "a"), ("mixed", 3, None),
+        ("mixed", 4, None), ("mixed", 5, "b"), ("mixed", 6, None),
+        # clean: 2 turns, 2 actions
+        ("clean", 1, "a"), ("clean", 2, "b"),
+        # void: every action NULL -> absent from stats entirely
+        ("void", 1, None), ("void", 2, None),
+    ]
+    stats = {
+        r.conv_id: (r.n_turns, r.n_total_turns)
+        for r in conversation_stats(
+            _turns_df(spark, rows), "conv_id", ("turn_idx",), "action"
+        ).collect()
+    }
+    assert stats == {"mixed": (2, 6), "clean": (2, 2)}
+    gated = {
+        r.conv_id: (r.n_turns, r.n_total_turns, r.reasons)
+        for r in conversation_quality(
+            _turns_df(spark, rows), "conv_id", ("turn_idx",), "action",
+            min_turns=3, min_distinct=2, max_run=4,
+        ).collect()
+    }
+    # both gate as too_short on ACTION turns, but n_total_turns tells
+    # the partial-NULL one apart
+    assert gated["mixed"] == (2, 6, "too_short")
+    assert gated["clean"] == (2, 2, "too_short")
+    assert "void" not in gated
+
+
 def test_conversation_quality_reasons(spark):
     from postal_address_spark.operators.conversations import (
         conversation_quality,
