@@ -12,6 +12,8 @@ import os
 import random
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
@@ -172,6 +174,40 @@ def test_conversation_near_dups_matches_brute_force_on_events(spark):
     want = _brute_force(sets, 3, 10)
     assert got == want
     assert len(want) > 0  # non-vacuous at 3/10
+
+
+@pytest.mark.parametrize(
+    "regime,vocab,size_lo,size_hi,n_sets",
+    [
+        # tiny vocab + dense sets: heavy element collisions, prefixes
+        # nearly exhausted — the regime where a leaky prefix bound shows
+        ("dense_tiny_vocab", 12, 2, 10, 40),
+        # large vocab + sparse sets: rare-token prefixes do real work
+        ("sparse_wide_vocab", 500, 3, 25, 60),
+        # mixed sizes incl. singletons: the length-filter boundary and
+        # the prefix>=1 floor
+        ("mixed_with_singletons", 80, 1, 30, 50),
+    ],
+)
+def test_jaccard_join_property_grid(spark, regime, vocab, size_lo, size_hi, n_sets):
+    """Seeded property grid (VERDICT r3 #7 — hypothesis isn't installed,
+    so the grid is explicit): corpora spanning vocabulary density and
+    set-size regimes, each checked against brute force at four
+    thresholds including the exact-equality boundary tau=1."""
+    rng = random.Random(hash(regime) % (2**31))
+    universe = list(range(1, vocab + 1))
+    sets = {
+        sid: set(rng.sample(universe, rng.randint(size_lo, min(size_hi, vocab))))
+        for sid in range(n_sets)
+    }
+    # plant a few exact copies so tau=1 is non-vacuous
+    for sid, src in enumerate(rng.sample(sorted(sets), 3), start=n_sets):
+        sets[sid] = set(sets[src])
+    for tau_num, tau_den in ((1, 4), (1, 2), (9, 10), (1, 1)):
+        got = _join_result(spark, sets, tau_num, tau_den)
+        want = _brute_force(sets, tau_num, tau_den)
+        assert got == want, (regime, tau_num, tau_den, got ^ want)
+    assert _brute_force(sets, 1, 1), regime  # planted J=1 pairs exist
 
 
 def test_jaccard_join_rejects_bad_threshold(spark):
