@@ -246,6 +246,12 @@ def ivf_topk(
     The scale path complement to :func:`lsh_topk`: recall is tunable via
     (n_centroids, n_probe), candidate volume is ~corpus * n_probe /
     n_centroids, and the join is on the cell id — never a cross join.
+
+    Measured multi-probe recall curve (sf0.001 embeddings fixture,
+    seed 42, 16 cells, k=5, vs brute force; pinned with floors in
+    tests/test_dataops.py::test_ivf_recall_vs_nprobe_curve):
+    n_probe 1 -> 0.300, 2 -> 0.425, 4 -> 0.675, 8 -> 0.825,
+    16 (=n_centroids, i.e. exhaustive) -> 1.000.
     """
     centroids = _train_ivf_centroids(
         corpus, n_centroids, seed, sample, iters, id_col, vec_col

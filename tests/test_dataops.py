@@ -316,3 +316,38 @@ def test_ivf_topk_recall(spark, embeddings):
     again = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(
         embeddings, queries, dim=64, k=5, n_centroids=16, n_probe=4).collect()}
     assert approx_set == again
+
+
+def test_ivf_recall_vs_nprobe_curve(spark, embeddings):
+    """The multi-probe recall knob, measured (VERDICT r3 #8): recall
+    against brute-force top-5 must be monotone in n_probe and reach 1.0
+    at n_probe == n_centroids (probing every cell IS exhaustive search).
+    Measured curve on this fixture (seed 42, 16 cells):
+    1 -> 0.300, 2 -> 0.425, 4 -> 0.675, 8 -> 0.825, 16 -> 1.000 — the
+    floors below leave slack for testdata regens, the shape must hold."""
+    from postal_address_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = embeddings.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    floors = {1: 0.2, 2: 0.3, 4: 0.55, 8: 0.7, 16: 1.0}
+    curve = {}
+    for n_probe, floor in floors.items():
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                embeddings, queries, dim=64, k=5,
+                n_centroids=16, n_probe=n_probe,
+            ).collect()
+        }
+        curve[n_probe] = len(exact & approx) / len(exact)
+        assert curve[n_probe] >= floor, curve
+    probes = sorted(curve)
+    assert all(
+        curve[a] <= curve[b] for a, b in zip(probes, probes[1:])
+    ), curve
