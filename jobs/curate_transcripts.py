@@ -4,7 +4,10 @@ the way ``jobs/curate.py`` composes the document ones:
 
     conversation quality gate -> exact dedup (content signature)
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
+    -> [semantic dedup (hashed-gram cosine) -> keep-one]
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
+    -> [SFT (context, response) pair extraction with pair-level
+        gate + dedup flags]
 
 Package the engine and submit::
 
@@ -14,7 +17,10 @@ Package the engine and submit::
         --output-root <dir>       # writes <dir>/turns + <dir>/rejected_convs \
         [--conv-col conv_id] [--order-cols turn_idx] [--action-col role] \
         [--min-turns 3] [--min-distinct 2] [--max-run 6] \
-        [--tau-num 7 --tau-den 10] [--no-near-dup] [--split-salt 2024]
+        [--tau-num 7 --tau-den 10] [--no-near-dup] [--split-salt 2024] \
+        [--semantic-dedup [--sem-tau-num 19 --sem-tau-den 20]] \
+        [--sft-output <dir> [--sft-role assistant] [--sft-max-context 8] \
+         [--sft-min-response-chars 1]]
 
 Differences from the document job that matter at transcript scale:
 
@@ -76,6 +82,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau-den", type=int, default=10)
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the near-dup conversation dedup")
+    p.add_argument("--semantic-dedup", action="store_true",
+                   help="additionally drop PARAPHRASE duplicates: "
+                   "hashed-gram embedding + sign-LSH + exact integer "
+                   "cosine at --sem-tau (operators/semantic.py) — catches "
+                   "near-dups whose token-set Jaccard sits below --tau")
+    p.add_argument("--sem-tau-num", type=int, default=19)
+    p.add_argument("--sem-tau-den", type=int, default=20)
+    p.add_argument("--sft-output", default=None,
+                   help="also extract (context, response) SFT pairs from "
+                   "the kept turns (operators/sft.py) and write them here, "
+                   "split-partitioned, with pair-level gate + dedup flags")
+    p.add_argument("--sft-role", default="assistant",
+                   help="role whose turns become responses")
+    p.add_argument("--sft-max-context", type=int, default=8)
+    p.add_argument("--sft-min-response-chars", type=int, default=1)
     p.add_argument("--split-salt", type=int, default=2024)
     return p
 
@@ -185,6 +206,31 @@ def main(argv=None, spark=None) -> dict:
         n_near_dropped = drop.count()
         turns = turns.join(drop, conv, "left_anti")
 
+    # 3b. optional SEMANTIC dedup: paraphrase conversations whose token-set
+    # Jaccard sits below --tau but whose hashed-gram cosine clears
+    # --sem-tau (operators/semantic.py; xxhash gram path — the md5
+    # portable hash is for oracle fixtures only).  Same closure + min-id
+    # survivor shape as stage 3.
+    n_sem_dropped = 0
+    if args.semantic_dedup:
+        from postal_address_spark.operators.semantic import (
+            conversation_semantic_dups,
+        )
+
+        sem_pairs = conversation_semantic_dups(
+            turns, conv, order_cols, dedup_tok,
+            tau_num=args.sem_tau_num, tau_den=args.sem_tau_den,
+        )
+        sem_edges = sem_pairs.select(
+            F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")
+        )
+        sem_comp = connected_components(sem_edges)
+        sem_drop = sem_comp.where(
+            F.col("rec_id") != F.col("cluster_id")
+        ).select(F.col("rec_id").alias(conv))
+        n_sem_dropped = sem_drop.count()
+        turns = turns.join(sem_drop, conv, "left_anti")
+
     # 4. leakage-safe split (pure function of conv id), write the turns
     # partitioned by split; rejected conversations with their reasons.
     kept_turns = with_conversation_split(
@@ -194,6 +240,44 @@ def main(argv=None, spark=None) -> dict:
     rejected_path = f"{args.output_root.rstrip('/')}/rejected_convs"
     write_table(kept_turns, turns_path, partition_by=["split"])
     write_table(rejected, rejected_path)
+
+    # 5. optional SFT extraction: (context, response) pairs from the KEPT
+    # turns with the pair-level gate and exact keep-one dedup
+    # (operators/sft.py).  The split rides along as the same pure
+    # function of the conversation id, so no pair's context can leak
+    # across splits.  ALL pairs are written (gate reasons + is_kept are
+    # data — consumers filter is_kept for the training set and keep the
+    # rest as the audit trail).
+    sft_counts = None
+    if args.sft_output:
+        from postal_address_spark.operators.sft import sft_pairs
+
+        pairs = sft_pairs(
+            kept_turns,
+            conv_col=conv,
+            order_cols=order_cols,
+            role_col=act,
+            text_col=text_col or act,
+            assistant_role=args.sft_role,
+            max_context_turns=args.sft_max_context,
+            min_response_chars=args.sft_min_response_chars,
+        )
+        pairs = with_conversation_split(pairs, "conv", salt=args.split_salt)
+        n_pairs_total = pairs.count()
+        n_pairs_kept = pairs.where(F.col("is_kept")).count()
+        n_pairs_dup_dropped = (
+            pairs.where(F.col("keep") & ~F.col("is_kept")).count()
+        )
+        write_table(pairs, args.sft_output, partition_by=["split"])
+        sft_counts = {
+            "n_pairs_total": int(n_pairs_total),
+            "n_pairs_kept": int(n_pairs_kept),
+            "n_pairs_dup_dropped": int(n_pairs_dup_dropped),
+            "n_pairs_gated": int(
+                n_pairs_total - n_pairs_kept - n_pairs_dup_dropped
+            ),
+            "path": args.sft_output,
+        }
 
     # an all-rejected corpus is a legitimate outcome, not a crash: a
     # partitioned empty write leaves no part files, so read the summary
@@ -230,6 +314,7 @@ def main(argv=None, spark=None) -> dict:
         "n_convs_in": int(n_convs_in),
         "n_exact_dropped": int(n_exact_dropped),
         "n_near_dup_dropped": int(n_near_dropped),
+        "n_semantic_dropped": int(n_sem_dropped),
         "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),
         "n_turns_kept": int(sum(v["n_turns"] for v in split_counts.values())),
         "n_convs_rejected": int(sum(reject_reasons.values())),
@@ -238,6 +323,8 @@ def main(argv=None, spark=None) -> dict:
         "turns": turns_path,
         "rejected_convs": rejected_path,
     }
+    if sft_counts is not None:
+        summary["sft"] = sft_counts
     print(json.dumps(summary))
     return summary
 

@@ -93,6 +93,67 @@ def test_curate_transcripts_no_near_dup_flag(spark, tmp_path):
     assert summary["n_convs_kept"] == 2
 
 
+def test_curate_transcripts_semantic_dedup_and_sft(spark, tmp_path):
+    """--semantic-dedup drops a paraphrase conversation that near-dup
+    Jaccard at the configured tau would also see but that we isolate with
+    --no-near-dup; --sft-output writes split-partitioned (context,
+    response) pairs with gate + dedup flags, and the pair dedup fires
+    across the two kept conversations that share an exchange."""
+    import random
+
+    import curate_transcripts
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    roles = ["user", "assistant"]
+    # conv 1: 30 turns with text; conv 2 = paraphrase (last text changed)
+    texts = [f"payload token {rng.randrange(1000)} number {i}" for i in range(30)]
+    c1 = [(1, i, roles[i % 2], texts[i]) for i in range(30)]
+    c2 = [(2, i, roles[i % 2], texts[i]) for i in range(29)] + [
+        (2, 29, roles[29 % 2], "a completely different closing line")
+    ]
+    # conv 3: unrelated content, shares ONE exact exchange with conv 1
+    c3 = [(3, i, roles[i % 2], f"other stuff {i} {rng.randrange(1000)}")
+          for i in range(10)]
+    c3[4] = (3, 4, c1[4][2], c1[4][3])
+    c3[5] = (3, 5, c1[5][2], c1[5][3])
+    inp = str(tmp_path / "turns_sem")
+    spark.createDataFrame(
+        c1 + c2 + c3, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    sft_out = str(tmp_path / "sft_pairs")
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_sem"),
+         "--no-near-dup", "--semantic-dedup",
+         "--sft-output", sft_out, "--sft-max-context", "1",
+         "--max-run", "6"],
+        spark=spark,
+    )
+    # paraphrase conv 2 dropped semantically, nothing else
+    assert summary["n_semantic_dropped"] == 1
+    kept = spark.read.parquet(summary["turns"])
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} == {1, 3}
+
+    sft = summary["sft"]
+    pairs = spark.read.parquet(sft_out)
+    # one pair per assistant turn of each kept conversation
+    assert sft["n_pairs_total"] == pairs.count() == 15 + 5
+    # the shared exchange: context turn 4 + response turn 5 are identical
+    # across convs 1 and 3 at max_context 1 -> exactly one survives
+    assert sft["n_pairs_dup_dropped"] == 1
+    dup = pairs.where(F.col("keep") & ~F.col("is_kept")).collect()
+    assert len(dup) == 1 and dup[0]["conv"] == 3
+    # split column rides the pairs and never straddles a conversation
+    assert (
+        pairs.groupBy("conv").agg(F.countDistinct("split").alias("k"))
+        .where("k > 1").count() == 0
+    )
+    assert sft["n_pairs_kept"] + sft["n_pairs_dup_dropped"] + sft[
+        "n_pairs_gated"
+    ] == sft["n_pairs_total"]
+
+
 def test_curate_transcripts_text_identity_and_empty_output(spark, tmp_path):
     """With a text column present: identical role sequences with DIFFERENT
     texts are NOT dups; identical texts are.  NULL conv_id turns are
