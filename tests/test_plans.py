@@ -397,3 +397,55 @@ def test_conv_stats_islands_without_window(spark):
     plan = physical(conversation_stats(turns, "conv_id", ("ts", "event_id"), "action"))
     assert "Window" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_lsh_explode_carries_no_embeddings(spark):
+    """semantic_near_dups (operators/semantic.py): the per-table bucket
+    explosion must carry only (id, table_idx, bucket) — the integer
+    embedding array joining back only AFTER the candidate distinct
+    (rule 7, the similarity_search LSH guard's sibling).  Everything is
+    codegen: no Python eval nodes, no cartesian."""
+    from postal_address_spark.operators.semantic import (
+        hashed_gram_embedding,
+        semantic_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    embs = hashed_gram_embedding(docs, dim=8, vocab=64, seed=42)
+    plan = physical(semantic_near_dups(embs, "doc_id", dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    gens = [l for l in plan.splitlines() if "Generate posexplode" in l]
+    assert gens, plan[:2000]
+    for line in gens:
+        assert "emb#" not in line and " v#" not in line, line
+
+
+def test_sft_single_fold_shuffle_no_python(spark):
+    """sft_pairs: one groupBy(conv) Exchange for the fold + the dedup
+    window's hash-partitioned Exchange — and zero Python nodes; the
+    context render, gate and hash are all whole-stage codegen."""
+    from postal_address_spark.operators.sft import sft_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    turns = docs.select(
+        F.pmod("doc_id", F.lit(50)).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        "text",
+    )
+    plan = physical(sft_pairs(turns, max_context_turns=4))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_exchanges <= 2, plan[:3000]
