@@ -278,6 +278,25 @@ def main() -> None:
             "agg), and no Expand node (no countDistinct).",
             em.queries()["profile_customer"](spark, SF),
         ),
+        (
+            "conv_semantic_dups — id-only sign-LSH + integer cosine verify",
+            "Look for: the bucket Generate posexplode emitting "
+            "(id, table_idx, bucket) WITHOUT the integer embedding array "
+            "(vectors join back after the candidate dedup), zero Python "
+            "eval nodes (hashed-gram embedding, hyperplane dots and the "
+            "cross-multiplied cosine are all codegen), and no "
+            "CartesianProduct/BNLJ.",
+            em.queries()["conv_semantic_dups"](spark, SF),
+        ),
+        (
+            "sft_pairs — one fold shuffle + one dedup window",
+            "Look for: exactly two hashpartitioning Exchanges (the "
+            "groupBy(conv) fold and the pair-hash dedup window), the "
+            "context slice projected as a real column before the render "
+            "lambda (HOF rule 1), posexplode_outer (rule 2), and zero "
+            "Python eval nodes.",
+            em.queries()["sft_pairs"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:
