@@ -165,8 +165,12 @@ def main() -> None:
     # values ship in the JSON (`extras["<q>_trials"]`) so a reader can see
     # the spread, not just the minimum.
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    # The headline query gets one extra trial: it runs FIRST (coldest JIT
+    # tail) and carries most of the headline weight, and measured idle-VM
+    # spread (8.8-11.7 s at sf0.1) is wide enough that best-of-3 can still
+    # land ~30% above the engine's actual cost.
     er_trials, er_loads = [], []
-    for _ in range(reps):
+    for _ in range(reps + 1):
         er_loads.append(_loadavg_1m())
         er_trials.append(run_er_pipeline(spark, n_convs))
     er_sec, n_turns, n_mentions, n_clusters = min(er_trials)
