@@ -1765,6 +1765,60 @@ def _q_er_incremental_link(spark, sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _q_er_retract_link(spark, sf_dir):
+    """GDPR-style mention retraction over the incremental state: fold the
+    mention table in two batches (odd ids first, same alias-exercising
+    split as er_incremental_link), then RETRACT every mention with
+    ``mention_id % 7 == 3`` via plans/incremental.py:retract_mentions —
+    dead values leave, values whose representative died are renamed to
+    their surviving min, and only the affected blocks re-close from the
+    persisted edge log (stars alone cannot survive vertex deletion).
+
+    Oracle: the er_link_mentions mirror with the retracted mentions
+    filtered out BEFORE blocking — the retraction contract is "labels
+    identical to the batch run over the survivors", so a hash match
+    grades deletion-exactness end-to-end (cluster splits included).
+    """
+    import shutil
+    import tempfile
+
+    from postal_address_spark.plans.incremental import (
+        IncrementalConfig,
+        incremental_link_mentions,
+        mention_clusters,
+        retract_mentions,
+    )
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code", "mention_id",
+    )
+    state = tempfile.mkdtemp(prefix="er_retract_state_")
+    try:
+        # n_pb=4: same label-invariance + gate-budget rationale as
+        # er_incremental_link.
+        cfg = IncrementalConfig(n_pb=4)
+        for parity in (1, 0):  # odd first — alias-edge min-label path
+            incremental_link_mentions(
+                spark,
+                m.where(F.col("mention_id") % 2 == parity).drop("mention_id"),
+                state, cfg,
+            )
+        retract_mentions(
+            spark,
+            m.where(F.col("mention_id") % 7 == 3).select("rec_id"),
+            state,
+        )
+        out = mention_clusters(spark, state).orderBy("rec_id")
+        # materialize before the state dir disappears from under the plan
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _q_er_streaming_link(spark, sf_dir):
     """Streaming linkage ingest == the batch flagship, executed BY the
     Structured Streaming runtime: the mention table lands as two parquet
@@ -2283,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_apply_review": _q_er_apply_review,
         "er_incremental_link": _q_er_incremental_link,
+        "er_retract_link": _q_er_retract_link,
         "er_streaming_link": _q_er_streaming_link,
         # --- Fellegi-Sunter / review / blocking analysis ---
         "fs_pattern_counts": _q_fs_pattern_counts,
@@ -3867,15 +3922,20 @@ def oracle_sql() -> dict[str, str]:
     )
     trunc = lambda c: f"substr(coalesce({c}, ''), 1, 64)"  # noqa: E731
     # shared normalize -> block -> refined-candidate-kernel-input prefix,
-    # used by the er_link closure mirror AND the er_explain_pairs mirror
-    er_kern_prefix = f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    # used by the er_link closure mirror AND the er_explain_pairs mirror;
+    # ``extra_pred`` narrows the mention population (the retraction
+    # mirror grades "batch over the survivors" by filtering the retracted
+    # ids out before blocking — per-row normalization commutes with the
+    # filter, so pre- and post-normalize filtering are equivalent).
+    def _er_kern_prefix(extra_pred: str = "") -> str:
+        return f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
     blocked AS MATERIALIZED (
       SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
              line1, city_name,
              top_country || '|' || postal_code AS block_key,
              coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
       FROM norm
-      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL{extra_pred}
     ),
     kern AS MATERIALIZED (
       SELECT a.rec_id AS s, b.rec_id AS d,
@@ -3886,8 +3946,10 @@ def oracle_sql() -> dict[str, str]:
         ON a.block_key = b.block_key AND a.hn = b.hn
            AND a.rec_id < b.rec_id
     )"""
-    sql["er_link_mentions"] = f"""
-    WITH RECURSIVE {er_kern_prefix},
+
+    def _er_link_sql(prefix: str) -> str:
+        return f"""
+    WITH RECURSIVE {prefix},
     pairs AS MATERIALIZED (
       SELECT s, d FROM kern
       WHERE 0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
@@ -3912,6 +3974,15 @@ def oracle_sql() -> dict[str, str]:
     FROM blocked v LEFT JOIN labels l ON v.rec_id = l.rec_id
     ORDER BY v.rec_id
     """
+
+    er_kern_prefix = _er_kern_prefix()
+    sql["er_link_mentions"] = _er_link_sql(er_kern_prefix)
+    # -- er_retract_link: the retraction contract is "labels identical to
+    # the batch run over the SURVIVING mentions" — same mirror, with the
+    # retracted population (mention_id % 7 == 3) excluded before blocking.
+    sql["er_retract_link"] = _er_link_sql(
+        _er_kern_prefix(" AND mention_id % 7 <> 3")
+    )
 
     # -- er_incremental_link: the incremental pipeline's contract is
     # "mention labels identical to the batch run over the union of all

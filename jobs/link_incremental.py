@@ -11,8 +11,12 @@ Package the engine and submit per ingest batch::
         [--strict] [--threshold 0.82] [--hot-threshold 20000] \
         [--n-salt 16] [--postal-prefix-len N] [--n-pb 64]
 
-The state dir holds three bucket-partitioned tables (``values``,
-``clusters``, ``mention_map`` — plans/incremental.py); each submission
+    # GDPR unlink: remove mentions instead of folding a batch
+    spark-submit --py-files engine.zip jobs/link_incremental.py \
+        --retract <rec-ids-table> --state <state-dir> [--output ...]
+
+The state dir holds four bucket-partitioned tables (``values``,
+``clusters``, ``mention_map``, ``edges`` — plans/incremental.py); each submission
 appends the batch's value nodes + mention map and dynamically overwrites
 ONLY the ``pb`` partitions whose blocks the batch touched.  Labels after
 every fold are identical to re-running ``jobs/link.py`` over the
@@ -34,7 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="postal-address-spark incremental linkage job"
     )
-    p.add_argument("--input", required=True, help="NEW batch of transcripts")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input", help="NEW batch of transcripts to fold in")
+    g.add_argument(
+        "--retract",
+        help="instead of folding: parquet/Iceberg table of mention rec_ids "
+        "to REMOVE (GDPR unlink) — labels afterwards equal a batch run "
+        "over the survivors; requires a state whose folds logged edges",
+    )
     p.add_argument("--state", required=True, help="persistent state dir")
     p.add_argument("--output", default=None,
                    help="optional: materialize all-batch mention labels here")
@@ -67,31 +78,39 @@ def main(argv=None, spark=None) -> dict:
         IncrementalConfig,
         incremental_link,
         mention_clusters,
+        retract_mentions,
     )
     from postal_address_spark.sources.io import read_table, write_table
 
-    config = IncrementalConfig(
-        strict=args.strict,
-        threshold=args.threshold,
-        hot_threshold=args.hot_threshold,
-        n_salt=args.n_salt,
-        postal_prefix_len=args.postal_prefix_len,
-        n_pb=args.n_pb,
-    )
-    result = incremental_link(
-        spark, read_table(spark, args.input), args.state, config
-    )
-    batch_agg = result["batch_labels"].agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("cluster_id").alias("k"),
-    ).collect()[0]
-    summary = {
-        "input": args.input,
-        "state": args.state,
-        "batch_mentions": int(batch_agg["n"]),
-        "batch_clusters": int(batch_agg["k"]),
-        "touched_blocks": result["touched_blocks"].count(),
-    }
+    if args.retract:
+        counts = retract_mentions(
+            spark, read_table(spark, args.retract).select("rec_id"),
+            args.state,
+        )
+        summary = {"retract": args.retract, "state": args.state, **counts}
+    else:
+        config = IncrementalConfig(
+            strict=args.strict,
+            threshold=args.threshold,
+            hot_threshold=args.hot_threshold,
+            n_salt=args.n_salt,
+            postal_prefix_len=args.postal_prefix_len,
+            n_pb=args.n_pb,
+        )
+        result = incremental_link(
+            spark, read_table(spark, args.input), args.state, config
+        )
+        batch_agg = result["batch_labels"].agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cluster_id").alias("k"),
+        ).collect()[0]
+        summary = {
+            "input": args.input,
+            "state": args.state,
+            "batch_mentions": int(batch_agg["n"]),
+            "batch_clusters": int(batch_agg["k"]),
+            "touched_blocks": result["touched_blocks"].count(),
+        }
     if args.output:
         labels = mention_clusters(spark, args.state)
         write_table(labels, args.output)

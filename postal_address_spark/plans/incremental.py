@@ -24,6 +24,12 @@ partitions a batch actually touches:
 * ``mention_map`` — ``(rec_id, val_id, pb)``.  Append-only log mapping
   every mention to its value node; joined with ``clusters`` on demand to
   materialize mention-level labels (``mention_clusters``).
+* ``edges``     — ``(src, dst, block_key, pb)``: every scored-above-
+  threshold pair and every alias edge any fold produced (never the star
+  edges — those are spanning substitutes derivable from ``clusters``).
+  Append-only under folds; retraction rewrites touched partitions.  This
+  log is what makes :func:`retract_mentions` exact — connectivity under
+  VERTEX DELETION cannot be recovered from stars alone.
 * ``_manifest.json`` — state-shaping parameters (``n_pb``), written on
   the first fold and validated on every later one: a fold under a
   different ``n_pb`` would prune/overwrite the wrong buckets.
@@ -85,7 +91,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.fs import fs_exists, fs_read_text, fs_write_text
+from ..sources.fs import fs_delete, fs_exists, fs_read_text, fs_write_text
 from ..operators.blocking import with_block_key
 from ..operators.cluster import assign_clusters_blocked
 from ..operators.extract import extract_mentions
@@ -116,6 +122,18 @@ _CLUSTERS_SCHEMA = T.StructType([
 _MENTION_MAP_SCHEMA = T.StructType([
     T.StructField("rec_id", T.StringType()),
     T.StructField("val_id", T.StringType()),
+    T.StructField("pb", T.IntegerType()),
+])
+# Edge log: every scored-above-threshold pair + every alias edge each fold
+# produced (star edges are NOT logged — they are derivable from
+# ``clusters`` and would be redundant spanning trees).  Stored so that
+# retraction can re-close affected blocks from the surviving REAL edges:
+# the star alone cannot survive vertex deletion (removing a star center
+# would falsely split members its real edges still connect).
+_EDGES_SCHEMA = T.StructType([
+    T.StructField("src", T.StringType()),
+    T.StructField("dst", T.StringType()),
+    T.StructField("block_key", T.StringType()),
     T.StructField("pb", T.IntegerType()),
 ])
 
@@ -181,7 +199,15 @@ def _check_manifest(spark: SparkSession, state_dir: str, n_pb: int) -> None:
                 "silently"
             )
     else:
-        fs_write_text(spark, path, json.dumps({"n_pb": n_pb, "version": 1}))
+        # edge_log marks that EVERY fold of this state has appended its
+        # scored + alias edges to the ``edges`` table — the precondition
+        # for exact retraction.  States created before the edge log lack
+        # the flag and retract_mentions refuses them (their early folds'
+        # edges are unrecoverable).
+        fs_write_text(
+            spark, path,
+            json.dumps({"n_pb": n_pb, "version": 2, "edge_log": True}),
+        )
 
 
 def _sided(df: DataFrame, side: str, extra=()) -> DataFrame:
@@ -380,14 +406,14 @@ def incremental_link_mentions(
         .select(F.col("val_id").alias("src"), F.col("cluster_id").alias("dst"),
                 "block_key")
     )
-    edges = (
-        scored.select(
-            F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"),
-            "block_key",
-        )
-        .unionByName(alias_edges)
-        .unionByName(star_edges)
-    )
+    # Real edges (scored + alias) are what the edge log persists; star
+    # edges only ride THIS fold's closure as the spanning substitute for
+    # prior batches' logged edges.
+    real_edges = scored.select(
+        F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"),
+        "block_key",
+    ).unionByName(alias_edges)
+    edges = real_edges.unionByName(star_edges)
     # Vertices: every node of a touched block — prior values, the batch's
     # new nodes, and phantom alias minima (old cluster roots are already
     # val_ids in old_in_blocks; alias dst ids are new).
@@ -410,6 +436,7 @@ def incremental_link_mentions(
     values_out = posixpath.join(state_dir, "values")
     clusters_out = posixpath.join(state_dir, "clusters")
     map_out = posixpath.join(state_dir, "mention_map")
+    edges_out = posixpath.join(state_dir, "edges")
 
     # EVERY payload is eagerly materialized BEFORE the first write: the
     # payloads' lineage reads the state tables this function is about to
@@ -448,9 +475,15 @@ def incremental_link_mentions(
         .unionByName(carried)
         .localCheckpoint(eager=True)
     )
+    edges_payload = (
+        real_edges.withColumn("pb", _pb(n_pb))
+        .select([f.name for f in _EDGES_SCHEMA.fields])
+        .localCheckpoint(eager=True)
+    )
 
     values_payload.write.mode("append").partitionBy("pb").parquet(values_out)
     batch_map.write.mode("append").partitionBy("pb").parquet(map_out)
+    edges_payload.write.mode("append").partitionBy("pb").parquet(edges_out)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -488,6 +521,264 @@ def incremental_link(
     return incremental_link_mentions(
         spark, extract_mentions(transcripts), state_dir, config
     )
+
+
+def retract_mentions(
+    spark: SparkSession,
+    rec_ids,
+    state_dir: str,
+) -> Dict[str, int]:
+    """Remove a set of mentions from the linkage state (GDPR-style
+    unlink), leaving labels **identical to re-running the batch pipeline
+    over the surviving mentions** (asserted in ``tests/test_retract.py``).
+
+    ``rec_ids``: an iterable of mention ids or a DataFrame with a
+    ``rec_id`` column.  Unknown ids are ignored (idempotent re-runs).
+
+    Why this needs the edge log: stored ``clusters`` rows are star edges
+    — a spanning SUBSTITUTE for the scored edge set, valid only under
+    edge/vertex ADDITION.  Deleting the star's center would split members
+    whose real edges still connect them; exactness under deletion needs
+    the real edges back.  Hence folds log ``(scored ∪ alias)`` edges and
+    this function refuses states whose manifest lacks ``edge_log``.
+
+    Algorithm (work ∝ touched state partitions + affected blocks — never
+    the whole state; the one full-table pass is the ``mention_map`` scan
+    locating the retracted rows, which a production deployment would
+    replace with a rec_id-bucketed index):
+
+    1. Locate the retracted mention rows; their values are *touched*.
+       A touched value with no surviving mention is *dead*; one whose
+       min surviving rec_id differs from its stored ``val_id`` is
+       *renamed*.  Blocks holding dead or renamed values are *affected* —
+       only there can labels or ids change (a retraction that removes
+       neither a value nor its representative changes nothing but the
+       mention_map row).
+    2. For every value in an affected block, re-derive the effective id
+       ``eff = min(surviving mention rec_ids)`` — exactly the val_id the
+       batch pipeline would assign over the survivors.  This rename also
+       SUBSUMES alias edges: an alias ``old_val_id <-> smaller rec_id``
+       collapses to a self-loop once both endpoints canonicalize to the
+       same value (step 3) and the value is renamed to its true min.
+    3. Canonicalize every logged edge endpoint through the PRE-retraction
+       ``mention_map`` (every endpoint — val_id or alias phantom — IS a
+       mention rec_id mapping to its value), drop edges with a dead
+       endpoint, rename survivors to ``eff``, drop self-loops, and re-run
+       the per-block closure over the affected blocks' surviving values.
+       Scores depend only on value TUPLES, so the surviving logged edges
+       are exactly the pairs the batch pipeline would score >= threshold
+       over the survivors (every cross-fold pair was generated by the
+       later value's fold; same refined join key, same kernels).
+    4. Write back, all four tables, touched ``pb`` partitions only
+       (dynamic partition overwrite; partitions whose every row was
+       retracted are deleted explicitly — dynamic overwrite cannot
+       remove a partition absent from the payload).
+
+    Returns summary counts (``retracted_mentions``, ``dead_values``,
+    ``renamed_values``, ``affected_blocks``).
+    """
+    manifest_path = posixpath.join(state_dir, "_manifest.json")
+    if not fs_exists(spark, manifest_path):
+        raise ValueError(f"no linkage state at {state_dir!r}")
+    manifest = json.loads(fs_read_text(spark, manifest_path))
+    if not manifest.get("edge_log"):
+        raise ValueError(
+            f"state dir {state_dir!r} predates the edge log (manifest has "
+            "no edge_log flag): its early folds' scored edges were never "
+            "persisted, so exact retraction is impossible — re-fold the "
+            "source batches into a fresh state dir"
+        )
+    n_pb = int(manifest["n_pb"])
+
+    if not isinstance(rec_ids, DataFrame):
+        rec_ids = spark.createDataFrame(
+            [(str(r),) for r in rec_ids], "rec_id string"
+        )
+    retract = rec_ids.select("rec_id").distinct().localCheckpoint(eager=True)
+
+    mmap = _read_state(spark, state_dir, "mention_map", _MENTION_MAP_SCHEMA)
+    dead_mentions = mmap.join(retract, "rec_id", "semi").persist()
+    touched_pbs = [
+        r["pb"] for r in dead_mentions.select("pb").distinct().collect()
+    ]
+    if not touched_pbs:
+        dead_mentions.unpersist()
+        return {
+            "retracted_mentions": 0, "dead_values": 0,
+            "renamed_values": 0, "affected_blocks": 0,
+        }
+
+    values = _read_state(spark, state_dir, "values", _VALUES_SCHEMA)
+    clusters = _read_state(spark, state_dir, "clusters", _CLUSTERS_SCHEMA)
+    edges = _read_state(spark, state_dir, "edges", _EDGES_SCHEMA)
+    vals_t = values.where(F.col("pb").isin(touched_pbs))
+    mmap_t = mmap.where(F.col("pb").isin(touched_pbs)).persist()
+    clusters_t = clusters.where(F.col("pb").isin(touched_pbs))
+    edges_t = edges.where(F.col("pb").isin(touched_pbs))
+
+    touched_vals = dead_mentions.select("val_id").distinct()
+    surv_t = mmap_t.join(retract, "rec_id", "left_anti").persist()
+
+    # Touched-value triage.  Labels are component minima over each
+    # value's MIN MENTION id (stored val_id for most values, a smaller
+    # alias phantom when a later batch brought one) — so a retraction
+    # can only change labels where it kills a value or changes a value's
+    # min mention.  The stored val_id alone cannot detect the latter
+    # (retracting an alias phantom leaves val_id untouched but raises
+    # the component minimum), hence the pre/post min comparison.
+    touched_pre = (
+        mmap_t.join(touched_vals, "val_id", "semi")
+        .groupBy("val_id").agg(F.min("rec_id").alias("pre_min"))
+    )
+    touched_min = (
+        surv_t.join(touched_vals, "val_id", "semi")
+        .groupBy("val_id").agg(F.min("rec_id").alias("eff"))
+    ).persist()
+    dead_vals = touched_vals.join(
+        touched_min, "val_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    min_changed = (
+        touched_pre.join(touched_min, "val_id")
+        .where(F.col("pre_min") != F.col("eff"))
+    )
+
+    affected_blocks = (
+        vals_t.join(
+            dead_vals.unionByName(min_changed.select("val_id")),
+            "val_id", "semi",
+        )
+        .select("block_key").distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # Effective ids for EVERY value in an affected block (not only the
+    # touched ones): an UNtouched value may still carry an alias phantom
+    # minimum (a later-batch smaller rec_id) that only exists as a logged
+    # alias edge — the closure rebuilt below must see that value under
+    # its true min or its recomputed label would exceed the batch
+    # pipeline's.
+    b_vals = vals_t.join(affected_blocks, "block_key", "semi").persist()
+    eff = (
+        surv_t.join(b_vals.select("val_id"), "val_id", "semi")
+        .groupBy("val_id").agg(F.min("rec_id").alias("eff"))
+        .persist()
+    )
+
+    live_vals = (
+        b_vals.join(dead_vals, "val_id", "left_anti")
+        .join(eff, "val_id", "left")
+        .withColumn("val_id", F.coalesce("eff", "val_id"))
+        .drop("eff")
+    )
+
+    # Canonicalize logged endpoints via the PRE-retraction map (dead
+    # mentions included — a dead value's endpoints must still resolve to
+    # the dead value so its edges get dropped, not orphaned).
+    canon = mmap_t.select(
+        F.col("rec_id").alias("node"), F.col("val_id").alias("node_val")
+    )
+    b_edges = (
+        edges_t.join(affected_blocks, "block_key", "semi")
+        .join(canon.withColumnRenamed("node", "src")
+              .withColumnRenamed("node_val", "src_val"), "src")
+        .join(canon.withColumnRenamed("node", "dst")
+              .withColumnRenamed("node_val", "dst_val"), "dst")
+        .join(dead_vals.withColumnRenamed("val_id", "src_val"),
+              "src_val", "left_anti")
+        .join(dead_vals.withColumnRenamed("val_id", "dst_val"),
+              "dst_val", "left_anti")
+        .join(eff.select(F.col("val_id").alias("src_val"),
+                         F.col("eff").alias("src_eff")), "src_val", "left")
+        .join(eff.select(F.col("val_id").alias("dst_val"),
+                         F.col("eff").alias("dst_eff")), "dst_val", "left")
+        .select(
+            F.coalesce("src_eff", "src_val").alias("src"),
+            F.coalesce("dst_eff", "dst_val").alias("dst"),
+            "block_key",
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    vertices = live_vals.select(
+        F.col("val_id").alias("rec_id"), "block_key"
+    ).distinct()
+    new_labels = (
+        assign_clusters_blocked(vertices, b_edges)
+        .withColumnRenamed("rec_id", "val_id")
+        .join(vertices.withColumnRenamed("rec_id", "val_id"), "val_id")
+        .withColumn("pb", _pb(n_pb))
+    )
+
+    n_retracted = dead_mentions.count()
+    n_dead = dead_vals.count()
+    # renamed = the STORED id changes (its representative mention died
+    # with a survivor left) — a subset of the min-changed trigger above.
+    n_renamed = touched_min.where(F.col("eff") != F.col("val_id")).count()
+    n_affected = affected_blocks.count()
+
+    # ---- write-back (rule 10: EVERY payload materialized before the
+    # FIRST write — all four lineages read the tables being overwritten).
+    values_payload = (
+        vals_t.join(affected_blocks, "block_key", "left_anti")
+        .unionByName(live_vals)
+        .localCheckpoint(eager=True)
+    )
+    map_payload = (
+        surv_t.join(eff, "val_id", "left")
+        .withColumn("val_id", F.coalesce("eff", "val_id"))
+        .select([f.name for f in _MENTION_MAP_SCHEMA.fields])
+        .localCheckpoint(eager=True)
+    )
+    edges_payload = (
+        edges_t.join(affected_blocks, "block_key", "left_anti")
+        .unionByName(b_edges.withColumn("pb", _pb(n_pb)))
+        .select([f.name for f in _EDGES_SCHEMA.fields])
+        .localCheckpoint(eager=True)
+    )
+    clusters_payload = (
+        clusters_t.join(affected_blocks, "block_key", "left_anti")
+        .unionByName(new_labels.select(
+            [f.name for f in _CLUSTERS_SCHEMA.fields]
+        ))
+        .localCheckpoint(eager=True)
+    )
+
+    # Dynamic overwrite only replaces partitions PRESENT in a payload:
+    # touched partitions a payload no longer covers (every row retracted)
+    # must be deleted explicitly or their stale files survive.
+    for name, payload in (
+        ("values", values_payload), ("mention_map", map_payload),
+        ("edges", edges_payload), ("clusters", clusters_payload),
+    ):
+        present = {r["pb"] for r in payload.select("pb").distinct().collect()}
+        for pb in touched_pbs:
+            if pb not in present:
+                fs_delete(
+                    spark, posixpath.join(state_dir, name, f"pb={pb}")
+                )
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for name, payload in (
+            ("values", values_payload), ("mention_map", map_payload),
+            ("edges", edges_payload), ("clusters", clusters_payload),
+        ):
+            payload.write.mode("overwrite").partitionBy("pb").parquet(
+                posixpath.join(state_dir, name)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    for df in (dead_mentions, mmap_t, surv_t, touched_min, b_vals, eff):
+        df.unpersist()
+    return {
+        "retracted_mentions": n_retracted,
+        "dead_values": n_dead,
+        "renamed_values": n_renamed,
+        "affected_blocks": n_affected,
+    }
 
 
 def mention_clusters(spark: SparkSession, state_dir: str) -> DataFrame:

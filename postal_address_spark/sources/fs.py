@@ -35,6 +35,15 @@ def fs_mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(jpath)
 
 
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` (no error when absent).  Needed by
+    retraction: dynamic partition overwrite only replaces partitions
+    PRESENT in the payload, so a state partition whose every row was
+    retracted must be removed explicitly or stale rows silently survive."""
+    fs, jpath = _fs_path(spark, path)
+    return bool(fs.delete(jpath, True))
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Create-or-overwrite a small UTF-8 text file (markers, manifests)."""
     fs, jpath = _fs_path(spark, path)

@@ -29,7 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_bcubed_stats",
-    "er_merge_distance", "er_incremental_link",
+    "er_merge_distance", "er_incremental_link", "er_retract_link",
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
     "fs_pattern_truth", "link_and_dedupe",
     # training-data ops
@@ -82,7 +82,10 @@ def test_oracles_reference_registered_queries():
         # (er_streaming_link drives a full availableNow stream + state
         # fold — tests/test_link_stream.py owns it)
         - {"er_link_mentions", "cc_clusters", "simhash_near_dups",
-           "er_incremental_link", "er_streaming_link"}
+           "er_incremental_link", "er_streaming_link",
+           # two folds + a retraction over scratch state —
+           # tests/test_retract.py owns it
+           "er_retract_link"}
     ),
 )
 def test_query_runs_nonempty(spark, name):
