@@ -807,6 +807,45 @@ def _q_dataset_split(spark, sf_dir):
     )
 
 
+# Training-mixture spec for the corpus_mixture query, in basis points
+# (1 bp = 1/10000 epoch): upsample en 2.5x, downsample fr to 1/2 and es
+# to 1/4, DROP zh, default 1/8 — both the Spark when-chain and the DuckDB
+# CASE arms are GENERATED from this one dict (CLAUDE.md driver contract).
+_MIXTURE_BP = {"en": 25_000, "fr": 5_000, "es": 2_500, "zh": 0}
+_MIXTURE_DEFAULT_BP = 1_250
+
+
+def _q_corpus_mixture(spark, sf_dir):
+    """Deterministic training-mixture sampling over documents
+    (operators/sampling.py:mixture_sample): per-language epoch weights in
+    integer basis points decide, as a pure zero-shuffle function of
+    doc_id, whether a doc is dropped, kept, or replicated (multi-epoch
+    upsampling with copy_idx).  Uses the portable 'lcg' bucket so the
+    DuckDB oracle replays every decision bit-for-bit (production default
+    is xxhash64 — pytest-pinned in tests/test_sampling.py).  Output is
+    the per-language mixture audit: kept docs, emitted rows (epochs
+    applied), max replication."""
+    from postal_address_spark.operators.sampling import mixture_sample
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    sampled = mixture_sample(
+        docs, _MIXTURE_BP, stratum_col="lang", id_col="doc_id",
+        default_bp=_MIXTURE_DEFAULT_BP, method="lcg",
+    )
+    per_doc = sampled.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_copies").alias("n_rows_out"),
+            F.max("n_copies").alias("max_copies"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary head: top-50 tokens by total occurrences with
     document frequency — explode + one token-keyed aggregation shuffle,
@@ -2398,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "quality_filter_stats": _q_quality_filter,
         "dataset_split": _q_dataset_split,
+        "corpus_mixture": _q_corpus_mixture,
         "vocab_topk": _q_vocab_topk,
         "length_dispersion": _q_length_dispersion,
         # --- generic relational / streaming (graded green rounds 1-3) ---
@@ -3387,6 +3427,34 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """
+
+    # -- corpus_mixture: the mixture-sampling decision replayed exactly —
+    # same lcg bucket as dataset_split, CASE arms GENERATED from the one
+    # _MIXTURE_BP dict the Spark when-chain compiles from; all-integer
+    # output (copy counts), so the hash grades every per-doc decision.
+    mixture_arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_BP.items()
+    )
+    sql["corpus_mixture"] = f"""
+    WITH c AS (
+      SELECT lang,
+             CASE lang {mixture_arms} ELSE {_MIXTURE_DEFAULT_BP} END AS w,
+             (doc_id * 40503 + 2024) % 10000 AS bucket
+      FROM documents
+    ),
+    k AS (
+      SELECT lang,
+             (w // 10000)
+             + CASE WHEN bucket < (w % 10000) THEN 1 ELSE 0 END AS n_copies
+      FROM c
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(MAX(n_copies) AS INTEGER) AS max_copies
+    FROM k WHERE n_copies > 0
+    GROUP BY lang ORDER BY lang
     """
 
     sql["vocab_topk"] = f"""

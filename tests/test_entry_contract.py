@@ -39,7 +39,7 @@ EXPECTED_QUERIES = {
     "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
     "cosine_topk",
     "text_analysis", "pii_redaction", "doc_repetition",
-    "quality_filter_stats", "dataset_split", "vocab_topk",
+    "quality_filter_stats", "dataset_split", "corpus_mixture", "vocab_topk",
     "length_dispersion",
     "doc_fingerprints", "minhash_near_dups",
     "minhash_dup_clusters", "simhash_near_dups",
