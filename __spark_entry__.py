@@ -1752,6 +1752,24 @@ def _q_er_cluster_cohesion(spark, sf_dir):
     return cluster_cohesion(records)
 
 
+def _q_er_cluster_graph(spark, sf_dir):
+    """Per-cluster graph diagnostics (operators/evaluate.py
+    cluster_graph_stats) over the integer-kernel clustering: node/edge
+    counts, density = n_edges/C(n,2), degree extremes — the
+    truth-free cluster-quality dashboard (Splink's graph-metrics family).
+    All columns are integers or single int/int divisions over the same
+    mirrored closure chain, so the oracle hash-grades edge attribution,
+    the degree aggregation, and the density arithmetic exactly."""
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.evaluate import cluster_graph_stats
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    edges = pairs.where(
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
+    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    return cluster_graph_stats(assign_clusters(nodes, edges), edges)
+
+
 def _q_er_incremental_link(spark, sf_dir):
     """Incremental linkage folded over two batches == the batch flagship.
 
@@ -2374,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_merge_distance": _q_er_merge_distance,
         "er_golden_records": _q_er_golden_records,
         "er_cluster_cohesion": _q_er_cluster_cohesion,
+        "er_cluster_graph": _q_er_cluster_graph,
         "er_apply_review": _q_er_apply_review,
         "er_incremental_link": _q_er_incremental_link,
         "er_retract_link": _q_er_retract_link,
@@ -3911,6 +3930,50 @@ def oracle_sql() -> dict[str, str]:
            CAST(coalesce(c.n_cohesive, 0) AS BIGINT) AS n_cohesive
     FROM eligible e LEFT JOIN coh c ON e.cluster_id = c.cluster_id
     ORDER BY e.cluster_id
+    """
+
+    # -- er_cluster_graph: truth-free per-cluster graph diagnostics over
+    # the same mirrored closure — degrees from the doubled edge relation,
+    # edges attributed via the src endpoint (the operator contract),
+    # density and avg_degree as single int/int divisions (IEEE-identical
+    # across engines).
+    sql["er_cluster_graph"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT s AS node FROM pairs UNION ALL SELECT d AS node FROM pairs
+      ) GROUP BY node
+    ),
+    node_stats AS (
+      SELECT a.cluster_id,
+             COUNT(*) AS n_nodes,
+             MIN(coalesce(deg.deg, 0)) AS min_degree,
+             MAX(coalesce(deg.deg, 0)) AS max_degree
+      FROM asg a LEFT JOIN deg ON a.rec_id = deg.node
+      GROUP BY a.cluster_id
+    ),
+    edge_counts AS (
+      SELECT a.cluster_id, COUNT(*) AS n_edges
+      FROM pairs p JOIN asg a ON p.s = a.rec_id
+      GROUP BY a.cluster_id
+    ),
+    merged AS (
+      SELECT ns.cluster_id,
+             CAST(ns.n_nodes AS BIGINT) AS n_nodes,
+             CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+             CAST(ns.n_nodes * (ns.n_nodes - 1) // 2 AS BIGINT)
+               AS possible_edges,
+             CAST(ns.min_degree AS BIGINT) AS min_degree,
+             CAST(ns.max_degree AS BIGINT) AS max_degree
+      FROM node_stats ns LEFT JOIN edge_counts ec
+        ON ns.cluster_id = ec.cluster_id
+    )
+    SELECT cluster_id, n_nodes, n_edges, possible_edges,
+           n_edges / nullif(possible_edges, 0) AS density,
+           (2 * n_edges) / n_nodes AS avg_degree,
+           min_degree, max_degree
+    FROM merged
+    ORDER BY cluster_id
     """
 
     # -- er_golden_records: survivorship over the same mirrored closure.

@@ -28,7 +28,8 @@ EXPECTED_QUERIES = {
     "blocking_stats", "phonetic_blocking_stats", "candidate_pair_counts",
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
-    "er_golden_records", "er_cluster_cohesion", "er_bcubed_stats",
+    "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
+    "er_bcubed_stats",
     "er_merge_distance", "er_incremental_link", "er_retract_link",
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
     "fs_pattern_truth", "link_and_dedupe",

@@ -180,3 +180,44 @@ def test_cluster_cohesion_ground_truth(spark):
         for r in cluster_cohesion(df, max_members=2).collect()
     }
     assert capped == {"c3"}
+
+
+def test_cluster_graph_stats_hand_case(spark):
+    from postal_address_spark.operators.evaluate import cluster_graph_stats
+
+    # c1 = path a-b-c; c2 = triangle e-f-g; c3 = singleton d
+    asg = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"),
+         ("e", "c2"), ("f", "c2"), ("g", "c2"),
+         ("d", "c3")],
+        "rec_id string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),
+         ("e", "f"), ("f", "g"), ("e", "g")],
+        "src string, dst string",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_graph_stats(asg, edges).collect()}
+    assert set(rows) == {"c1", "c2", "c3"}
+
+    p = rows["c1"]  # path: 3 nodes, 2 edges, degrees 1/2/1
+    assert (p.n_nodes, p.n_edges, p.possible_edges) == (3, 2, 3)
+    assert (p.min_degree, p.max_degree) == (1, 2)
+    assert p.density == pytest.approx(2 / 3)
+    assert p.avg_degree == pytest.approx(4 / 3)
+
+    t = rows["c2"]  # triangle: complete graph, density exactly 1
+    assert (t.n_nodes, t.n_edges, t.possible_edges) == (3, 3, 3)
+    assert (t.min_degree, t.max_degree) == (2, 2)
+    assert t.density == 1.0 and t.avg_degree == 2.0
+
+    s = rows["c3"]  # singleton: density NULL (0/0), degree 0 — rule 5
+    assert (s.n_nodes, s.n_edges, s.possible_edges) == (1, 0, 0)
+    assert s.density is None
+    assert (s.min_degree, s.max_degree, s.avg_degree) == (0, 0, 0.0)
+
+    # ordering/partitioning invariance
+    again = cluster_graph_stats(asg.repartition(5), edges.repartition(3))
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, cluster_graph_stats(asg, edges).collect())
+    )
