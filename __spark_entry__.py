@@ -1618,7 +1618,7 @@ def _q_er_link_closure(spark, sf_dir):
     return asg.orderBy("rec_id")
 
 
-def _q_er_apply_review(spark, sf_dir):
+def _er_reviewed_assignments(spark, sf_dir):
     """The review-feedback loop closed (operators/review.py): clerical
     decisions fold back into the linkage graph — rejected pairs leave
     the automatic edge set (one anti-join), confirmed borderline pairs
@@ -1655,7 +1655,27 @@ def _q_er_apply_review(spark, sf_dir):
         & (F.pmod(F.col("nsum"), F.lit(3)) == 0)
     ).select("src", "dst")
     adjusted = apply_review(auto, rejected, confirmed)
-    return assign_clusters(nodes, adjusted).orderBy("rec_id")
+    return assign_clusters(nodes, adjusted)
+
+
+def _q_er_apply_review(spark, sf_dir):
+    return _er_reviewed_assignments(spark, sf_dir).orderBy("rec_id")
+
+
+def _q_er_cluster_diff(spark, sf_dir):
+    """Clustering-churn report (operators/evaluate.py cluster_diff)
+    between the automatic integer-kernel closure and the review-adjusted
+    closure: per auto cluster, how the clerical decisions redistributed
+    its members — unchanged / split (a rejected edge disconnected it) /
+    merged (a confirmed borderline edge glued it to another) / mixed.
+    Both clusterings are already independently mirrored (er_link_closure,
+    er_apply_review), so the oracle replays the diff bit-for-bit: all
+    columns are integers, cluster-id strings, or the derived status."""
+    from postal_address_spark.operators.evaluate import cluster_diff
+
+    _, old = _er_closure_assignments(spark, sf_dir)
+    new = _er_reviewed_assignments(spark, sf_dir)
+    return cluster_diff(old, new)
 
 
 def _q_er_eval_metrics(spark, sf_dir):
@@ -2394,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_cohesion": _q_er_cluster_cohesion,
         "er_cluster_graph": _q_er_cluster_graph,
         "er_apply_review": _q_er_apply_review,
+        "er_cluster_diff": _q_er_cluster_diff,
         "er_incremental_link": _q_er_incremental_link,
         "er_retract_link": _q_er_retract_link,
         "er_streaming_link": _q_er_streaming_link,
@@ -3974,6 +3995,100 @@ def oracle_sql() -> dict[str, str]:
            min_degree, max_degree
     FROM merged
     ORDER BY cluster_id
+    """
+
+    # -- er_cluster_diff: clustering-churn report between the automatic
+    # closure (asg) and the review-adjusted closure (asg2 — the same
+    # suffixed chain er_apply_review grades, sharing norm/blocked).  Diff
+    # columns are integers, cluster-id strings, or the CASE-derived
+    # status, so the hash is exact.  DuckDB runs both recursive CTEs in
+    # one WITH RECURSIVE list.
+    sql["er_cluster_diff"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    cand2 AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             a.mention_id + b.mention_id AS nsum,
+             levenshtein(lower(a.line1), lower(b.line1)) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    pairs2 AS MATERIALIZED (
+      SELECT s, d FROM cand2 WHERE lev <= 5 AND (nsum % 5) <> 0
+      UNION
+      SELECT s, d FROM cand2 WHERE lev > 5 AND lev <= 8 AND (nsum % 3) = 0
+    ),
+    bi2 AS (SELECT s, d FROM pairs2 UNION ALL SELECT d, s FROM pairs2),
+    reach2(s, d) AS (
+      SELECT s, d FROM bi2
+      UNION
+      SELECT r.s, b.d FROM reach2 r JOIN bi2 b ON r.d = b.s
+    ),
+    labels2 AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach2 GROUP BY s
+    ),
+    asg2 AS MATERIALIZED (
+      SELECT v.rec_id, coalesce(l.cluster_id, v.rec_id) AS cluster_id
+      FROM blocked v LEFT JOIN labels2 l ON v.rec_id = l.rec_id
+    ),
+    cells AS MATERIALIZED (
+      SELECT o.cluster_id AS old_cluster_id, n.cluster_id AS nid,
+             COUNT(*) AS n
+      FROM asg o JOIN asg2 n ON o.rec_id = n.rec_id
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT o.cluster_id AS old_cluster_id,
+             COUNT(*) AS n_members,
+             SUM(CASE WHEN n.rec_id IS NULL THEN 1 ELSE 0 END) AS n_removed
+      FROM asg o LEFT JOIN asg2 n ON o.rec_id = n.rec_id
+      GROUP BY 1
+    ),
+    new_sizes AS (
+      SELECT cluster_id AS nid, COUNT(*) AS n_new FROM asg2 GROUP BY 1
+    ),
+    frag AS (
+      SELECT c.old_cluster_id,
+             COUNT(*) AS n_fragments,
+             SUM(c.n) AS n_surviving,
+             SUM(ns.n_new - c.n) AS n_external,
+             MAX(c.n) AS largest_fragment
+      FROM cells c JOIN new_sizes ns ON c.nid = ns.nid
+      GROUP BY 1
+    ),
+    main_frag AS (
+      SELECT old_cluster_id, nid AS main_new_cluster FROM (
+        SELECT c.old_cluster_id, c.nid,
+               row_number() OVER (
+                 PARTITION BY c.old_cluster_id ORDER BY c.n DESC, c.nid ASC
+               ) AS rn
+        FROM cells c
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT b.old_cluster_id,
+             CAST(b.n_members AS BIGINT) AS n_members,
+             CAST(coalesce(f.n_surviving, 0) AS BIGINT) AS n_surviving,
+             CAST(b.n_removed AS BIGINT) AS n_removed,
+             CAST(coalesce(f.n_fragments, 0) AS BIGINT) AS n_fragments,
+             CAST(coalesce(f.largest_fragment, 0) AS BIGINT)
+               AS largest_fragment,
+             m.main_new_cluster,
+             CAST(coalesce(f.n_external, 0) AS BIGINT) AS n_external
+      FROM base b
+      LEFT JOIN frag f ON b.old_cluster_id = f.old_cluster_id
+      LEFT JOIN main_frag m ON b.old_cluster_id = m.old_cluster_id
+    )
+    SELECT *, CASE
+      WHEN n_fragments = 0 THEN 'removed'
+      WHEN n_fragments = 1 AND n_removed = 0 AND n_external = 0
+        THEN 'unchanged'
+      WHEN n_external = 0 THEN 'split'
+      WHEN n_fragments = 1 AND n_removed = 0 THEN 'merged'
+      ELSE 'mixed' END AS status
+    FROM merged
+    ORDER BY old_cluster_id
     """
 
     # -- er_golden_records: survivorship over the same mirrored closure.

@@ -303,6 +303,104 @@ def cluster_graph_stats(
     )
 
 
+def cluster_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Clustering-churn report: for every cluster of the OLD clustering,
+    how the NEW clustering redistributed its members — the stability
+    dashboard an incremental / review-driven linkage deployment reads
+    after every run (did the new batch quietly shatter last week's
+    entities? did a confirmed review edge glue two big ones together?).
+
+    Per old cluster:
+
+    * ``n_members`` / ``n_surviving`` / ``n_removed`` — size, members
+      still present in ``new``, members that disappeared.
+    * ``n_fragments`` — distinct new clusters its surviving members land
+      in (>1 = the cluster was split).
+    * ``largest_fragment`` / ``main_new_cluster`` — size and id of the
+      biggest landing cluster (ties broken by smallest new id, the same
+      (count DESC, value ASC) argmax as survivorship).
+    * ``n_external`` — records in those landing clusters that did NOT
+      come from this old cluster (>0 = the cluster was merged with
+      others; summing ``n_new - cell`` over distinct fragments counts
+      each external record once per fragment it is adjacent to).
+    * ``status`` — 'unchanged' | 'split' | 'merged' | 'mixed' |
+      'removed', derived from the integers above.
+
+    Scale design: one rec_id-keyed join of the two assignment relations,
+    then contingency-cell aggregations exactly like ``pairwise_metrics``
+    — nothing quadratic, output cardinality = old cluster count.  All
+    columns are integers or strings, so the driver hash-grades the whole
+    report against a DuckDB replay (``er_cluster_diff``).
+    """
+    o = old.select(
+        F.col(id_col).alias("_rid"), F.col(cluster_col).alias("old_cluster_id")
+    )
+    n = new.select(F.col(id_col).alias("_rid"), F.col(cluster_col).alias("_nid"))
+    joined = o.join(n, "_rid", "left")
+
+    base = joined.groupBy("old_cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(
+            F.when(F.col("_nid").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_removed"),
+    )
+    cells = (
+        joined.where(F.col("_nid").isNotNull())
+        .groupBy("old_cluster_id", "_nid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    new_sizes = n.groupBy("_nid").agg(F.count(F.lit(1)).alias("n_new"))
+    frag = (
+        cells.join(new_sizes, "_nid")
+        .groupBy("old_cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fragments"),
+            F.sum("n").alias("n_surviving"),
+            F.sum(F.col("n_new") - F.col("n")).alias("n_external"),
+            F.max("n").alias("largest_fragment"),
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg"), F.col("_nid").alias("id")
+                )
+            ).alias("_top"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    out = base.join(frag, "old_cluster_id", "left").select(
+        "old_cluster_id",
+        "n_members",
+        F.coalesce("n_surviving", zero).alias("n_surviving"),
+        "n_removed",
+        F.coalesce("n_fragments", zero).alias("n_fragments"),
+        F.coalesce("largest_fragment", zero).alias("largest_fragment"),
+        F.col("_top.id").alias("main_new_cluster"),
+        F.coalesce("n_external", zero).alias("n_external"),
+    )
+    unchanged = (
+        (F.col("n_fragments") == 1)
+        & (F.col("n_removed") == 0)
+        & (F.col("n_external") == 0)
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_fragments") == 0, F.lit("removed"))
+        .when(unchanged, F.lit("unchanged"))
+        .when(F.col("n_external") == 0, F.lit("split"))
+        .when(
+            (F.col("n_fragments") == 1) & (F.col("n_removed") == 0),
+            F.lit("merged"),
+        )
+        .otherwise(F.lit("mixed"))
+        .alias("status"),
+    ).orderBy("old_cluster_id")
+
+
 def merge_distance(
     assignments: DataFrame,
     pred_col: str = "cluster_id",

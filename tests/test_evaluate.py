@@ -182,6 +182,58 @@ def test_cluster_cohesion_ground_truth(spark):
     assert capped == {"c3"}
 
 
+def test_cluster_diff_hand_case(spark):
+    from postal_address_spark.operators.evaluate import cluster_diff
+
+    old = spark.createDataFrame(
+        [("a", "o1"), ("b", "o1"),
+         ("c", "o2"), ("d", "o2"), ("e", "o2"),
+         ("f", "o3"),
+         ("g", "o4"), ("h", "o4"),
+         ("i", "o5")],
+        "rec_id string, cluster_id string",
+    )
+    new = spark.createDataFrame(
+        [("a", "n1"), ("b", "n1"),
+         ("c", "n2"), ("d", "n2"), ("e", "n3"),
+         ("f", "n4"), ("g", "n4")],
+        "rec_id string, cluster_id string",
+    )
+    rows = {r["old_cluster_id"]: r for r in cluster_diff(old, new).collect()}
+    assert set(rows) == {"o1", "o2", "o3", "o4", "o5"}
+
+    assert rows["o1"]["status"] == "unchanged"
+    assert rows["o1"]["main_new_cluster"] == "n1"
+
+    s = rows["o2"]  # shattered across n2/n3, nothing foreign joined
+    assert s["status"] == "split"
+    assert (s.n_fragments, s.largest_fragment, s.main_new_cluster) == (2, 2, "n2")
+    assert (s.n_surviving, s.n_removed, s.n_external) == (3, 0, 0)
+
+    m = rows["o3"]  # swallowed into n4 next to o4's g
+    assert m["status"] == "merged"
+    assert (m.n_fragments, m.n_external) == (1, 1)
+
+    x = rows["o4"]  # lost h AND merged with o3's f
+    assert x["status"] == "mixed"
+    assert (x.n_members, x.n_surviving, x.n_removed, x.n_external) == (2, 1, 1, 1)
+
+    r = rows["o5"]  # vanished entirely
+    assert r["status"] == "removed"
+    assert (r.n_fragments, r.largest_fragment) == (0, 0)
+    assert r["main_new_cluster"] is None
+
+    # argmax tie-break: equal fragments -> smallest new cluster id wins
+    old2 = spark.createDataFrame(
+        [("p", "o9"), ("q", "o9")], "rec_id string, cluster_id string"
+    )
+    new2 = spark.createDataFrame(
+        [("p", "zz"), ("q", "aa")], "rec_id string, cluster_id string"
+    )
+    tie = cluster_diff(old2, new2).collect()[0]
+    assert tie["main_new_cluster"] == "aa" and tie["status"] == "split"
+
+
 def test_cluster_graph_stats_hand_case(spark):
     from postal_address_spark.operators.evaluate import cluster_graph_stats
 
