@@ -2180,6 +2180,32 @@ def _q_unblocked_mentions(spark, sf_dir):
     return unblocked_records(norm, "rec_id", rules).orderBy("rec_id")
 
 
+def _q_er_unlinkables(spark, sf_dir):
+    """Per-mention linkability report (operators/blocking_analysis.py
+    unlinkable_records — Splink's unlinkables analysis, score form): for
+    every blocked mention, its candidate-comparison count and the BEST
+    score any comparison reached; mentions that never clear the threshold
+    are the ceiling on achievable recall.  Run over the integer
+    levenshtein kernel (distance orientation, best = MIN, linked =
+    best <= 5) so every column is exact-integer and the oracle replays
+    the explode-to-endpoints aggregation bit-for-bit."""
+    from postal_address_spark.operators.blocking_analysis import (
+        unlinkable_records,
+    )
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    scored = pairs.select(
+        "rec_id_a",
+        "rec_id_b",
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b"))
+        .cast("long")
+        .alias("lev"),
+    )
+    return unlinkable_records(
+        nodes, scored, score_col="lev", threshold=5, higher_is_better=False
+    )
+
+
 def _q_link_two_datasets(spark, sf_dir):
     """Two-dataset linkage (operators/link_datasets.py — Splink's
     link_only mode): customer mentions linked against a second mention
@@ -2432,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
+        "er_unlinkables": _q_er_unlinkables,
         "profile_customer": _q_profile_customer,
         # --- LLM-data-pipeline dedup / ANN ---
         "minhash_near_dups": _q_minhash_near_dups,
@@ -4558,6 +4585,47 @@ def oracle_sql() -> dict[str, str]:
     FROM ids i LEFT JOIN pid p ON i.rec_id = p.rec_id
     WHERE p.rec_id IS NULL
     ORDER BY i.rec_id
+    """
+
+    # -- er_unlinkables: per-mention linkability (Splink's unlinkables
+    # analysis, score form) over the integer levenshtein kernel — the
+    # refined-block candidate relation explodes into its two endpoints,
+    # one id-keyed aggregation gives (n_candidates, best = MIN distance),
+    # and the status CASE mirrors the operator exactly.  All integers.
+    sql["er_unlinkables"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             levenshtein(lower(a.line1), lower(b.line1)) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    sides AS (
+      SELECT s AS rec_id, lev FROM cand
+      UNION ALL
+      SELECT d AS rec_id, lev FROM cand
+    ),
+    best AS (
+      SELECT rec_id, COUNT(*) AS n_candidates, MIN(lev) AS best_lev
+      FROM sides GROUP BY rec_id
+    )
+    SELECT b.rec_id,
+           CAST(coalesce(bs.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(bs.best_lev AS BIGINT) AS best_score,
+           CASE WHEN bs.best_lev IS NULL THEN 'no_candidates'
+                WHEN bs.best_lev <= 5 THEN 'linked'
+                ELSE 'unlinkable' END AS status
+    FROM blocked b LEFT JOIN best bs ON b.rec_id = bs.rec_id
+    ORDER BY b.rec_id
     """
 
     # -- tf_city_evidence: per-pair term-frequency evidence, all-integer

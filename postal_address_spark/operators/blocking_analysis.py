@@ -224,3 +224,72 @@ def unblocked_records(
         "rec_id",
         "left_anti",
     )
+
+
+def unlinkable_records(
+    records: DataFrame,
+    scored_pairs: DataFrame,
+    id_col: str = "rec_id",
+    id_a: str = "rec_id_a",
+    id_b: str = "rec_id_b",
+    score_col: str = "score",
+    threshold: float = 0.82,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Per-record linkability report (Splink's "unlinkables" analysis,
+    one level deeper than :func:`unblocked_records`): for every record,
+    how many candidate comparisons it participated in and the BEST score
+    any of them reached — records whose best score can't clear the match
+    threshold can never leave a singleton cluster no matter how the
+    clustering is tuned, and their share is the ceiling on achievable
+    recall.
+
+    Output: ``rec_id, n_candidates, best_score, status`` with status in
+    ``linked`` (best score clears ``threshold``), ``unlinkable``
+    (compared but never above it), ``no_candidates`` (blocking produced
+    nothing — best_score NULL, the absence kept as data, rule 5).
+
+    ``higher_is_better=False`` flips the comparison for distance-style
+    scores (e.g. an integer edit distance, where "best" is the MINIMUM
+    and linked means ``best <= threshold``) — with an integer kernel the
+    whole report is exact-integer and the driver hash-grades it
+    (``er_unlinkables``).
+
+    Scale shape: the pair relation explodes into its two (id, score)
+    endpoints — 2 rows per existing pair, nothing quadratic beyond what
+    pairing already materialized — then ONE id-keyed map-side-combinable
+    aggregation and one join back to the record spine.
+    """
+    sides = scored_pairs.select(
+        F.col(id_a).alias("_id"), F.col(score_col).alias("_s")
+    ).unionAll(
+        scored_pairs.select(
+            F.col(id_b).alias("_id"), F.col(score_col).alias("_s")
+        )
+    )
+    best_agg = F.max("_s") if higher_is_better else F.min("_s")
+    best = sides.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        best_agg.alias("best_score"),
+    )
+    spine = records.select(F.col(id_col).alias("rec_id"))
+    clears = (
+        F.col("best_score") >= F.lit(threshold)
+        if higher_is_better
+        else F.col("best_score") <= F.lit(threshold)
+    )
+    return (
+        spine.join(best.withColumnRenamed("_id", "rec_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_score",
+            F.when(F.col("best_score").isNull(), F.lit("no_candidates"))
+            .when(clears, F.lit("linked"))
+            .otherwise(F.lit("unlinkable"))
+            .alias("status"),
+        )
+        .orderBy("rec_id")
+    )

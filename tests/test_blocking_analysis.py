@@ -104,3 +104,53 @@ def test_meta_blocking_single_rule_keeps_everything(spark):
 def test_meta_blocking_empty_rules_rejected(spark):
     with pytest.raises(ValueError):
         meta_blocking_prune([])
+
+
+def test_unlinkable_records_distance_orientation(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        unlinkable_records,
+    )
+
+    records = spark.createDataFrame(
+        [("r1",), ("r2",), ("r3",), ("r4",)], "rec_id string"
+    )
+    scored = spark.createDataFrame(
+        [("r1", "r2", 3), ("r2", "r3", 9)],
+        "rec_id_a string, rec_id_b string, lev long",
+    )
+    rows = {
+        r["rec_id"]: r
+        for r in unlinkable_records(
+            records, scored, score_col="lev", threshold=5,
+            higher_is_better=False,
+        ).collect()
+    }
+    assert rows["r1"]["status"] == "linked"
+    assert (rows["r1"].n_candidates, rows["r1"].best_score) == (1, 3)
+    # best = MIN under distance orientation, candidates count both pairs
+    assert rows["r2"]["status"] == "linked"
+    assert (rows["r2"].n_candidates, rows["r2"].best_score) == (2, 3)
+    assert rows["r3"]["status"] == "unlinkable"
+    assert rows["r3"]["best_score"] == 9
+    assert rows["r4"]["status"] == "no_candidates"
+    assert rows["r4"]["best_score"] is None
+    assert rows["r4"]["n_candidates"] == 0
+
+
+def test_unlinkable_records_similarity_orientation(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        unlinkable_records,
+    )
+
+    records = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "rec_id string"
+    )
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.5)],
+        "rec_id_a string, rec_id_b string, score double",
+    )
+    rows = {
+        r["rec_id"]: r["status"]
+        for r in unlinkable_records(records, scored, threshold=0.8).collect()
+    }
+    assert rows == {"a": "linked", "b": "linked", "c": "unlinkable"}

@@ -49,7 +49,7 @@ EXPECTED_QUERIES = {
     "fs_pattern_counts", "fs_em_weights", "er_review_queue", "snm_pairs",
     "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
-    "unblocked_mentions", "profile_customer",
+    "unblocked_mentions", "er_unlinkables", "profile_customer",
     "link_best_matches", "streaming_link_datasets",
 }
 
