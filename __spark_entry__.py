@@ -1790,6 +1790,32 @@ def _q_er_cluster_graph(spark, sf_dir):
     return cluster_graph_stats(assign_clusters(nodes, edges), edges)
 
 
+def _q_er_bridge_edges(spark, sf_dir):
+    """Bridge-edge audit (operators/cluster.py bridge_edges — Splink's
+    is_bridge): per match edge of the integer-kernel closure, whether
+    removing it would split its cluster — the exact-pair weakest-link
+    feed for the review queue.  Tarjan low-link per cluster via
+    applyInPandas; iterative-graph work is not SQL-expressible, so this
+    is rows-only for the driver — correctness is pinned by
+    tests/test_cluster.py against a brute-force remove-edge-and-BFS
+    oracle on planted and randomized graphs.  On the generated fixtures
+    every cluster is a lev-kernel variant CLIQUE, so the audit's honest
+    finding here is all-false ("no cluster hangs by one edge" — probed
+    over the auto, review-adjusted, and SNM-window graphs alike); the
+    positive is_bridge path is exercised by the pytest planted graphs."""
+    from postal_address_spark.operators.cluster import (
+        assign_clusters,
+        bridge_edges,
+    )
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    edges = pairs.where(
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")) <= 5
+    ).select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    asg = assign_clusters(nodes, edges)
+    return bridge_edges(edges, asg).orderBy("src", "dst")
+
+
 def _q_er_incremental_link(spark, sf_dir):
     """Incremental linkage folded over two batches == the batch flagship.
 
@@ -2441,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_graph": _q_er_cluster_graph,
         "er_apply_review": _q_er_apply_review,
         "er_cluster_diff": _q_er_cluster_diff,
+        "er_bridge_edges": _q_er_bridge_edges,
         "er_incremental_link": _q_er_incremental_link,
         "er_retract_link": _q_er_retract_link,
         "er_streaming_link": _q_er_streaming_link,

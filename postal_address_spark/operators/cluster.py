@@ -294,3 +294,108 @@ def assign_clusters(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("cluster_id", "rec_id").alias("cluster_id"),
         )
     )
+
+
+def bridge_edges(
+    edges: DataFrame,
+    assignments: DataFrame,
+    max_cluster_edges: int = 100_000,
+) -> DataFrame:
+    """Per-edge bridge flag over the match-edge graph: an edge is a
+    BRIDGE when removing it disconnects its cluster — the weakest-link
+    diagnostic (Splink's ``is_bridge``) a review queue keys on, since a
+    single wrong bridge edge is all that holds two sub-entities together
+    (``cluster_graph_stats``'s low-density signal says "somewhere in this
+    cluster"; this says "this exact pair").
+
+    Input: canonical duplicate-free edges (src, dst) and the
+    (rec_id, cluster_id) assignment over them.  Output one row per edge
+    of every audited cluster: ``cluster_id, src, dst, is_bridge``.
+
+    Scale shape: bridge finding is whole-component work, so it runs as
+    ``groupBy(cluster_id).applyInPandas`` with iterative (stack-based)
+    Tarjan low-link — linear in the cluster's edge count, one shuffle
+    keyed on cluster_id, per-group memory bounded by
+    ``max_cluster_edges`` (oversized clusters are EXCLUDED from the
+    audit, like cluster_cohesion's quadratic bound: they are themselves
+    the pathology and surface via the graph/size stats first).
+
+    Tarjan is iterative-deterministic but not SQL-expressible, so the
+    driver query (``er_bridge_edges``) is rows-only; correctness is
+    pinned by tests/test_cluster.py against a brute-force
+    remove-edge-and-BFS oracle on planted and randomized graphs.
+    """
+    import pandas as pd
+
+    asg = assignments.select(
+        F.col("rec_id").alias("src"), F.col("cluster_id").alias("cluster_id")
+    )
+    tagged = edges.select("src", "dst").join(asg, "src")
+    sizes = tagged.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_ne"))
+    eligible = sizes.where(F.col("_ne") <= max_cluster_edges).select(
+        "cluster_id"
+    )
+    audited = tagged.join(F.broadcast(eligible), "cluster_id")
+
+    def find_bridges(pdf: pd.DataFrame) -> pd.DataFrame:
+        srcs = pdf["src"].to_numpy(dtype=object)
+        dsts = pdf["dst"].to_numpy(dtype=object)
+        ids: dict = {}
+        names: list = []
+        adj: list = []
+        for arr in (srcs, dsts):
+            for v in arr:
+                if v not in ids:
+                    ids[v] = len(names)
+                    names.append(v)
+                    adj.append([])
+        for ei in range(len(srcs)):
+            a, b = ids[srcs[ei]], ids[dsts[ei]]
+            adj[a].append((b, ei))
+            adj[b].append((a, ei))
+        n = len(names)
+        disc = [-1] * n
+        low = [0] * n
+        timer = 0
+        is_bridge = [False] * len(srcs)
+        for s in range(n):
+            if disc[s] != -1:
+                continue
+            disc[s] = low[s] = timer
+            timer += 1
+            stack = [(s, -1, iter(adj[s]))]
+            while stack:
+                u, pe, it = stack[-1]
+                advanced = False
+                for v, ei in it:
+                    if ei == pe:
+                        continue  # don't ride the tree edge back up
+                    if disc[v] == -1:
+                        disc[v] = low[v] = timer
+                        timer += 1
+                        stack.append((v, ei, iter(adj[v])))
+                        advanced = True
+                        break
+                    if disc[v] < low[u]:
+                        low[u] = disc[v]
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        pu = stack[-1][0]
+                        if low[u] < low[pu]:
+                            low[pu] = low[u]
+                        if low[u] > disc[pu]:
+                            is_bridge[pe] = True
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"],
+                "src": pdf["src"],
+                "dst": pdf["dst"],
+                "is_bridge": is_bridge,
+            }
+        )
+
+    return audited.groupBy("cluster_id").applyInPandas(
+        find_bridges,
+        schema="cluster_id string, src string, dst string, is_bridge boolean",
+    )

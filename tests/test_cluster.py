@@ -156,3 +156,87 @@ def test_forest_reduce_collapses_clique_and_preserves_labels(spark):
         }
         assert all(labels[i] == ids[0] for i in ids)
         assert labels["x0003"] == "x0001"
+
+
+def _brute_bridges(edges):
+    """Ground truth: edge is a bridge iff removing it disconnects its
+    endpoints (BFS)."""
+    out = set()
+    for cut in edges:
+        adj = {}
+        for e in edges:
+            if e == cut:
+                continue
+            adj.setdefault(e[0], []).append(e[1])
+            adj.setdefault(e[1], []).append(e[0])
+        seen, frontier = {cut[0]}, [cut[0]]
+        while frontier:
+            u = frontier.pop()
+            for v in adj.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    frontier.append(v)
+        if cut[1] not in seen:
+            out.add(cut)
+    return out
+
+
+def _run_bridges(spark, edges):
+    from postal_address_spark.operators.cluster import bridge_edges
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    asg = assign_clusters(
+        e.select(F.col("src").alias("rec_id"))
+        .union(e.select("dst"))
+        .distinct(),
+        e,
+    )
+    return {
+        (r.src, r.dst): r.is_bridge
+        for r in bridge_edges(e, asg).collect()
+    }
+
+
+def test_bridges_planted_shapes(spark):
+    # path: every edge a bridge; cycle: none; barbell: only the bar
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _run_bridges(spark, path) == {e: True for e in path}
+
+    cycle = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert _run_bridges(spark, cycle) == {e: False for e in cycle}
+
+    barbell = [
+        ("a", "b"), ("b", "c"), ("a", "c"),      # triangle 1
+        ("x", "y"), ("y", "z"), ("x", "z"),      # triangle 2
+        ("c", "x"),                               # the bar
+    ]
+    got = _run_bridges(spark, barbell)
+    assert got[("c", "x")] is True
+    assert sum(got.values()) == 1
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_bridges_match_brute_force(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(18)]
+    edges = set()
+    # random components: a few spanning paths plus chords
+    for _ in range(22):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    assert _run_bridges(spark, edges) == {
+        e: (e in _brute_bridges(edges)) for e in edges
+    }
+
+
+def test_bridges_oversized_cluster_excluded(spark):
+    from postal_address_spark.operators.cluster import bridge_edges
+
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    e = spark.createDataFrame(path, "src string, dst string")
+    asg = assign_clusters(
+        e.select(F.col("src").alias("rec_id")).union(e.select("dst")).distinct(),
+        e,
+    )
+    assert bridge_edges(e, asg, max_cluster_edges=2).count() == 0

@@ -29,7 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
-    "er_cluster_diff", "er_bcubed_stats",
+    "er_cluster_diff", "er_bridge_edges", "er_bcubed_stats",
     "er_merge_distance", "er_incremental_link", "er_retract_link",
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
     "fs_pattern_truth", "link_and_dedupe",
