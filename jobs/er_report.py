@@ -15,6 +15,12 @@ and AFTER committing a full linkage run):
   distinct counts, top values — the measured skew behind key choices);
 * **clerical-review queue**: the structural possible-match band
   (ambiguous integer comparison patterns), deterministically thinned;
+* **cluster-structure audit** (opt-in, ``--cluster-audit``): per-record
+  linkability (best score + linked/unlinkable/no_candidates status),
+  per-cluster graph metrics (density, degree extremes) and Tarjan
+  bridge-edge flags over the production score and closure — the
+  truth-free quality dashboard (``unlinkables/``, ``cluster_graph/``,
+  ``bridge_edges/``);
 * **review impact** (opt-in, ``--decisions``): fold adjudicated
   confirm/reject decisions back into the production match edges
   (operators/review.py) and report what the re-closure changes —
@@ -61,6 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--review-sample", type=int, default=1, metavar="K",
         help="thin the clerical-review queue to a deterministic 1-in-K "
         "pair sample before writing it; 1 = every ambiguous pair",
+    )
+    p.add_argument(
+        "--cluster-audit", action="store_true",
+        help="opt-in: score the production candidate pairs WITHOUT the "
+        "cascade short-circuit, run the closure, and write the cluster "
+        "structure audits — unlinkables/ (per-record best score + "
+        "linked/unlinkable/no_candidates status), cluster_graph/ "
+        "(per-cluster density/degree stats), bridge_edges/ (Tarjan "
+        "weakest-link flags).  Pays the full kernel cost on every pair "
+        "(like --decisions); at extreme pair volumes run it on a "
+        "partitioned slice of the corpus instead",
     )
     p.add_argument(
         "--decisions",
@@ -243,6 +260,61 @@ def main(argv=None, spark=None) -> dict:
             ),
         }
 
+    # ---- cluster-structure audit (opt-in): unlinkables + graph metrics
+    # + bridge edges over the production score and closure.  Shares the
+    # full-kernel cost profile of --decisions; the scored pair frame is
+    # persisted so the kernels run once across the three audits.
+    audit = None
+    if args.cluster_audit:
+        from postal_address_spark.operators.blocking_analysis import (
+            unlinkable_records,
+        )
+        from postal_address_spark.operators.cluster import (
+            assign_clusters,
+            bridge_edges,
+        )
+        from postal_address_spark.operators.evaluate import (
+            cluster_graph_stats,
+        )
+
+        scored = (
+            explain_pairs(candidate_pairs(norm, threshold=args.threshold))
+            .select("rec_id_a", "rec_id_b", "score")
+            .persist()
+        )
+        nodes = norm.where(F.col("block_key").isNotNull()).select("rec_id")
+        write_table(
+            unlinkable_records(
+                nodes, scored, score_col="score", threshold=args.threshold
+            ),
+            f"{root}/unlinkables",
+        )
+        edges = scored.where(F.col("score") >= args.threshold).select(
+            F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst")
+        )
+        asg = assign_clusters(nodes, edges)
+        write_table(cluster_graph_stats(asg, edges), f"{root}/cluster_graph")
+        write_table(bridge_edges(edges, asg), f"{root}/bridge_edges")
+        scored.unpersist()
+        unl = spark.read.parquet(f"{root}/unlinkables")
+        status_counts = {
+            r["status"]: int(r["n"])
+            for r in unl.groupBy("status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        audit = {
+            "unlinkable_status_counts": status_counts,
+            "n_clusters": int(
+                spark.read.parquet(f"{root}/cluster_graph").count()
+            ),
+            "n_bridges": int(
+                spark.read.parquet(f"{root}/bridge_edges")
+                .where(F.col("is_bridge"))
+                .count()
+            ),
+        }
+
     cov_rows = {
         r["rule"]: {
             "n_pairs": r["n_pairs"],
@@ -267,6 +339,7 @@ def main(argv=None, spark=None) -> dict:
             spark.read.parquet(f"{root}/review_queue").count()
         ),
         "review_impact": impact,
+        "cluster_audit": audit,
         "column_profile": {
             r["col_name"]: {
                 "n_null": r["n_null"], "n_distinct": r["n_distinct"]

@@ -122,3 +122,54 @@ def test_er_report_review_impact(spark, tmp_path):
     assert impact["n_labels_changed"] == spark.read.parquet(
         f"{root}/review_impact"
     ).count()
+
+
+def test_er_report_cluster_audit(spark, tmp_path):
+    """--cluster-audit: the unlinkables / graph-metrics / bridge-edge
+    artifacts land, internally consistent with each other and the
+    summary."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    root = str(tmp_path / "report_audit")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=80, n_entities=30
+    ).write.parquet(inp)
+
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root, "--cluster-audit"],
+        spark=spark,
+    )
+    audit = summary["cluster_audit"]
+    assert audit is not None
+
+    unl = spark.read.parquet(f"{root}/unlinkables")
+    status = audit["unlinkable_status_counts"]
+    assert sum(status.values()) == unl.count()
+    assert status.get("linked", 0) > 0
+    # a no-candidates record has NULL best_score, and vice versa
+    assert unl.where(
+        (F.col("status") == "no_candidates") != F.col("best_score").isNull()
+    ).count() == 0
+
+    graph = spark.read.parquet(f"{root}/cluster_graph")
+    assert audit["n_clusters"] == graph.count()
+    # linked records live in some multi-node cluster; totals agree with
+    # the graph table's node sum
+    assert graph.agg(F.sum("n_nodes")).collect()[0][0] == unl.count()
+    assert graph.where(
+        (F.col("n_nodes") > 1) & (F.col("n_edges") == 0)
+    ).count() == 0
+
+    bridges = spark.read.parquet(f"{root}/bridge_edges")
+    assert audit["n_bridges"] == bridges.where(F.col("is_bridge")).count()
+    # every audited edge belongs to a cluster the graph table knows
+    assert bridges.join(
+        graph.select("cluster_id"), "cluster_id", "left_anti"
+    ).count() == 0
