@@ -149,6 +149,23 @@ def main() -> None:
             em.queries()["er_eval_metrics"](spark, SF),
         ),
         (
+            "er_cluster_graph — degrees from the doubled edge relation",
+            "Look for: the edge relation unioned with itself (endpoint "
+            "explode) feeding ONE id-keyed partial+final HashAggregate, "
+            "per-cluster rollups keyed on cluster_id, and NO join wider "
+            "than the existing edge set — nothing quadratic, no window.",
+            em.queries()["er_cluster_graph"](spark, SF),
+        ),
+        (
+            "er_cluster_diff — contingency cells over two closures",
+            "Look for: one rec_id-keyed join of the two assignment "
+            "relations feeding the (old, new) cell aggregate; fragment "
+            "stats re-aggregate the tiny cells frame; the argmax is a "
+            "min(struct(-n, id)) aggregate, not a window sort over "
+            "records.",
+            em.queries()["er_cluster_diff"](spark, SF),
+        ),
+        (
             "quality_filter_stats — codegen keep/drop gate",
             "Look for: zero Python eval nodes — token/bigram arrays and "
             "every integer cross-multiplied rule inside WholeStageCodegen; "
