@@ -1594,7 +1594,13 @@ def _er_blocked_pairs(spark, sf_dir):
         "line1", "line2", "postal_code", "city_name",
         "country_code", "subdivision_code",
     )
-    blocked = with_block_key(normalize_mentions(m))
+    # persist: the pandas-UDF normalize chain feeds BOTH self-join sides
+    # and the node spine, and every consumer fans the frame out further
+    # (closure + degree/cell branches) — without the cache each branch
+    # re-runs the Arrow kernels.  Gate fixtures run once per session and
+    # the bench clears the cache between trials, so the never-unpersisted
+    # caveat (ADVICE r3) doesn't bite here.
+    blocked = with_block_key(normalize_mentions(m)).persist()
     # threshold=0.82 keeps the production (block, house-number) refinement
     # in the exercised path; the oracle mirrors it.
     pairs = candidate_pairs(blocked, threshold=0.82)
