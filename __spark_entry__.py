@@ -2090,6 +2090,31 @@ def _q_er_review_queue(spark, sf_dir):
     return review_queue(vecs, one_in=1).orderBy("rec_id_a", "rec_id_b")
 
 
+def _q_er_labeling_sample(spark, sf_dir):
+    """Stratified clerical-labeling sample (operators/fs_em.py
+    labeling_sample): k=5 deterministically pseudo-random candidate pairs
+    from EVERY comparison pattern plus the stratum's total pair count —
+    the labeling-budget allocation that validates learned m/u
+    probabilities in all strata, not just review_queue's ambiguous band.
+    Skew-free at scale: salted two-phase top-k (a single pattern-keyed
+    window would collapse parallelism to <= 18 tasks).  The gate run uses
+    the portable md5-prefix rank (rank_method='md5', the doc_fingerprints
+    hash precedent) so the DuckDB oracle replays the identical sample;
+    production defaults to xxhash64 (engine rule 4 keeps MessageDigest
+    off hot paths), pytest-pinned in tests/test_fs_em.py."""
+    from postal_address_spark.operators.fs_em import (
+        COMPARISONS,
+        comparison_vectors,
+        labeling_sample,
+    )
+
+    vecs = comparison_vectors(_fs_explained(spark, sf_dir))
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    return labeling_sample(vecs, 5, seed=7, rank_method="md5").orderBy(
+        *gammas, "sample_rank"
+    )
+
+
 def _q_fs_em_weights(spark, sf_dir):
     """Unsupervised Fellegi-Sunter match weights (operators/fs_em.py):
     EM over the pattern-count table learns per-comparison-level m/u
@@ -2482,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_pattern_truth": _q_fs_pattern_truth,
         "fs_em_weights": _q_fs_em_weights,
         "er_review_queue": _q_er_review_queue,
+        "er_labeling_sample": _q_er_labeling_sample,
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
@@ -4392,6 +4418,44 @@ def oracle_sql() -> dict[str, str]:
     SELECT * FROM summed
     WHERE gamma_sum > 0 AND gamma_sum < {_fs_gmax}
     ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- er_labeling_sample: the stratified k-per-pattern labeling sample
+    # over the same mirrored kernels.  The rank key is the portable
+    # md5-prefix hash of (seed, rec_id_a, rec_id_b) — Spark
+    # conv(substr(md5(..),1,8),16,10) ≡ DuckDB CAST('0x'||substr(md5(..),
+    # 1,8) AS BIGINT), the doc_fingerprints precedent — and the oracle
+    # replays the one-window formulation, which the engine's salted
+    # two-phase top-k provably equals (tests/test_fs_em.py).  Everything
+    # hashed is integer; ties broken by the pair ids.
+    sql["er_labeling_sample"] = f"""
+    WITH {er_kern_prefix},
+    vec AS (
+      SELECT s AS rec_id_a, d AS rec_id_b, {_fs_gammas} FROM kern
+    ),
+    hashed AS (
+      SELECT *,
+             CAST('0x' || substr(
+               md5('7|' || rec_id_a || '|' || rec_id_b), 1, 8
+             ) AS BIGINT) AS lbl_h
+      FROM vec
+    ),
+    cnt AS (
+      SELECT {_fs_gcols}, CAST(count(*) AS BIGINT) AS n_pattern_pairs
+      FROM vec GROUP BY {_fs_gcols}
+    ),
+    ranked AS (
+      SELECT rec_id_a, rec_id_b, {_fs_gcols},
+             CAST(row_number() OVER (
+               PARTITION BY {_fs_gcols}
+               ORDER BY lbl_h, rec_id_a, rec_id_b
+             ) AS BIGINT) AS sample_rank
+      FROM hashed
+    )
+    SELECT rec_id_a, rec_id_b, {_fs_gcols}, n_pattern_pairs, sample_rank
+    FROM ranked JOIN cnt USING ({_fs_gcols})
+    WHERE sample_rank <= 5
+    ORDER BY {_fs_gcols}, sample_rank
     """
 
     # -- link_two_datasets: the link_only mode.  Both normalize chains

@@ -126,6 +126,115 @@ def review_queue(vectors: DataFrame, one_in: int = 1) -> DataFrame:
     return pair_sample(out, one_in)
 
 
+def labeling_sample(
+    vectors: DataFrame,
+    k_per_pattern: int,
+    seed: int = 0,
+    rank_method: str = "xxhash",
+    n_salt: int = 64,
+    persist: bool = True,
+) -> DataFrame:
+    """Stratified clerical-labeling sample: the ``k_per_pattern``
+    deterministically pseudo-random candidate pairs from EVERY comparison
+    pattern, with the stratum's total pair count attached.
+
+    Why stratify by PATTERN rather than rank by score: validating learned
+    m/u probabilities (and auditing the admission threshold) needs labels
+    in every stratum — the confident all-agree and all-disagree patterns
+    included — while :func:`review_queue` deliberately oversamples only
+    the ambiguous band.  Allocating a fixed labeling budget per pattern is
+    the standard audit design (each pattern's precision estimate gets the
+    same standard error); ``n_pattern_pairs`` lets the consumer reweight
+    to population rates (Splink's labeling workflow shape).
+
+    Determinism/portability (the dataset_split dual-path precedent):
+    the rank key is a pure function of (seed, rec_id_a, rec_id_b), so
+    re-runs, backfills, and both engines pick the identical sample.
+    ``rank_method='xxhash'`` (production) ranks by xxhash64 — engine rule
+    4 keeps MessageDigest off hot paths.  ``rank_method='md5'`` (portable)
+    ranks by the md5-prefix hash (``conv(substr(md5(..),1,8),16,10)`` ≡
+    DuckDB ``CAST('0x'||substr(md5(..),1,8) AS BIGint)``, the
+    doc_fingerprints precedent) so the driver oracle replays the exact
+    sample; ties (32-bit prefix collisions) are broken by the pair ids,
+    keeping the rank total either way.
+
+    Scale: there are at most ``prod(levels)`` (= 18) patterns, so ONE
+    window over the pattern key would funnel every candidate pair through
+    <= 18 tasks — a parallelism collapse, not a skew problem AQE can fix.
+    Top-k is decomposable, so phase 1 takes the local top-k inside
+    (pattern, rank_key % n_salt) buckets (parallelism ~ patterns x
+    n_salt) and phase 2 re-ranks only the <= k x n_salt survivors per
+    pattern — provably the same rows as the naive single window
+    (tests/test_fs_em.py asserts equality), with the second window's
+    input bounded regardless of pair volume.  The stratum counts are one
+    map-side-combinable aggregation joined back broadcast onto the
+    <= 18 x k sampled rows.
+
+    CACHING CONTRACT (the jaccard_set_join precedent): the projected
+    (ids, gammas, rank key) base feeds BOTH the sample and the stratum
+    counts, so with ``persist=True`` (default) it is persisted
+    MEMORY_AND_DISK — without it the upstream comparison-vector chain
+    (the Arrow kernel pass) would run twice.  The returned frame is lazy,
+    so only the CALLER can release the cache (clearCache / materialize
+    then clear); pass ``persist=False`` when the input is already cached
+    or cheap.
+    """
+    if k_per_pattern < 1:
+        raise ValueError("k_per_pattern must be >= 1")
+    from pyspark.sql import Window
+
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    if rank_method == "xxhash":
+        h = F.xxhash64("rec_id_a", "rec_id_b", F.lit(seed))
+    elif rank_method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), "rec_id_a", "rec_id_b"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"rank_method must be 'xxhash' or 'md5', got {rank_method!r}")
+
+    base = vectors.select("rec_id_a", "rec_id_b", *gammas).withColumn(
+        "lbl_h", h
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    order = [F.col("lbl_h"), F.col("rec_id_a"), F.col("rec_id_b")]
+    local = Window.partitionBy(
+        *gammas, F.pmod(F.col("lbl_h"), F.lit(n_salt))
+    ).orderBy(*order)
+    survivors = (
+        base.withColumn("_r", F.row_number().over(local))
+        .where(F.col("_r") <= k_per_pattern)
+        .drop("_r")
+    )
+    final = Window.partitionBy(*gammas).orderBy(*order)
+    sampled = (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(final).cast("long")
+        )
+        .where(F.col("sample_rank") <= k_per_pattern)
+        .drop("lbl_h")
+    )
+    counts = base.groupBy(*gammas).agg(
+        F.count(F.lit(1)).alias("n_pattern_pairs")
+    )
+    return sampled.join(F.broadcast(counts), on=gammas, how="inner").select(
+        "rec_id_a", "rec_id_b", *gammas, "n_pattern_pairs", "sample_rank"
+    )
+
+
 def pattern_counts(vectors: DataFrame) -> DataFrame:
     """Comparison vectors -> pattern frequency table (the EM sufficient
     statistics).  One aggregation, <= prod(levels) rows out; Spark's

@@ -46,7 +46,8 @@ EXPECTED_QUERIES = {
     "minhash_dup_clusters", "simhash_near_dups",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks", "sft_pairs", "conv_semantic_dups",
-    "fs_pattern_counts", "fs_em_weights", "er_review_queue", "snm_pairs",
+    "fs_pattern_counts", "fs_em_weights", "er_review_queue",
+    "er_labeling_sample", "snm_pairs",
     "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
     "unblocked_mentions", "er_unlinkables", "profile_customer",

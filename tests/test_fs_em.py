@@ -297,3 +297,128 @@ def test_pattern_truth_counts_hand_computed(spark):
         cum_true += n_true
         precisions.append(cum_true / cum_pairs)
     assert precisions == [2 / 3, 2 / 4]
+
+
+# ---- labeling_sample (stratified k-per-pattern clerical sample) ----
+
+def _labeling_vectors(spark):
+    """Uneven strata: one dominant pattern, two mid, one tiny (< k)."""
+    patterns = [((2, 2, 1), 50), ((0, 0, 0), 300), ((1, 1, 0), 40),
+                ((2, 0, 1), 3)]
+    rows, i = [], 0
+    for p, w in patterns:
+        for _ in range(w):
+            rows.append((f"m{i:08d}", f"m{i + 1:08d}") + p)
+            i += 2
+    return spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int",
+    )
+
+
+def _brute_sample(rows, k, hash_fn):
+    """Python oracle: per pattern, top-k by (hash, a, b) with rank."""
+    from collections import defaultdict
+
+    by_pat = defaultdict(list)
+    for a, b, *g in rows:
+        by_pat[tuple(g)].append((hash_fn(a, b), a, b))
+    out = set()
+    for g, items in by_pat.items():
+        for rank, (_, a, b) in enumerate(sorted(items)[:k], start=1):
+            out.add((a, b) + g + (len(items), rank))
+    return out
+
+
+def test_labeling_sample_md5_matches_python_oracle(spark):
+    import hashlib
+
+    vecs = _labeling_vectors(spark)
+    got = {tuple(r) for r in fs_em.labeling_sample(
+        vecs, 5, seed=7, rank_method="md5").collect()}
+
+    def h(a, b):
+        return int(hashlib.md5(f"7|{a}|{b}".encode()).hexdigest()[:8], 16)
+
+    rows = [tuple(r) for r in vecs.collect()]
+    assert got == _brute_sample(rows, 5, h)
+
+
+def test_labeling_sample_xxhash_matches_python_oracle(spark):
+    """Production path: rank hashes read back from Spark, ranking replayed
+    in python — pins the (hash, a, b) total order and the two-phase
+    equivalence without needing an xxhash implementation here."""
+    from pyspark.sql import functions as F
+
+    vecs = _labeling_vectors(spark)
+    got = {tuple(r) for r in fs_em.labeling_sample(
+        vecs, 4, seed=11, rank_method="xxhash").collect()}
+    hmap = {
+        (r.rec_id_a, r.rec_id_b): r.h
+        for r in vecs.select(
+            "rec_id_a", "rec_id_b",
+            F.xxhash64("rec_id_a", "rec_id_b", F.lit(11)).alias("h"),
+        ).collect()
+    }
+    rows = [tuple(r) for r in vecs.collect()]
+    assert got == _brute_sample(rows, 4, lambda a, b: hmap[(a, b)])
+
+
+def test_labeling_sample_salted_equals_naive(spark):
+    """n_salt=1 IS the naive single-window formulation; the default
+    salted two-phase must return identical rows (top-k decomposability)."""
+    vecs = _labeling_vectors(spark)
+    for method in ("md5", "xxhash"):
+        naive = {tuple(r) for r in fs_em.labeling_sample(
+            vecs, 5, seed=7, rank_method=method, n_salt=1).collect()}
+        salted = {tuple(r) for r in fs_em.labeling_sample(
+            vecs, 5, seed=7, rank_method=method, n_salt=64).collect()}
+        assert naive == salted, method
+
+
+def test_labeling_sample_small_stratum_and_counts(spark):
+    """A stratum smaller than k is kept whole with contiguous ranks, and
+    n_pattern_pairs is the PRE-sample stratum size."""
+    vecs = _labeling_vectors(spark)
+    out = fs_em.labeling_sample(vecs, 5, seed=7, rank_method="md5").collect()
+    by_pat = {}
+    for r in out:
+        g = (r.gamma_line1_jw, r.gamma_line1_tsl, r.gamma_city_jw)
+        by_pat.setdefault(g, []).append(r)
+    sizes = {(2, 2, 1): 50, (0, 0, 0): 300, (1, 1, 0): 40, (2, 0, 1): 3}
+    assert set(by_pat) == set(sizes)
+    for g, rs in by_pat.items():
+        assert len(rs) == min(5, sizes[g])
+        assert sorted(r.sample_rank for r in rs) == list(
+            range(1, len(rs) + 1))
+        assert {r.n_pattern_pairs for r in rs} == {sizes[g]}
+
+
+def test_labeling_sample_seed_changes_sample(spark):
+    vecs = _labeling_vectors(spark)
+    s7 = {(r.rec_id_a, r.rec_id_b) for r in fs_em.labeling_sample(
+        vecs, 5, seed=7, rank_method="md5").collect()}
+    s8 = {(r.rec_id_a, r.rec_id_b) for r in fs_em.labeling_sample(
+        vecs, 5, seed=8, rank_method="md5").collect()}
+    assert s7 != s8  # 300-row stratum: identical top-5 is ~impossible
+
+
+def test_labeling_sample_rejects_bad_args(spark):
+    vecs = _labeling_vectors(spark)
+    with pytest.raises(ValueError):
+        fs_em.labeling_sample(vecs, 0)
+    with pytest.raises(ValueError):
+        fs_em.labeling_sample(vecs, 5, rank_method="sha2")
+
+
+def test_labeling_sample_plan_shape(spark):
+    """Exactly two Window nodes (salted local + final re-rank) and the
+    stratum-count join stays a broadcast — no pattern-keyed sort-merge."""
+    vecs = _labeling_vectors(spark)
+    df = fs_em.labeling_sample(vecs, 5, seed=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RunningWindowFunction") + plan.count(
+        "Window") >= 2
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
