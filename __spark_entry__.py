@@ -2115,6 +2115,35 @@ def _q_er_labeling_sample(spark, sf_dir):
     )
 
 
+def _q_fs_labeled_mu(spark, sf_dir):
+    """Supervised m/u sufficient statistics from labeled pairs
+    (operators/fs_em.py mu_from_labels, Splink's
+    estimate_m_from_pairwise_labels shape): the stratified labeling
+    sample (k=25 per comparison pattern, md5 rank so the oracle replays
+    it) gets its clerical labels from the mod-360 generator truth — the
+    same deterministic stand-in er_apply_review uses for adjudications —
+    and is reduced to per-(comparison, level) match / non-match tallies
+    by ONE stack-unpivot + ONE map-side-combinable aggregation (<= 8 rows
+    out, plan-asserted join/window-free).  All-integer, bit-exact in
+    DuckDB; the Horvitz-Thompson population reweighting and the
+    labeled-vs-EM audit are driver-side over these tallies
+    (labeled_params / mu_audit, pytest-pinned)."""
+    from postal_address_spark.operators.fs_em import (
+        comparison_vectors,
+        labeling_sample,
+        mu_from_labels,
+    )
+
+    vecs = comparison_vectors(_fs_explained(spark, sf_dir))
+    sample = labeling_sample(vecs, 25, seed=7, rank_method="md5")
+    labeled = sample.withColumn(
+        "is_match",
+        F.pmod(F.substring("rec_id_a", 2, 8).cast("long"), F.lit(360))
+        == F.pmod(F.substring("rec_id_b", 2, 8).cast("long"), F.lit(360)),
+    )
+    return mu_from_labels(labeled).orderBy("comparison", "gamma")
+
+
 def _q_fs_em_weights(spark, sf_dir):
     """Unsupervised Fellegi-Sunter match weights (operators/fs_em.py):
     EM over the pattern-count table learns per-comparison-level m/u
@@ -2508,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_weights": _q_fs_em_weights,
         "er_review_queue": _q_er_review_queue,
         "er_labeling_sample": _q_er_labeling_sample,
+        "fs_labeled_mu": _q_fs_labeled_mu,
         "tf_city_evidence": _q_tf_city_evidence,
         "snm_pairs": _q_snm_pairs,
         "link_two_datasets": _q_link_two_datasets,
@@ -4456,6 +4486,50 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked JOIN cnt USING ({_fs_gcols})
     WHERE sample_rank <= 5
     ORDER BY {_fs_gcols}, sample_rank
+    """
+
+    # -- fs_labeled_mu: supervised m/u tallies over the labeled
+    # stratified sample (k=25, same md5-prefix rank replay as
+    # er_labeling_sample; labels = mod-360 generator truth, the
+    # fs_pattern_truth convention).  The stack-unpivot is mirrored as a
+    # UNION ALL; all-integer output.
+    _fs_unpivot = " UNION ALL ".join(
+        f"SELECT '{n}' AS comparison, gamma_{n} AS gamma, lbl FROM lab"
+        for n, _, _ in _FS_CMP
+    )
+    sql["fs_labeled_mu"] = f"""
+    WITH {er_kern_prefix},
+    vec AS (
+      SELECT s AS rec_id_a, d AS rec_id_b, {_fs_gammas} FROM kern
+    ),
+    hashed AS (
+      SELECT *,
+             CAST('0x' || substr(
+               md5('7|' || rec_id_a || '|' || rec_id_b), 1, 8
+             ) AS BIGINT) AS lbl_h
+      FROM vec
+    ),
+    ranked AS (
+      SELECT rec_id_a, rec_id_b, {_fs_gcols},
+             row_number() OVER (
+               PARTITION BY {_fs_gcols}
+               ORDER BY lbl_h, rec_id_a, rec_id_b
+             ) AS sample_rank
+      FROM hashed
+    ),
+    lab AS (
+      SELECT {_fs_gcols},
+             CASE WHEN CAST(substring(rec_id_a, 2, 8) AS BIGINT) % 360
+                       = CAST(substring(rec_id_b, 2, 8) AS BIGINT) % 360
+                  THEN 1 ELSE 0 END AS lbl
+      FROM ranked WHERE sample_rank <= 25
+    ),
+    st AS ({_fs_unpivot})
+    SELECT comparison, CAST(gamma AS INT) AS gamma,
+           CAST(sum(lbl) AS BIGINT) AS n_match,
+           CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
+    FROM st GROUP BY comparison, gamma
+    ORDER BY comparison, gamma
     """
 
     # -- link_two_datasets: the link_only mode.  Both normalize chains

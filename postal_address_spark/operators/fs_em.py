@@ -271,6 +271,123 @@ def pattern_truth_counts(
     )
 
 
+def mu_from_labels(
+    labeled_vectors: DataFrame, label_col: str = "is_match"
+) -> DataFrame:
+    """Supervised m/u sufficient statistics from clerically LABELED pairs
+    (Splink's ``estimate_m_from_pairwise_labels`` shape): per comparison
+    and agreement level, how many labeled matches and labeled non-matches
+    sit at that level — ``(comparison, gamma, n_match, n_nonmatch)``.
+
+    This is the consumer of :func:`labeling_sample`'s output once the
+    human labels come back: the level tallies ARE the m/u estimates up to
+    the per-comparison normalisation (m = n_match / sum over levels), and
+    comparing them against :func:`em_fit`'s unsupervised estimates is the
+    standard audit that EM converged to the match/non-match split rather
+    than some other latent dichotomy (:func:`labeled_params` +
+    :func:`mu_audit` finish the job driver-side).
+
+    Spark shape: the gamma columns are unpivoted with ONE ``stack``
+    generator (rows × #comparisons, whole-stage codegen, no shuffle until
+    the aggregate) and reduced by ONE map-side-combinable aggregation to
+    at most sum(levels) (= 8) rows regardless of label volume.  Empty
+    levels are absent from the output (both engines agree on that).
+    All-integer, so a DuckDB oracle replays it bit-for-bit.
+    """
+    arms = ", ".join(f"'{name}', gamma_{name}" for name, _, _ in COMPARISONS)
+    stacked = labeled_vectors.select(
+        F.expr(f"stack({len(COMPARISONS)}, {arms}) AS (comparison, gamma)"),
+        F.col(label_col).cast("long").alias("_lbl"),
+    )
+    return stacked.groupBy("comparison", "gamma").agg(
+        F.sum("_lbl").alias("n_match"),
+        F.sum(F.lit(1) - F.col("_lbl")).alias("n_nonmatch"),
+    )
+
+
+def labeled_params(
+    labeled_sample_rows: Sequence, label_col: str = "is_match"
+) -> FSParams:
+    """Fit FS parameters DIRECTLY from a labeled stratified sample —
+    the supervised counterpart of :func:`em_fit`, consuming the collected
+    rows of :func:`labeling_sample`'s output with the clerical
+    ``label_col`` filled in (≤ #patterns × k rows — model state, not
+    data, the em_fit_df collect precedent).
+
+    Because the sample is stratified BY PATTERN (every stratum gets k
+    labels no matter how rare), raw tallies over it are biased toward
+    rare patterns; each row is therefore Horvitz–Thompson weighted by
+    ``n_pattern_pairs / n_sampled(stratum)`` — the pair count its stratum
+    delegates to it — so m, u and lambda estimate the CANDIDATE-PAIR
+    population.  Strata smaller than k are fully enumerated and get
+    weight 1 exactly.  Returns :class:`FSParams`, so the learned weights
+    plug straight into :func:`match_weight_expr` / :func:`fs_score_pairs`
+    and compare field-for-field against the EM fit (:func:`mu_audit`).
+    """
+    gammas = [f"gamma_{name}" for name, _, _ in COMPARISONS]
+    by_stratum: Dict[Tuple[int, ...], int] = {}
+    for r in labeled_sample_rows:
+        key = tuple(r[g] for g in gammas)
+        by_stratum[key] = by_stratum.get(key, 0) + 1
+    n_levels = _level_counts()
+    wm = [np.zeros(k) for k in n_levels]
+    wu = [np.zeros(k) for k in n_levels]
+    w_match_total = 0.0
+    w_total = 0.0
+    for r in labeled_sample_rows:
+        key = tuple(r[g] for g in gammas)
+        w = float(r["n_pattern_pairs"]) / by_stratum[key]
+        lbl = bool(r[label_col])
+        w_total += w
+        if lbl:
+            w_match_total += w
+        for c, key_level in enumerate(key):
+            (wm if lbl else wu)[c][key_level] += w
+    if w_total <= 0:
+        raise ValueError("labeled sample is empty")
+    names = [name for name, _, _ in COMPARISONS]
+    return FSParams(
+        lam=w_match_total / w_total,
+        m={
+            n: [float(x) for x in np.maximum(wm[c], _EPS) / max(wm[c].sum(), _EPS)]
+            for c, n in enumerate(names)
+        },
+        u={
+            n: [float(x) for x in np.maximum(wu[c], _EPS) / max(wu[c].sum(), _EPS)]
+            for c, n in enumerate(names)
+        },
+    )
+
+
+def mu_audit(labeled: "FSParams", em: "FSParams") -> List[Tuple]:
+    """Per comparison level, the labeled vs EM parameter estimates and
+    the log2-Bayes-factor delta — the table a practitioner reads to
+    decide whether the unsupervised fit is trustworthy (large |delta| on
+    a high-traffic level means EM latched onto the wrong dichotomy).
+    Pure driver-side arithmetic over the two parameter sets
+    (#levels ≤ 8 rows): (comparison, gamma, labeled_m, labeled_u, em_m,
+    em_u, labeled_log2_bf, em_log2_bf, delta_log2_bf)."""
+    out = []
+    for name, _, th in COMPARISONS:
+        for level in range(len(th) + 1):
+            lb = labeled.log2_bf(name, level)
+            eb = em.log2_bf(name, level)
+            out.append(
+                (
+                    name,
+                    level,
+                    labeled.m[name][level],
+                    labeled.u[name][level],
+                    em.m[name][level],
+                    em.u[name][level],
+                    lb,
+                    eb,
+                    lb - eb,
+                )
+            )
+    return out
+
+
 @dataclass(frozen=True)
 class FSParams:
     """Learned Fellegi-Sunter parameters.

@@ -422,3 +422,122 @@ def test_labeling_sample_plan_shape(spark):
         "Window") >= 2
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+# ---- mu_from_labels / labeled_params (supervised m/u from labels) ----
+
+def _labeled_vectors(spark):
+    """Hand-sized labeled pairs with known per-level tallies."""
+    rows = [
+        # (a, b, g_jw, g_tsl, g_city, is_match)
+        ("a1", "b1", 2, 2, 1, True),
+        ("a2", "b2", 2, 1, 1, True),
+        ("a3", "b3", 1, 2, 1, True),
+        ("a4", "b4", 0, 0, 0, False),
+        ("a5", "b5", 0, 1, 0, False),
+        ("a6", "b6", 1, 0, 0, False),
+        ("a7", "b7", 2, 0, 1, False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int, is_match boolean",
+    )
+
+
+def test_mu_from_labels_hand_computed(spark):
+    out = {
+        (r.comparison, r.gamma): (r.n_match, r.n_nonmatch)
+        for r in fs_em.mu_from_labels(_labeled_vectors(spark)).collect()
+    }
+    assert out == {
+        ("line1_jw", 2): (2, 1),
+        ("line1_jw", 1): (1, 1),
+        ("line1_jw", 0): (0, 2),
+        ("line1_tsl", 2): (2, 0),
+        ("line1_tsl", 1): (1, 1),
+        ("line1_tsl", 0): (0, 3),
+        ("city_jw", 1): (3, 1),
+        ("city_jw", 0): (0, 3),
+    }
+
+
+def test_mu_from_labels_single_shuffle_plan(spark):
+    """One stack generator + one aggregate: no joins, no windows."""
+    df = fs_em.mu_from_labels(_labeled_vectors(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_labeled_params_ht_reweighting():
+    """Stratified sample: 2 labels from a 100-pair stratum (weight 50)
+    and 2 from a fully-enumerated 2-pair stratum (weight 1) — parameters
+    must match the hand-computed Horvitz-Thompson estimates."""
+    gcols = ("gamma_line1_jw", "gamma_line1_tsl", "gamma_city_jw")
+
+    def row(a, g, n_pat, lbl):
+        d = {"rec_id_a": a, "rec_id_b": a + "x", "n_pattern_pairs": n_pat,
+             "is_match": lbl}
+        d.update(dict(zip(gcols, g)))
+        return d
+
+    rows = [
+        row("p1", (2, 2, 1), 100, True),
+        row("p2", (2, 2, 1), 100, True),
+        row("q1", (0, 0, 0), 2, False),
+        row("q2", (0, 0, 0), 2, True),
+    ]
+    p = fs_em.labeled_params(rows)
+    # weights: 50, 50, 1, 1 -> match mass 101 of 102
+    assert p.lam == pytest.approx(101 / 102)
+    # m(line1_jw): level2 = 100/101, level0 = 1/101
+    assert p.m["line1_jw"][2] == pytest.approx(100 / 101)
+    assert p.m["line1_jw"][0] == pytest.approx(1 / 101)
+    # u: the only non-match sits at all-zero with weight 1
+    assert p.u["line1_jw"][0] == pytest.approx(1.0)
+    assert p.u["city_jw"][0] == pytest.approx(1.0)
+
+
+def test_labeled_params_recovers_planted_on_full_census():
+    """Labeling EVERY pair of the planted population (label = latent
+    class) must recover the planted m/u/lam exactly — the supervised
+    estimator has no EM identifiability slack.  Each pattern contributes
+    one match row (expected mass n*pm) and one non-match row (n*pu);
+    with both rows present n_sampled(stratum) = 2, so n_pattern_pairs
+    is set to 2x the mass to make the HT weight the mass itself."""
+    n = 1_000_000
+    names = [nm for nm, _, _ in fs_em.COMPARISONS]
+    levels = [len(t) + 1 for _, _, t in fs_em.COMPARISONS]
+    gcols = [f"gamma_{nm}" for nm in names]
+    rows = []
+    for g in itertools.product(*[range(k) for k in levels]):
+        pm, pu = TRUE_LAM, 1.0 - TRUE_LAM
+        for c, name in enumerate(names):
+            pm *= TRUE_M[name][g[c]]
+            pu *= TRUE_U[name][g[c]]
+        for lbl, mass in ((True, n * pm), (False, n * pu)):
+            d = {"n_pattern_pairs": 2 * mass, "is_match": lbl}
+            d.update(dict(zip(gcols, g)))
+            rows.append(d)
+    p = fs_em.labeled_params(rows)
+    assert p.lam == pytest.approx(TRUE_LAM, abs=1e-9)
+    for nm in names:
+        for lvl, (tm, tu) in enumerate(zip(TRUE_M[nm], TRUE_U[nm])):
+            assert p.m[nm][lvl] == pytest.approx(tm, abs=1e-9), (nm, lvl)
+            assert p.u[nm][lvl] == pytest.approx(tu, abs=1e-9), (nm, lvl)
+
+
+def test_mu_audit_shape_and_delta():
+    pats, cnts = _planted_counts()
+    em = fs_em.em_fit(pats, cnts)
+    rows = fs_em.mu_audit(em, em)
+    n_levels = sum(len(t) + 1 for _, _, t in fs_em.COMPARISONS)
+    assert len(rows) == n_levels
+    assert all(r[-1] == pytest.approx(0.0) for r in rows)
+
+
+def test_labeled_params_empty_raises():
+    with pytest.raises(ValueError):
+        fs_em.labeled_params([])
