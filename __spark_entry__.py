@@ -846,6 +846,34 @@ def _q_corpus_mixture(spark, sf_dir):
     )
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing (operators/packing.py) — the
+    training-loader last mile: documents are sharded by a deterministic
+    id hash (uniform, so token skew never becomes shard skew), ordered
+    pseudo-randomly by (hash, id) within the shard, and packed next-fit
+    into 64-token bins; oversize docs get a bin of their own and a flag.
+    The ONLY shuffle is the groupBy(shard) carrying (id, n_tokens, hash)
+    — text never moves (plan-asserted in tests/test_packing.py) — and
+    each shard packs in one linear pass, so parallelism = n_shards.  The
+    gate uses the portable md5-prefix order (rank_method='md5') so a
+    DuckDB recursive CTE threads the identical (fill, bin) state
+    bit-for-bit; production defaults to xxhash64 (engine rule 4),
+    python-oracle-pinned in tests/test_packing.py."""
+    from postal_address_spark.operators.packing import pack_sequences
+
+    t = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    docs = _read_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, 64, n_shards=8, seed=7, rank_method="md5"
+    ).orderBy("shard", "bin_in_shard", "pos_in_bin")
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary head: top-50 tokens by total occurrences with
     document frequency — explode + one token-keyed aggregation shuffle,
@@ -2594,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_stats": _q_quality_filter,
         "dataset_split": _q_dataset_split,
         "corpus_mixture": _q_corpus_mixture,
+        "sequence_packing": _q_sequence_packing,
         "vocab_topk": _q_vocab_topk,
         "length_dispersion": _q_length_dispersion,
         # --- generic relational / streaming (graded green rounds 1-3) ---
@@ -3611,6 +3640,55 @@ def oracle_sql() -> dict[str, str]:
            CAST(MAX(n_copies) AS INTEGER) AS max_copies
     FROM k WHERE n_copies > 0
     GROUP BY lang ORDER BY lang
+    """
+
+    # -- sequence_packing: sharded deterministic next-fit under a
+    # 64-token budget.  The md5-prefix order hash replays (the
+    # doc_fingerprints precedent) and a recursive CTE threads the exact
+    # (fill, bin) state the engine's per-shard linear scan maintains —
+    # one recursion level per document rank, all shards advanced in
+    # parallel per level.  All-integer except the boolean flag.
+    sql["sequence_packing"] = r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             CAST('0x' || substr(
+               md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8
+             ) AS BIGINT) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, h,
+             CAST(h % 8 AS INT) AS shard,
+             row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+               AS rn
+      FROM base
+    ),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_in_shard,
+             CAST(1 AS BIGINT) AS pos_in_bin,
+             CAST(0 AS BIGINT) AS start_offset,
+             n_tokens AS fill
+      FROM sharded WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens > 64
+                  THEN p.bin_in_shard + 1 ELSE p.bin_in_shard END,
+             CASE WHEN p.fill + d.n_tokens > 64
+                  THEN CAST(1 AS BIGINT) ELSE p.pos_in_bin + 1 END,
+             CASE WHEN p.fill + d.n_tokens > 64
+                  THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill + d.n_tokens > 64
+                  THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM pack p JOIN sharded d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_in_shard, pos_in_bin, start_offset,
+           n_tokens, n_tokens > 64 AS oversize
+    FROM pack
+    ORDER BY shard, bin_in_shard, pos_in_bin
     """
 
     sql["vocab_topk"] = f"""

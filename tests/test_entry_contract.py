@@ -47,7 +47,7 @@ EXPECTED_QUERIES = {
     "lsh_ann_topk", "ivf_ann_topk", "embedding_near_dups", "multimodal_features",
     "udtf_doc_chunks", "sft_pairs", "conv_semantic_dups",
     "fs_pattern_counts", "fs_em_weights", "er_review_queue",
-    "er_labeling_sample", "fs_labeled_mu", "snm_pairs",
+    "er_labeling_sample", "fs_labeled_mu", "sequence_packing", "snm_pairs",
     "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
     "unblocked_mentions", "er_unlinkables", "profile_customer",
