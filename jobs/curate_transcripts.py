@@ -8,6 +8,9 @@ the way ``jobs/curate.py`` composes the document ones:
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
     -> [SFT (context, response) pair extraction with pair-level
         gate + dedup flags]
+    -> [token-budget sequence packing: per-split next-fit bin manifest
+        for the training loader (operators/packing.py) — bins never
+        straddle a split, so a loader reading whole bins cannot leak]
 
 Package the engine and submit::
 
@@ -20,7 +23,8 @@ Package the engine and submit::
         [--tau-num 7 --tau-den 10] [--no-near-dup] [--split-salt 2024] \
         [--semantic-dedup [--sem-tau-num 19 --sem-tau-den 20]] \
         [--sft-output <dir> [--sft-role assistant] [--sft-max-context 8] \
-         [--sft-min-response-chars 1]]
+         [--sft-min-response-chars 1]] \
+        [--pack-budget <tokens> [--pack-shards 256]]
 
 Differences from the document job that matter at transcript scale:
 
@@ -97,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="role whose turns become responses")
     p.add_argument("--sft-max-context", type=int, default=8)
     p.add_argument("--sft-min-response-chars", type=int, default=1)
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="also write <output-root>/packed_manifest: the "
+                   "kept conversations packed next-fit into bins of at "
+                   "most this many whitespace tokens, per split "
+                   "(operators/packing.py); 0 = off")
+    p.add_argument("--pack-shards", type=int, default=256,
+                   help="parallel packing shards (bins never span shards)")
     p.add_argument("--split-salt", type=int, default=2024)
     return p
 
@@ -279,6 +290,70 @@ def main(argv=None, spark=None) -> dict:
             "path": args.sft_output,
         }
 
+    # 6. optional sequence packing: the kept conversations (token count =
+    # whitespace tokens of the text identity, falling back to the action)
+    # packed next-fit into --pack-budget bins PER SPLIT — split joins the
+    # shuffle key (operators/packing.py group_cols), so no bin can mix
+    # train and validation content.  The manifest is (conv, split, shard,
+    # bin, pos, offset, tokens, oversize); the loader joins text back by
+    # conv id — text never enters the packing shuffle.
+    pack_counts = None
+    if args.pack_budget:
+        from postal_address_spark.operators.packing import (
+            bin_stats,
+            pack_sequences,
+        )
+
+        tcol = F.col(text_col) if text_col else F.col(act)
+        tt = F.trim(
+            F.coalesce(
+                tcol.cast("string"), F.col(act).cast("string"), F.lit("")
+            )
+        )
+        conv_tokens = (
+            kept_turns.select(
+                conv,
+                "split",
+                F.when(tt == "", F.lit(0))
+                .otherwise(F.size(F.split(tt, r"\s+")))
+                .cast("long")
+                .alias("_t"),
+            )
+            .groupBy(conv, "split")
+            .agg(F.sum("_t").alias("n_tokens"))
+        )
+        packed = pack_sequences(
+            conv_tokens,
+            args.pack_budget,
+            id_col=conv,
+            n_shards=args.pack_shards,
+            seed=args.split_salt,
+            group_cols=("split",),
+        ).persist()
+        pack_path = f"{args.output_root.rstrip('/')}/packed_manifest"
+        write_table(packed, pack_path, partition_by=["split"])
+        pack_counts = {
+            "budget": args.pack_budget,
+            "path": pack_path,
+            "splits": {
+                r["split"]: {
+                    "n_bins": int(r["n_bins"]),
+                    "n_convs": int(r["n_docs"]),
+                    "total_tokens": int(r["total_tokens"]),
+                    "n_oversize_bins": int(r["n_oversize_bins"]),
+                    "utilization": (
+                        round(float(r["utilization"]), 6)
+                        if r["utilization"] is not None
+                        else None
+                    ),
+                }
+                for r in bin_stats(
+                    packed, args.pack_budget, group_cols=("split",)
+                ).collect()
+            },
+        }
+        packed.unpersist()
+
     # an all-rejected corpus is a legitimate outcome, not a crash: a
     # partitioned empty write leaves no part files, so read the summary
     # from the (already computed) kept frame when the output is empty.
@@ -325,6 +400,8 @@ def main(argv=None, spark=None) -> dict:
     }
     if sft_counts is not None:
         summary["sft"] = sft_counts
+    if pack_counts is not None:
+        summary["packing"] = pack_counts
     print(json.dumps(summary))
     return summary
 

@@ -83,6 +83,7 @@ def pack_sequences(
     n_shards: int = 256,
     seed: int = 0,
     rank_method: str = "xxhash",
+    group_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Assign every document to a (shard, bin, position) under a token
     budget — sharded deterministic next-fit (module docstring).
@@ -101,6 +102,12 @@ def pack_sequences(
     one linear pandas pass).  The per-group python loop is the honest
     cost — next-fit state is sequential by definition — and it touches
     three int64 arrays, no strings.
+
+    ``group_cols`` (e.g. the train/valid/test ``split``) partition the
+    packing HARD: bins never straddle a group boundary — a loader reading
+    a bin can never leak validation content into training — because the
+    groups join the shuffle key (still ONE shuffle) and ride through to
+    the output.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
@@ -109,14 +116,16 @@ def pack_sequences(
     h = _order_hash(id_col, seed, rank_method)
     slim = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in group_cols],
         F.col(tokens_col).cast("long").alias("n_tokens"),
         h.alias("_h"),
     ).withColumn("shard", F.pmod("_h", F.lit(n_shards)).cast("int"))
 
-    id_field = slim.schema[id_col]
+    fields = [slim.schema[id_col]]
+    fields += [slim.schema[c] for c in group_cols]
     out_schema = StructType(
-        [
-            StructField(id_col, id_field.dataType, id_field.nullable),
+        fields
+        + [
             StructField("shard", IntegerType(), False),
             StructField("bin_in_shard", LongType(), False),
             StructField("pos_in_bin", LongType(), False),
@@ -147,9 +156,11 @@ def pack_sequences(
             p += 1
             pos[i] = p
             fill += t
-        return pd.DataFrame(
+        out = {id_col: pdf[id_col].to_numpy()}
+        for c in group_cols:
+            out[c] = pdf[c].to_numpy()
+        out.update(
             {
-                id_col: pdf[id_col].to_numpy(),
                 "shard": pdf["shard"].to_numpy(),
                 "bin_in_shard": bins,
                 "pos_in_bin": pos,
@@ -158,22 +169,26 @@ def pack_sequences(
                 "oversize": toks > budget,
             }
         )
+        return pd.DataFrame(out)
 
-    return slim.groupBy("shard").applyInPandas(pack, out_schema)
+    return slim.groupBy(*group_cols, "shard").applyInPandas(pack, out_schema)
 
 
-def bin_stats(packed: DataFrame, budget: int) -> DataFrame:
-    """Packed manifest -> one summary row: bins, docs, token totals and
-    utilisation = total_tokens / (n_bins * budget) (capped bins only —
-    oversize bins overflow by construction).  One aggregation over the
-    (shard, bin) keys then one global reduce; all counts integer, the
-    single division is int/int (the gate-safe shape)."""
-    per_bin = packed.groupBy("shard", "bin_in_shard").agg(
+def bin_stats(
+    packed: DataFrame, budget: int, group_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Packed manifest -> one summary row (per ``group_cols`` group):
+    bins, docs, token totals and utilisation = capped-bin tokens /
+    (capped bins * budget) (oversize bins overflow by construction).
+    One aggregation over the (group, shard, bin) keys then one reduce;
+    all counts integer, the single division is int/int (the gate-safe
+    shape)."""
+    per_bin = packed.groupBy(*group_cols, "shard", "bin_in_shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.max(F.col("oversize").cast("int")).alias("has_oversize"),
     )
-    return per_bin.agg(
+    return per_bin.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("bin_tokens").alias("total_tokens"),

@@ -199,3 +199,55 @@ def test_curate_transcripts_text_identity_and_empty_output(spark, tmp_path):
     assert summary2["n_convs_kept"] == 0
     assert summary2["split_counts"] == {}
     assert summary2["n_convs_rejected"] == 3
+
+
+def test_curate_transcripts_pack_budget(spark, tmp_path):
+    """--pack-budget writes a per-split next-fit bin manifest over the
+    kept conversations: every kept conv appears exactly once, its split
+    matches the turns table, bins never straddle splits, and capped bins
+    respect the budget."""
+    rows = []
+    for cid in range(1, 13):
+        for i in range(4):
+            role = "user" if i % 2 == 0 else "assistant"
+            rows.append((cid, i, role, f"c{cid} turn {i} some words here"))
+    inp = str(tmp_path / "turns_pack")
+    out_root = str(tmp_path / "out_pack")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    import curate_transcripts
+
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", out_root,
+         "--min-turns", "3", "--no-near-dup",
+         "--pack-budget", "50", "--pack-shards", "2"],
+        spark=spark,
+    )
+    pk = summary["packing"]
+    assert pk["budget"] == 50
+    manifest = spark.read.parquet(pk["path"])
+    kept = spark.read.parquet(summary["turns"])
+    conv_split = {
+        (r.conv_id, r.split)
+        for r in kept.select("conv_id", "split").distinct().collect()
+    }
+    man_rows = manifest.collect()
+    assert {(r.conv_id, r.split) for r in man_rows} == conv_split
+    assert len(man_rows) == len(conv_split)  # once each
+    # every turn contributes 6 whitespace tokens -> 24 per conv, < 50:
+    # nothing oversize, at most two convs per bin
+    assert all(not r.oversize for r in man_rows)
+    bins = {}
+    for r in man_rows:
+        bins.setdefault((r.split, r.shard, r.bin_in_shard), []).append(r)
+    for key, rs in bins.items():
+        assert sum(x.n_tokens for x in rs) <= 50, key
+        assert len({x.split for x in rs}) == 1, key
+    assert all(r.n_tokens == 24 for r in man_rows)
+    splits = pk["splits"]
+    assert sum(v["n_convs"] for v in splits.values()) == 12
+    for v in splits.values():
+        assert v["n_oversize_bins"] == 0
+        assert v["utilization"] is not None and 0 < v["utilization"] <= 1

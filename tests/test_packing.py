@@ -161,3 +161,39 @@ def test_bin_stats_hand_computed(spark):
     n_capped = row.n_bins - 1
     assert row.total_tokens == 620
     assert row.utilization == pytest.approx(capped_tokens / (n_capped * 100))
+
+
+def test_pack_group_cols_equals_independent_per_group_packs(spark):
+    """group_cols packing == packing each group separately (bins can
+    never straddle a group, and group membership changes nothing else)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    joint = {tuple(r) for r in packing.pack_sequences(
+        docs, 128, n_shards=8, seed=7, rank_method="md5",
+        group_cols=("grp",)).collect()}
+    separate = set()
+    for g in ("even", "odd"):
+        for r in packing.pack_sequences(
+            docs.where(F.col("grp") == g), 128, n_shards=8, seed=7,
+            rank_method="md5",
+        ).collect():
+            separate.add((r.doc_id, g) + tuple(r)[1:])
+    assert joint == separate
+
+
+def test_bin_stats_group_cols(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "grp", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    packed = packing.pack_sequences(
+        docs, 128, n_shards=8, seed=7, group_cols=("grp",)
+    )
+    rows = {r.grp: r for r in packing.bin_stats(
+        packed, 128, group_cols=("grp",)).collect()}
+    assert set(rows) == {"even", "odd"}
+    assert rows["even"].n_docs == 200 and rows["odd"].n_docs == 200
