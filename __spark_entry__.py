@@ -1652,6 +1652,31 @@ def _q_er_link_closure(spark, sf_dir):
     return asg.orderBy("rec_id")
 
 
+def _q_er_threshold_sweep(spark, sf_dir):
+    """Cluster membership at several admission thresholds
+    (operators/cluster.py cluster_at_thresholds) — the CLUSTER-level
+    threshold-selection evidence completing fs_pattern_truth's pair-level
+    table: per record, its component-min label at levenshtein cutoffs
+    2 / 5 / 8 over the shared integer-kernel linkage path.  The engine
+    runs ONE closure plus contracted deltas (level i clusters the
+    previous level's cluster ids over only the newly admitted edges —
+    min-id contraction is exactly label-preserving); the oracle
+    hash-grades it against three INDEPENDENT recursive-CTE closures, so
+    a pass proves the contraction equivalence end-to-end on real blocked
+    data, not just the pytest graphs."""
+    from postal_address_spark.operators.cluster import cluster_at_thresholds
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    scored = pairs.select(
+        F.col("rec_id_a").alias("src"),
+        F.col("rec_id_b").alias("dst"),
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")).alias("lev"),
+    )
+    return cluster_at_thresholds(
+        nodes, scored, [2, 5, 8], score_col="lev"
+    ).orderBy("threshold", "rec_id")
+
+
 def _er_reviewed_assignments(spark, sf_dir):
     """The review-feedback loop closed (operators/review.py): clerical
     decisions fold back into the linkage graph — rejected pairs leave
@@ -2546,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ER/linkage flagships (SURVEY §2.B core) ---
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
+        "er_threshold_sweep": _q_er_threshold_sweep,
         "er_explain_pairs": _q_er_explain_pairs,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
@@ -3944,6 +3970,53 @@ def oracle_sql() -> dict[str, str]:
     sql["er_link_closure"] = f"""
     WITH RECURSIVE {closure_ctes}
     SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
+    """
+
+    # -- er_threshold_sweep: three INDEPENDENT direct closures (lev <= 2,
+    # 5, 8) over the same blocked chain — the engine computes them
+    # incrementally by cluster contraction, so a hash match proves the
+    # contraction label-preserving on real data.  Multiple recursive CTEs
+    # in one WITH RECURSIVE list (the er_cluster_diff precedent).
+    _sweep_level = """
+    bi{t} AS (
+      SELECT s, d FROM swpairs WHERE lev <= {t}
+      UNION ALL
+      SELECT d, s FROM swpairs WHERE lev <= {t}
+    ),
+    reach{t}(s, d) AS (
+      SELECT s, d FROM bi{t}
+      UNION
+      SELECT r.s, b.d FROM reach{t} r JOIN bi{t} b ON r.d = b.s
+    ),
+    lab{t} AS (
+      SELECT s AS rec_id, least(s, MIN(d)) AS cluster_id
+      FROM reach{t} GROUP BY s
+    )"""
+    _sweep_pick = """
+    SELECT v.rec_id, CAST({t} AS INT) AS threshold,
+           coalesce(l.cluster_id, v.rec_id) AS cluster_id
+    FROM blocked v LEFT JOIN lab{t} l ON v.rec_id = l.rec_id"""
+    sql["er_threshold_sweep"] = f"""
+    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    swpairs AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             levenshtein(lower(a.line1), lower(b.line1)) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 8
+    ),
+    {",".join(_sweep_level.format(t=t) for t in (2, 5, 8))}
+    {" UNION ALL ".join(_sweep_pick.format(t=t) for t in (2, 5, 8))}
+    ORDER BY threshold, rec_id
     """
 
     # -- link_and_dedupe: the closure chain over the UNION of both

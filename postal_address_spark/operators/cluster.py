@@ -399,3 +399,86 @@ def bridge_edges(
         find_bridges,
         schema="cluster_id string, src string, dst string, is_bridge boolean",
     )
+
+
+def cluster_at_thresholds(
+    vertices: DataFrame,
+    scored_edges: DataFrame,
+    thresholds,
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster membership at SEVERAL admission thresholds in one sweep —
+    the cluster-level threshold-selection evidence (Splink's
+    "cluster at multiple thresholds" workflow): per record and per
+    threshold, the component-min cluster label, so a practitioner can
+    watch entities merge as the cutoff loosens and pick the knee.
+    ``fs_pattern_truth`` gives this evidence at PAIR granularity; this
+    gives it at the granularity that ships.
+
+    ``thresholds`` are ascending DISTANCE cutoffs (an edge is admitted at
+    threshold t when ``score_col <= t``; pass negated similarities for
+    the other orientation).  Output: (rec_id, threshold, cluster_id),
+    one row per vertex per threshold.
+
+    Scale shape — contraction, not k closures: clusterings at nested
+    edge sets are themselves nested, so level i runs CC on the CONTRACTED
+    graph: nodes = level-(i-1) cluster ids, edges = only the DELTA
+    (t_{i-1} < score <= t_i) mapped through the previous assignment.
+    Each successive closure therefore touches #clusters nodes and
+    #new-edges edges instead of the full graph — the whole sweep costs
+    about one closure plus deltas.  Because cluster labels are component
+    MINIMUM ids, the contracted closure's labels equal the direct
+    closure's at every level exactly (min over cluster-min ids = min over
+    member ids; equivalence pytest-pinned and, at the driver gate,
+    hash-matched against three independent recursive-CTE closures).
+
+    Each level's assignment is eagerly localCheckpoint'ed: it feeds both
+    the output union and the next level's contraction, and k chained
+    iterative closures would otherwise stack lineage that re-runs the
+    whole tower per action (engine rule 10's materialization discipline).
+    """
+    ts = list(thresholds)
+    if not ts or any(b <= a for a, b in zip(ts, ts[1:])):
+        raise ValueError("thresholds must be non-empty and strictly ascending")
+    out = None
+    prev = None
+    for i, t in enumerate(ts):
+        if i == 0:
+            edges = scored_edges.where(F.col(score_col) <= F.lit(t)).select(
+                "src", "dst"
+            )
+            asg = assign_clusters(vertices, edges)
+        else:
+            delta = scored_edges.where(
+                (F.col(score_col) > F.lit(ts[i - 1]))
+                & (F.col(score_col) <= F.lit(t))
+            ).select("src", "dst")
+            ca = prev.select(
+                F.col("rec_id").alias("src"), F.col("cluster_id").alias("ca")
+            )
+            cb = prev.select(
+                F.col("rec_id").alias("dst"), F.col("cluster_id").alias("cb")
+            )
+            super_edges = (
+                delta.join(ca, "src")
+                .join(cb, "dst")
+                .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            merged = connected_components(super_edges).select(
+                F.col("rec_id").alias("cluster_id"),
+                F.col("cluster_id").alias("merged_id"),
+            )
+            asg = (
+                prev.join(merged, "cluster_id", "left")
+                .select(
+                    "rec_id",
+                    F.coalesce("merged_id", "cluster_id").alias("cluster_id"),
+                )
+            )
+        asg = asg.localCheckpoint(eager=True)
+        prev = asg
+        level = asg.withColumn("threshold", F.lit(t))
+        out = level if out is None else out.unionByName(level)
+    return out.select("rec_id", "threshold", "cluster_id")

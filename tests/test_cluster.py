@@ -240,3 +240,76 @@ def test_bridges_oversized_cluster_excluded(spark):
         e,
     )
     assert bridge_edges(e, asg, max_cluster_edges=2).count() == 0
+
+
+# ---- cluster_at_thresholds (incremental threshold sweep) ----
+
+def _scored_graph(spark, seed, n=60, m=120):
+    """Seeded random scored edges over n string vertices."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(m):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            rows.append((f"v{u:03d}", f"v{v:03d}", rng.randint(0, 10)))
+    verts = spark.createDataFrame(
+        [(f"v{i:03d}",) for i in range(n)], "rec_id string"
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string, score int")
+    return verts, edges
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_threshold_sweep_equals_direct_closures(spark, seed):
+    """The contracted incremental sweep must equal an independent direct
+    closure at EVERY threshold (labels included — min-id contraction is
+    exactly label-preserving)."""
+    from postal_address_spark.operators.cluster import cluster_at_thresholds
+
+    verts, edges = _scored_graph(spark, seed)
+    ts = [2, 5, 8]
+    sweep = {
+        (r.rec_id, r.threshold): r.cluster_id
+        for r in cluster_at_thresholds(verts, edges, ts).collect()
+    }
+    for t in ts:
+        direct = {
+            r.rec_id: r.cluster_id
+            for r in assign_clusters(
+                verts, edges.where(F.col("score") <= t).select("src", "dst")
+            ).collect()
+        }
+        got = {k[0]: v for k, v in sweep.items() if k[1] == t}
+        assert got == direct, t
+
+
+def test_threshold_sweep_nesting(spark):
+    """Stricter-threshold clusters refine looser ones: two records
+    together at t must stay together at every t' > t."""
+    from postal_address_spark.operators.cluster import cluster_at_thresholds
+
+    verts, edges = _scored_graph(spark, 7)
+    ts = [1, 4, 9]
+    rows = cluster_at_thresholds(verts, edges, ts).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r.threshold, {})[r.rec_id] = r.cluster_id
+    for a, b in zip(ts, ts[1:]):
+        strict, loose = by_t[a], by_t[b]
+        mapped = {}
+        for rec, cid in strict.items():
+            # all members of a strict cluster map to ONE loose cluster
+            mapped.setdefault(cid, set()).add(loose[rec])
+        assert all(len(s) == 1 for s in mapped.values())
+
+
+def test_threshold_sweep_rejects_bad_thresholds(spark):
+    from postal_address_spark.operators.cluster import cluster_at_thresholds
+
+    verts, edges = _scored_graph(spark, 1)
+    with pytest.raises(ValueError):
+        cluster_at_thresholds(verts, edges, [])
+    with pytest.raises(ValueError):
+        cluster_at_thresholds(verts, edges, [5, 5])
+    with pytest.raises(ValueError):
+        cluster_at_thresholds(verts, edges, [8, 2])

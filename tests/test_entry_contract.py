@@ -27,7 +27,8 @@ EXPECTED_QUERIES = {
     # ER dataflow (SURVEY §2.B)
     "blocking_stats", "phonetic_blocking_stats", "candidate_pair_counts",
     "cc_clusters",
-    "er_link_mentions", "er_link_closure", "er_eval_metrics",
+    "er_link_mentions", "er_link_closure", "er_threshold_sweep",
+    "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
     "er_cluster_diff", "er_bridge_edges", "er_bcubed_stats",
     "er_merge_distance", "er_incremental_link", "er_retract_link",
