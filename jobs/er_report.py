@@ -21,6 +21,13 @@ and AFTER committing a full linkage run):
   bridge-edge flags over the production score and closure — the
   truth-free quality dashboard (``unlinkables/``, ``cluster_graph/``,
   ``bridge_edges/``);
+* **labeling budget + labeled m/u audit** (opt-in,
+  ``--labeling-sample`` / ``--labels``): write the stratified k-per-
+  pattern labeling queue (``labeling_queue/``); on a later run, fold the
+  returned ``is_match`` labels into per-level match/non-match tallies
+  (``labeled_mu/``) and the Horvitz-Thompson-reweighted labeled-vs-EM
+  parameter audit (``mu_audit/``) — the trust check that the
+  unsupervised fit converged to the match/non-match dichotomy;
 * **review impact** (opt-in, ``--decisions``): fold adjudicated
   confirm/reject decisions back into the production match edges
   (operators/review.py) and report what the re-closure changes —
@@ -78,6 +85,24 @@ def build_parser() -> argparse.ArgumentParser:
         "weakest-link flags).  Pays the full kernel cost on every pair "
         "(like --decisions); at extreme pair volumes run it on a "
         "partitioned slice of the corpus instead",
+    )
+    p.add_argument(
+        "--labeling-sample", type=int, default=0, metavar="KPP",
+        help="opt-in: write labeling_queue/ — KPP deterministically "
+        "pseudo-random candidate pairs from EVERY comparison pattern "
+        "with the stratum's total pair count (fs_em.labeling_sample): "
+        "the fixed labeling budget that validates learned m/u in all "
+        "strata, not just the ambiguous review band; 0 = off",
+    )
+    p.add_argument(
+        "--labels",
+        help="labeled-pairs table: the written labeling_queue/ plus an "
+        "is_match boolean (the --decisions pattern).  When given, the "
+        "report writes labeled_mu/ (per comparison-level match/non-match "
+        "tallies, fs_em.mu_from_labels) and — when the EM fit ran — "
+        "mu_audit/ (labeled vs EM m/u and log2-Bayes-factor deltas via "
+        "the Horvitz-Thompson-reweighted fs_em.labeled_params), the "
+        "trust check that EM converged to the match/non-match dichotomy",
     )
     p.add_argument(
         "--decisions",
@@ -179,6 +204,17 @@ def main(argv=None, spark=None) -> dict:
         review_queue(vectors, one_in=args.review_sample),
         f"{root}/review_queue",
     )
+    # ---- labeling-budget queue (opt-in): k pairs per comparison pattern
+    # (confident strata included) with stratum totals — what a labeling
+    # pass actually works through; feeds --labels on the next run.
+    if args.labeling_sample:
+        from postal_address_spark.operators.fs_em import labeling_sample
+
+        write_table(
+            labeling_sample(vectors, args.labeling_sample),
+            f"{root}/labeling_queue",
+        )
+
     params = None
     written_patterns = spark.read.parquet(f"{root}/fs_patterns")
     if written_patterns.limit(1).count() > 0:
@@ -193,6 +229,45 @@ def main(argv=None, spark=None) -> dict:
             ),
             f"{root}/fs_params",
         )
+
+    # ---- labeled m/u (opt-in): clerical labels over the labeling queue
+    # -> per-level match/non-match tallies, plus the labeled-vs-EM audit
+    # when the EM fit ran.  The collect is the labeled sample itself
+    # (<= #patterns x k rows — model state, the em_fit_df precedent).
+    labeled_mu = None
+    if args.labels:
+        from postal_address_spark.operators.fs_em import (
+            labeled_params,
+            mu_audit,
+            mu_from_labels,
+        )
+
+        labels = read_table(spark, args.labels)
+        write_table(mu_from_labels(labels), f"{root}/labeled_mu")
+        lrows = labels.collect()
+        lp = labeled_params(lrows)
+        labeled_mu = {
+            "n_labels": len(lrows),
+            "labeled_lambda": lp.lam,
+        }
+        if params is not None:
+            audit_rows = mu_audit(lp, params)
+            write_table(
+                spark.createDataFrame(
+                    [
+                        tuple([r[0], r[1]] + [round(x, 6) for x in r[2:]])
+                        for r in audit_rows
+                    ],
+                    "comparison string, gamma int, labeled_m double,"
+                    " labeled_u double, em_m double, em_u double,"
+                    " labeled_log2_bf double, em_log2_bf double,"
+                    " delta_log2_bf double",
+                ),
+                f"{root}/mu_audit",
+            )
+            labeled_mu["max_abs_delta_log2_bf"] = round(
+                max(abs(r[-1]) for r in audit_rows), 6
+            )
 
     # ---- term-frequency profile (city)
     tf = term_frequency_table(norm, "city_name")
@@ -340,6 +415,7 @@ def main(argv=None, spark=None) -> dict:
         ),
         "review_impact": impact,
         "cluster_audit": audit,
+        "labeled_mu": labeled_mu,
         "column_profile": {
             r["col_name"]: {
                 "n_null": r["n_null"], "n_distinct": r["n_distinct"]

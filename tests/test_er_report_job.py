@@ -173,3 +173,74 @@ def test_er_report_cluster_audit(spark, tmp_path):
     assert bridges.join(
         graph.select("cluster_id"), "cluster_id", "left_anti"
     ).count() == 0
+
+
+def test_er_report_labeling_loop(spark, tmp_path):
+    """--labeling-sample writes the stratified queue; labeling it and
+    rerunning with --labels writes labeled_mu/ + mu_audit/ with a
+    consistent summary block."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    root = str(tmp_path / "report")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=80, n_entities=30
+    ).write.parquet(inp)
+
+    er_report.main(
+        ["--input", inp, "--output-root", root, "--labeling-sample", "4"],
+        spark=spark,
+    )
+    queue = spark.read.parquet(f"{root}/labeling_queue")
+    qrows = queue.collect()
+    assert len(qrows) > 0
+    # per stratum: at most 4 rows, contiguous ranks, constant total
+    strata = {}
+    for r in qrows:
+        g = (r.gamma_line1_jw, r.gamma_line1_tsl, r.gamma_city_jw)
+        strata.setdefault(g, []).append(r)
+    for g, rs in strata.items():
+        assert len(rs) <= 4, g
+        assert sorted(x.sample_rank for x in rs) == list(
+            range(1, len(rs) + 1)), g
+        assert len({x.n_pattern_pairs for x in rs}) == 1, g
+
+    # "label" the queue deterministically and rerun with --labels
+    labels_path = str(tmp_path / "labels")
+    queue.withColumn(
+        "is_match",
+        F.pmod(
+            F.xxhash64("rec_id_a", "rec_id_b"), F.lit(3)
+        ) == 0,
+    ).write.parquet(labels_path)
+    summary = er_report.main(
+        ["--input", inp, "--output-root", str(tmp_path / "report2"),
+         "--labels", labels_path],
+        spark=spark,
+    )
+    lm = summary["labeled_mu"]
+    assert lm["n_labels"] == len(qrows)
+    assert 0.0 <= lm["labeled_lambda"] <= 1.0
+    assert lm["max_abs_delta_log2_bf"] >= 0.0
+    tallies = spark.read.parquet(str(tmp_path / "report2") + "/labeled_mu")
+    got = {
+        (r.comparison, r.gamma): (r.n_match, r.n_nonmatch)
+        for r in tallies.collect()
+    }
+    # totals across levels must equal the label counts per comparison
+    for comp in ("line1_jw", "line1_tsl", "city_jw"):
+        tot = sum(m + u for (c, _), (m, u) in got.items() if c == comp)
+        assert tot == len(qrows), comp
+    audit = spark.read.parquet(str(tmp_path / "report2") + "/mu_audit")
+    arows = audit.collect()
+    assert len(arows) == 8
+    for r in arows:
+        assert abs(
+            (r.labeled_log2_bf - r.em_log2_bf) - r.delta_log2_bf
+        ) < 1e-5
