@@ -314,6 +314,34 @@ def main() -> None:
             "Python eval nodes.",
             em.queries()["sft_pairs"](spark, SF),
         ),
+        (
+            "er_labeling_sample — salted two-phase stratified top-k",
+            "Look for: TWO Window nodes (the salted local top-k over "
+            "(gammas, hash % n_salt), then the final re-rank over the "
+            "<= k x n_salt survivors — a single pattern-keyed window "
+            "would collapse parallelism to <= 18 tasks), and the stratum "
+            "counts joining back as a BroadcastHashJoin (never a "
+            "SortMergeJoin on the tiny sampled side).",
+            em.queries()["er_labeling_sample"](spark, SF),
+        ),
+        (
+            "fs_labeled_mu — one stack unpivot + one aggregate",
+            "Look for: ONE Generate (the stack unpivot of the gamma "
+            "columns) feeding ONE HashAggregate with partial map-side "
+            "combine before a single Exchange; no Join, no Window — the "
+            "labeled tallies reduce to <= 8 rows regardless of label "
+            "volume.",
+            em.queries()["fs_labeled_mu"](spark, SF),
+        ),
+        (
+            "sequence_packing — one shard shuffle, text never moves",
+            "Look for: exactly ONE Exchange (hashpartitioning on shard) "
+            "feeding FlatMapGroupsInPandas, with the Project below it "
+            "carrying only (id, n_tokens, hash, shard) — the text column "
+            "is pruned before the shuffle; per-shard next-fit is the one "
+            "linear pandas pass.",
+            em.queries()["sequence_packing"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:
