@@ -1673,8 +1673,65 @@ def _q_er_threshold_sweep(spark, sf_dir):
         F.levenshtein(F.lower("line1_a"), F.lower("line1_b")).alias("lev"),
     )
     return cluster_at_thresholds(
-        nodes, scored, [2, 5, 8], score_col="lev"
+        nodes, scored, [0, 19, 21], score_col="lev"
     ).orderBy("threshold", "rec_id")
+
+
+def _q_er_membership_history(spark, sf_dir):
+    """SCD2-style membership intervals (operators/cluster.py
+    membership_history) composed over the threshold sweep: per record,
+    one row per maximal run of consecutive thresholds with the same
+    cluster label — the dendrogram flattened to warehouse rows (the same
+    operator consumes batch ids from the incremental pipeline or run ids
+    from repeated relinks).  Gaps-and-islands: one lag window + one
+    running sum + one aggregation, all keyed on rec_id so the Exchange
+    is reused; all-integer/string output, oracle-replayed over the same
+    three recursive closures."""
+    from postal_address_spark.operators.cluster import (
+        cluster_at_thresholds,
+        membership_history,
+    )
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    scored = pairs.select(
+        F.col("rec_id_a").alias("src"),
+        F.col("rec_id_b").alias("dst"),
+        F.levenshtein(F.lower("line1_a"), F.lower("line1_b")).alias("lev"),
+    )
+    sweep = cluster_at_thresholds(nodes, scored, [0, 19, 21], score_col="lev")
+    return membership_history(sweep, version_col="threshold").orderBy(
+        "rec_id", "version_from"
+    )
+
+
+def _q_blocking_key_profile(spark, sf_dir):
+    """Pre-run blocking-key costing (operators/blocking_analysis.py
+    blocking_key_profile — Splink's count-comparisons tool): per
+    candidate key, coverage (non-null mass), distinct keys, the EXACT
+    equi-self-join pair volume sum nv*(nv-1)/2, and the largest block —
+    the decision table for choosing blocking rules WITHOUT generating a
+    single pair.  One vocabulary-scale value count per key; the pair sum
+    stays integer (sum of nv*(nv-1) halved by a shift — never a float
+    sum), so the DuckDB oracle replays it bit-for-bit."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_key_profile,
+    )
+
+    norm, _ = _blocking_rules(spark, sf_dir, include_snm=False)
+    keys = {
+        "city": F.col("city_name"),
+        "country_postal": F.concat(
+            F.col("top_country"), F.lit("|"), F.col("postal_code")
+        ),
+        "country_postal_hn": F.concat(
+            F.col("top_country"),
+            F.lit("|"),
+            F.col("postal_code"),
+            F.lit("|"),
+            F.regexp_extract("line1", r"^(\d+)", 1),
+        ),
+    }
+    return blocking_key_profile(norm, keys).orderBy("rule")
 
 
 def _er_reviewed_assignments(spark, sf_dir):
@@ -2572,6 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
         "er_threshold_sweep": _q_er_threshold_sweep,
+        "er_membership_history": _q_er_membership_history,
+        "blocking_key_profile": _q_blocking_key_profile,
         "er_explain_pairs": _q_er_explain_pairs,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
@@ -3972,8 +4031,9 @@ def oracle_sql() -> dict[str, str]:
     SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
     """
 
-    # -- er_threshold_sweep: three INDEPENDENT direct closures (lev <= 2,
-    # 5, 8) over the same blocked chain — the engine computes them
+    # -- er_threshold_sweep: three INDEPENDENT direct closures (lev <= 0,
+    # 19, 21 — cutoffs chosen to CUT the fixture's bimodal distance
+    # distribution, so levels genuinely merge clusters) over the same blocked chain — the engine computes them
     # incrementally by cluster contraction, so a hash match proves the
     # contraction label-preserving on real data.  Multiple recursive CTEs
     # in one WITH RECURSIVE list (the er_cluster_diff precedent).
@@ -3996,8 +4056,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT v.rec_id, CAST({t} AS INT) AS threshold,
            coalesce(l.cluster_id, v.rec_id) AS cluster_id
     FROM blocked v LEFT JOIN lab{t} l ON v.rec_id = l.rec_id"""
-    sql["er_threshold_sweep"] = f"""
-    WITH RECURSIVE norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    _sweep_prefix = f"""norm AS MATERIALIZED ({_oracle_er_normalize()}),
     blocked AS MATERIALIZED (
       SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
              line1,
@@ -4012,11 +4071,45 @@ def oracle_sql() -> dict[str, str]:
       FROM blocked a JOIN blocked b
         ON a.block_key = b.block_key AND a.hn = b.hn
            AND a.rec_id < b.rec_id
-      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 8
+      WHERE levenshtein(lower(a.line1), lower(b.line1)) <= 21
     ),
-    {",".join(_sweep_level.format(t=t) for t in (2, 5, 8))}
-    {" UNION ALL ".join(_sweep_pick.format(t=t) for t in (2, 5, 8))}
+    {",".join(_sweep_level.format(t=t) for t in (0, 19, 21))}"""
+    _sweep_union = " UNION ALL ".join(
+        _sweep_pick.format(t=t) for t in (0, 19, 21)
+    )
+    sql["er_threshold_sweep"] = f"""
+    WITH RECURSIVE {_sweep_prefix}
+    {_sweep_union}
     ORDER BY threshold, rec_id
+    """
+
+    # -- er_membership_history: gaps-and-islands interval consolidation
+    # over the same three closures — one lag window, one running sum,
+    # one aggregation, all replayed exactly.
+    sql["er_membership_history"] = f"""
+    WITH RECURSIVE {_sweep_prefix},
+    sweep AS ({_sweep_union}),
+    chg AS (
+      SELECT rec_id, threshold, cluster_id,
+             CASE WHEN lag(cluster_id) OVER (
+                    PARTITION BY rec_id ORDER BY threshold
+                  ) = cluster_id THEN 0 ELSE 1 END AS c
+      FROM sweep
+    ),
+    isl AS (
+      SELECT rec_id, threshold, cluster_id,
+             SUM(c) OVER (
+               PARTITION BY rec_id ORDER BY threshold
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM chg
+    )
+    SELECT rec_id, cluster_id,
+           MIN(threshold) AS version_from,
+           MAX(threshold) AS version_to,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM isl GROUP BY rec_id, cluster_id, island
+    ORDER BY rec_id, version_from
     """
 
     # -- link_and_dedupe: the closure chain over the UNION of both
@@ -4681,6 +4774,40 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(1 - lbl) AS BIGINT) AS n_nonmatch
     FROM st GROUP BY comparison, gamma
     ORDER BY comparison, gamma
+    """
+
+    # -- blocking_key_profile: pre-run key costing over the mirrored
+    # normalize chain.  Pair volume stays integer on both engines
+    # (sum nv*(nv-1) halved by integer division).
+    _kp_keys = {
+        "city": "city_name",
+        "country_postal": "top_country || '|' || postal_code",
+        # Spark's regexp_extract is NULL on NULL input (the key abstains)
+        # and '' on no match — mirror both arms exactly.
+        "country_postal_hn": (
+            "top_country || '|' || postal_code || '|' || "
+            "CASE WHEN line1 IS NULL THEN NULL "
+            "ELSE coalesce(regexp_extract(line1, '^(\\d+)', 1), '') END"
+        ),
+    }
+    _kp_blocks = " UNION ALL ".join(
+        f"""
+    SELECT '{rule}' AS rule,
+           (SELECT CAST(count(*) AS BIGINT) FROM norm) AS n_records,
+           CAST(coalesce(sum(nv), 0) AS BIGINT) AS n_keyed,
+           CAST(count(*) AS BIGINT) AS n_distinct_keys,
+           CAST(coalesce(sum(nv * (nv - 1)), 0) // 2 AS BIGINT) AS n_pairs,
+           CAST(coalesce(max(nv), 0) AS BIGINT) AS max_block
+    FROM (
+      SELECT {expr} AS _k, count(*) AS nv FROM norm
+      WHERE ({expr}) IS NOT NULL GROUP BY 1
+    ) kp_{i}"""
+        for i, (rule, expr) in enumerate(_kp_keys.items())
+    )
+    sql["blocking_key_profile"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()})
+    {_kp_blocks}
+    ORDER BY rule
     """
 
     # -- link_two_datasets: the link_only mode.  Both normalize chains

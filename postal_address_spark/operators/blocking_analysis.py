@@ -293,3 +293,58 @@ def unlinkable_records(
         )
         .orderBy("rec_id")
     )
+
+
+def blocking_key_profile(
+    records: DataFrame, key_cols, id_col: str = "rec_id"
+) -> DataFrame:
+    """Candidate blocking keys costed BEFORE any pair is generated —
+    Splink's "count comparisons from blocking rule" tool: per candidate
+    key expression, ``(rule, n_records, n_keyed, n_distinct_keys,
+    n_pairs, max_block)`` where ``n_pairs = sum nv*(nv-1)/2`` is EXACTLY
+    the equi-self-join output volume the key would cost and ``n_keyed``
+    its coverage (NULL keys abstain).  The decision table for picking
+    blocking rules: a key whose n_pairs explodes (max_block skew) or
+    whose coverage collapses is rejected without ever running the join.
+
+    ``key_cols`` maps rule name -> key Column (or a list of column
+    names).  Cost shape: per rule ONE map-side-combinable value count
+    (vocabulary-scale, like the TF table) reduced to a single row —
+    never a pair is materialized; rows are unioned (len(key_cols) rows
+    out).  All-integer except nothing: everything is a count, so a
+    DuckDB oracle replays it bit-for-bit.
+    """
+    if not isinstance(key_cols, dict):
+        key_cols = {c: F.col(c) for c in key_cols}
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    out = None
+    for rule, key in key_cols.items():
+        per_value = (
+            records.select(key.alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("nv"))
+        )
+        # integer-exact pair count: sum nv*(nv-1) (always even) as LONG,
+        # halve with a shift — never a float sum (engine oracle rule).
+        row = per_value.agg(
+            F.coalesce(F.sum("nv"), F.lit(0)).alias("n_keyed"),
+            F.count(F.lit(1)).alias("n_distinct_keys"),
+            F.coalesce(
+                F.sum(F.col("nv") * (F.col("nv") - F.lit(1))), F.lit(0)
+            ).alias("_sp"),
+            F.coalesce(F.max("nv"), F.lit(0)).alias("max_block"),
+        ).select(
+            F.lit(rule).alias("rule"),
+            "n_keyed",
+            "n_distinct_keys",
+            F.shiftright(F.col("_sp"), 1).alias("n_pairs"),
+            "max_block",
+        )
+        out = row if out is None else out.unionByName(row)
+    n_records = records.select(F.count(F.lit(1)).alias("n_records"))
+    return out.crossJoin(F.broadcast(n_records)).select(
+        "rule", "n_records", "n_keyed", "n_distinct_keys", "n_pairs",
+        "max_block",
+    )

@@ -482,3 +482,58 @@ def cluster_at_thresholds(
         level = asg.withColumn("threshold", F.lit(t))
         out = level if out is None else out.unionByName(level)
     return out.select("rec_id", "threshold", "cluster_id")
+
+
+def membership_history(
+    assignments: DataFrame,
+    version_col: str = "version",
+    id_col: str = "rec_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Versioned assignments -> consolidated SCD2-style membership
+    intervals: per record, one row per maximal run of consecutive
+    OBSERVED versions carrying the same cluster label —
+    ``(rec_id, cluster_id, version_from, version_to, n_versions)``.
+
+    This is the entity-timeline view every warehouse keeps next to a
+    linkage (when did these records merge? when did the review split
+    them?): feed it batch ids from the incremental pipeline, run ids
+    from repeated relinks, or thresholds from
+    :func:`cluster_at_thresholds` (membership intervals over the
+    loosening cutoff = the dendrogram flattened to rows).
+
+    Spark shape: classic gaps-and-islands — one window over
+    (id, version) marks label changes (``lag``), a running sum numbers
+    the islands, one aggregation collapses them.  Both the window and
+    the aggregation key on ``id_col``, so Catalyst reuses a single
+    Exchange; everything is codegen, all output columns are the input's
+    integers/strings (oracle-replayable bit-for-bit).
+
+    Versions are whatever ordered integers the caller supplies; a
+    version where a record is simply absent does not split a run (only
+    an observed label CHANGE does) — consolidation is over observed
+    rows, documented SCD2-lite semantics.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(version_col)
+    changed = F.when(
+        F.lag(label_col).over(w) == F.col(label_col), F.lit(0)
+    ).otherwise(F.lit(1))
+    islanded = assignments.select(
+        id_col, version_col, label_col
+    ).withColumn(
+        "_island",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islanded.groupBy(id_col, "_island", label_col)
+        .agg(
+            F.min(version_col).alias("version_from"),
+            F.max(version_col).alias("version_to"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .drop("_island")
+    )

@@ -154,3 +154,81 @@ def test_unlinkable_records_similarity_orientation(spark):
         for r in unlinkable_records(records, scored, threshold=0.8).collect()
     }
     assert rows == {"a": "linked", "b": "linked", "c": "unlinkable"}
+
+
+# ---- blocking_key_profile (pre-run key costing) ----
+
+def test_blocking_key_profile_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_key_profile,
+    )
+
+    rows = [
+        ("r1", "75", "paris"), ("r2", "75", "paris"), ("r3", "75", None),
+        ("r4", "13", "lyon"), ("r5", None, "lyon"), ("r6", "13", "paris"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id string, pc string, city string")
+    prof = {
+        r.rule: r
+        for r in blocking_key_profile(
+            df,
+            {
+                "postal": F.col("pc"),
+                "city": F.col("city"),
+                "pc_city": F.concat_ws("|", "pc", "city"),
+            },
+        ).collect()
+    }
+    assert set(prof) == {"postal", "city", "pc_city"}
+    for r in prof.values():
+        assert r.n_records == 6
+    # postal: 75 x3, 13 x2, one null -> pairs 3+1
+    p = prof["postal"]
+    assert (p.n_keyed, p.n_distinct_keys, p.n_pairs, p.max_block) == (5, 2, 4, 3)
+    # city: paris x3, lyon x2 -> pairs 3+1
+    c = prof["city"]
+    assert (c.n_keyed, c.n_distinct_keys, c.n_pairs, c.max_block) == (5, 2, 4, 3)
+    # concat_ws skips nulls (never abstains): 75|paris x2 is the only pair
+    pc = prof["pc_city"]
+    assert (pc.n_keyed, pc.n_pairs, pc.max_block) == (6, 1, 2)
+
+
+def test_blocking_key_profile_matches_actual_join_volume(spark):
+    """n_pairs must equal the EXACT row count of the equi self-join the
+    key would generate (a < b) — the estimate is not an estimate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_key_profile,
+    )
+
+    rng = random.Random(4)
+    rows = [(f"r{i:03d}", f"k{rng.randrange(17)}") for i in range(300)]
+    df = spark.createDataFrame(rows, "rec_id string, k string")
+    n_pairs = blocking_key_profile(df, ["k"]).collect()[0].n_pairs
+    actual = (
+        df.alias("a")
+        .join(df.alias("b"), "k")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .count()
+    )
+    assert n_pairs == actual
+
+
+def test_blocking_key_profile_empty_and_bad_args(spark):
+    import pytest as _pytest
+
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_key_profile,
+    )
+
+    df = spark.createDataFrame([], "rec_id string, k string")
+    r = blocking_key_profile(df, ["k"]).collect()[0]
+    assert (r.n_records, r.n_keyed, r.n_distinct_keys, r.n_pairs,
+            r.max_block) == (0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        blocking_key_profile(df, {})

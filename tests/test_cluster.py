@@ -313,3 +313,69 @@ def test_threshold_sweep_rejects_bad_thresholds(spark):
         cluster_at_thresholds(verts, edges, [5, 5])
     with pytest.raises(ValueError):
         cluster_at_thresholds(verts, edges, [8, 2])
+
+
+# ---- membership_history (SCD2-style interval consolidation) ----
+
+def test_membership_history_hand_computed(spark):
+    from postal_address_spark.operators.cluster import membership_history
+
+    rows = [
+        # r1: A,A,B,B,A -> three islands (A 1-2, B 3-4, A 5-5)
+        (1, "r1", "A"), (2, "r1", "A"), (3, "r1", "B"),
+        (4, "r1", "B"), (5, "r1", "A"),
+        # r2: constant -> one island
+        (1, "r2", "C"), (2, "r2", "C"), (3, "r2", "C"),
+        # r3: absent at version 2; observed-run semantics bridge the gap
+        (1, "r3", "D"), (3, "r3", "D"), (4, "r3", "E"),
+    ]
+    asg = spark.createDataFrame(
+        rows, "version int, rec_id string, cluster_id string"
+    )
+    got = {
+        (r.rec_id, r.cluster_id, r.version_from, r.version_to, r.n_versions)
+        for r in membership_history(asg).collect()
+    }
+    assert got == {
+        ("r1", "A", 1, 2, 2), ("r1", "B", 3, 4, 2), ("r1", "A", 5, 5, 1),
+        ("r2", "C", 1, 3, 3),
+        ("r3", "D", 1, 3, 2), ("r3", "E", 4, 4, 1),
+    }
+
+
+def test_membership_history_over_threshold_sweep(spark):
+    """Composed with cluster_at_thresholds: intervals tile each record's
+    threshold axis exactly once, labels match the sweep, and interval
+    count = 1 + number of label changes."""
+    from postal_address_spark.operators.cluster import (
+        cluster_at_thresholds,
+        membership_history,
+    )
+
+    verts, edges = _scored_graph(spark, 5)
+    ts = [2, 5, 8]
+    sweep = cluster_at_thresholds(verts, edges, ts)
+    hist = membership_history(
+        sweep, version_col="threshold"
+    ).collect()
+    sweep_rows = sweep.collect()
+    labels = {}
+    for r in sweep_rows:
+        labels.setdefault(r.rec_id, {})[r.threshold] = r.cluster_id
+    by_rec = {}
+    for r in hist:
+        by_rec.setdefault(r.rec_id, []).append(r)
+    assert set(by_rec) == set(labels)
+    for rec, ivs in by_rec.items():
+        ivs.sort(key=lambda r: r.version_from)
+        covered = []
+        for iv in ivs:
+            for t in ts:
+                if iv.version_from <= t <= iv.version_to:
+                    covered.append(t)
+                    assert labels[rec][t] == iv.cluster_id, (rec, t)
+        assert covered == ts, rec
+        changes = sum(
+            1 for a, b in zip(ts, ts[1:]) if labels[rec][a] != labels[rec][b]
+        )
+        assert len(ivs) == changes + 1, rec
