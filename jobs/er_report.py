@@ -13,6 +13,9 @@ and AFTER committing a full linkage run):
   column-agreement mass the TF adjustment divides by);
 * **column profile** of the comparison/blocking fields (null rates,
   distinct counts, top values — the measured skew behind key choices);
+* **blocking-key costing** (``key_profile/``): per CANDIDATE key the
+  coverage, distinct keys, exact equi-join pair volume and max block —
+  what each key would cost before a single pair is generated;
 * **clerical-review queue**: the structural possible-match band
   (ambiguous integer comparison patterns), deterministically thinned;
 * **cluster-structure audit** (opt-in, ``--cluster-audit``): per-record
@@ -284,6 +287,32 @@ def main(argv=None, spark=None) -> dict:
     )
     write_table(profile, f"{root}/column_profile")
 
+    # ---- candidate blocking-key costing: coverage, distinct keys, the
+    # EXACT equi-join pair volume and max block per candidate key — the
+    # decision table for key choices, one vocabulary-scale value count
+    # per key, no pair materialized (blocking_key_profile).
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_key_profile,
+    )
+
+    key_candidates = {
+        "city": F.col("city_name"),
+        "phonetic_city": F.col("phonetic_key"),
+        "country_postal": F.concat(
+            F.col("top_country"), F.lit("|"), F.col("postal_code")
+        ),
+        "country_postal_hn": F.concat(
+            F.col("top_country"),
+            F.lit("|"),
+            F.col("postal_code"),
+            F.lit("|"),
+            F.regexp_extract("line1", r"^(\d+)", 1),
+        ),
+    }
+    write_table(
+        blocking_key_profile(norm, key_candidates), f"{root}/key_profile"
+    )
+
     # ---- review impact (opt-in): fold adjudicated decisions into the
     # production match edges and measure what the re-closure changes.
     # This is the only stage that runs the full scoring kernels; it is
@@ -413,6 +442,14 @@ def main(argv=None, spark=None) -> dict:
         "n_review_queue": int(
             spark.read.parquet(f"{root}/review_queue").count()
         ),
+        "key_profile": {
+            r["rule"]: {
+                "n_keyed": int(r["n_keyed"]),
+                "n_pairs": int(r["n_pairs"]),
+                "max_block": int(r["max_block"]),
+            }
+            for r in spark.read.parquet(f"{root}/key_profile").collect()
+        },
         "review_impact": impact,
         "cluster_audit": audit,
         "labeled_mu": labeled_mu,

@@ -244,3 +244,42 @@ def test_er_report_labeling_loop(spark, tmp_path):
         assert abs(
             (r.labeled_log2_bf - r.em_log2_bf) - r.delta_log2_bf
         ) < 1e-5
+
+
+def test_er_report_key_profile_consistency(spark, tmp_path):
+    """key_profile/ covers the candidate keys with integer tallies, and
+    the exact-key pair volume upper-bounds the refined production rule's
+    pair count from coverage/."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    root = str(tmp_path / "report")
+    synth_transcripts_spark(
+        spark, seed=5, n_convs=60, n_entities=25
+    ).write.parquet(inp)
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root], spark=spark,
+    )
+    kp = summary["key_profile"]
+    assert set(kp) == {
+        "city", "phonetic_city", "country_postal", "country_postal_hn"
+    }
+    for v in kp.values():
+        assert v["n_keyed"] >= 0 and v["n_pairs"] >= 0
+        assert v["max_block"] * (v["max_block"] - 1) // 2 <= max(
+            v["n_pairs"], 1
+        ) or v["n_pairs"] == 0
+    # the hn-refined key partitions the country_postal key's blocks
+    assert (
+        kp["country_postal_hn"]["n_pairs"] <= kp["country_postal"]["n_pairs"]
+    )
+    # the production exact rule (same key + hn refinement) generates
+    # exactly the costed volume
+    assert (
+        summary["coverage"]["exact_postal_hn"]["n_pairs"]
+        == kp["country_postal_hn"]["n_pairs"]
+    )
