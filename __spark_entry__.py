@@ -2322,6 +2322,46 @@ def _q_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_analysis(rules)
 
 
+def _q_er_edge_provenance(spark, sf_dir):
+    """Match-key provenance (operators/blocking_analysis.py
+    edge_provenance — Splink's match_key): the admitted match edges
+    (integer lev <= 5 kernel over the UNION of all three production
+    blocking rules) annotated with the FIRST rule that produced each
+    pair — coverage says what rules cost, this says what they deliver to
+    the final graph.  One union-tag + min-per-pair shuffle (the coverage
+    analysis' own discipline) + one join back; the rule-name mapping is
+    a literal when-chain.  Oracle replays the three rule definitions,
+    the first-rule credit and the lev kernel exactly."""
+    from postal_address_spark.operators.blocking_analysis import (
+        edge_provenance,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir)
+    lv = norm.select("rec_id", F.lower("line1").alias("_l1"))
+    cand = None
+    for _, p in rules:
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    edges = (
+        cand.join(
+            lv.select(
+                F.col("rec_id").alias("rec_id_a"), F.col("_l1").alias("_la")
+            ),
+            "rec_id_a",
+        )
+        .join(
+            lv.select(
+                F.col("rec_id").alias("rec_id_b"), F.col("_l1").alias("_lb")
+            ),
+            "rec_id_b",
+        )
+        .withColumn("lev", F.levenshtein("_la", "_lb"))
+        .where(F.col("lev") <= 5)
+        .select("rec_id_a", "rec_id_b", "lev")
+    )
+    return edge_provenance(rules, edges).orderBy("rec_id_a", "rec_id_b")
+
+
 def _q_profile_customer(spark, sf_dir):
     """Column profiling (operators/profiling.py — Splink's
     profile_columns): per column the row/null/distinct tallies and the
@@ -2631,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_sweep": _q_er_threshold_sweep,
         "er_membership_history": _q_er_membership_history,
         "blocking_key_profile": _q_blocking_key_profile,
+        "er_edge_provenance": _q_er_edge_provenance,
         "er_explain_pairs": _q_er_explain_pairs,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
@@ -4957,6 +4998,32 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- er_edge_provenance: first-rule credit joined onto the admitted
+    # lev<=5 edges over the SAME three rule pair sets.
+    sql["er_edge_provenance"] = f"""
+    WITH {_bcov_prefix},
+    ap AS (
+      SELECT s, d, 0 AS r FROM p1
+      UNION ALL SELECT s, d, 1 FROM p2
+      UNION ALL SELECT s, d, 2 FROM p3
+    ),
+    firsts AS (SELECT s, d, min(r) AS fr FROM ap GROUP BY s, d),
+    lv AS (SELECT rec_id, lower(line1) AS l1 FROM ids),
+    edges AS (
+      SELECT f.s, f.d, levenshtein(a.l1, b.l1) AS lev, f.fr
+      FROM firsts f
+      JOIN lv a ON f.s = a.rec_id
+      JOIN lv b ON f.d = b.rec_id
+      WHERE levenshtein(a.l1, b.l1) <= 5
+    )
+    SELECT s AS rec_id_a, d AS rec_id_b, CAST(lev AS INT) AS lev,
+           CAST(fr AS INT) AS match_rule_idx,
+           CASE fr WHEN 0 THEN 'exact_postal_hn'
+                   WHEN 1 THEN 'phonetic_city'
+                   ELSE 'snm_window4' END AS match_key
+    FROM edges ORDER BY rec_id_a, rec_id_b
     """
 
     # -- profile_customer: full replay of the melt/count/window profiling

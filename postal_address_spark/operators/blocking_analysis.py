@@ -348,3 +348,51 @@ def blocking_key_profile(
         "rule", "n_records", "n_keyed", "n_distinct_keys", "n_pairs",
         "max_block",
     )
+
+
+def edge_provenance(
+    rules: Sequence[Tuple[str, DataFrame]], edges: DataFrame
+) -> DataFrame:
+    """Match-key provenance (Splink's ``match_key``): per admitted match
+    edge, WHICH blocking rule first produced the candidate pair — the
+    audit column that tells a practitioner what each rule actually
+    contributes to the final graph (coverage says what rules cost;
+    this says what they deliver).
+
+    ``rules`` is the ordered ``[(rule_name, pair_df)]`` list
+    (:func:`standard_blocking_rules` shape, ``rec_id_a < rec_id_b``);
+    ``edges`` the admitted pairs (same orientation, any extra columns
+    ride through).  Output: edges + ``(match_rule_idx, match_key)``,
+    crediting each pair to the FIRST rule in list order (the
+    :func:`blocking_rule_analysis` convention, so the two analyses
+    agree).  Edges no rule produced — e.g. review-confirmed pairs
+    injected by apply_review — get ``(-1, 'none')`` rather than
+    disappearing.
+
+    Cost shape: ONE union-tag + min-per-pair aggregation (map-side
+    combined; identical to the coverage analysis' single shuffle) and
+    ONE equi-join back onto the admitted edges on the pair key.  The
+    rule-name mapping is a literal ``when`` chain over the handful of
+    rule indices — model state, never a join.
+    """
+    if not rules:
+        raise ValueError("at least one blocking rule required")
+    tagged = None
+    for i, (_, pairs) in enumerate(rules):
+        t = pairs.select(
+            "rec_id_a", "rec_id_b", F.lit(i).alias("_rule_idx")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    firsts = tagged.groupBy("rec_id_a", "rec_id_b").agg(
+        F.min("_rule_idx").alias("_first")
+    )
+    idx = F.coalesce(F.col("_first"), F.lit(-1))
+    name = F.lit("none")
+    for i, (rule_name, _) in reversed(list(enumerate(rules))):
+        name = F.when(idx == i, F.lit(rule_name)).otherwise(name)
+    return (
+        edges.join(firsts, ["rec_id_a", "rec_id_b"], "left")
+        .withColumn("match_rule_idx", idx.cast("int"))
+        .withColumn("match_key", name)
+        .drop("_first")
+    )

@@ -232,3 +232,58 @@ def test_blocking_key_profile_empty_and_bad_args(spark):
             r.max_block) == (0, 0, 0, 0, 0)
     with _pytest.raises(ValueError):
         blocking_key_profile(df, {})
+
+
+# ---- edge_provenance (match_key attribution) ----
+
+def test_edge_provenance_first_rule_credit_and_none(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_analysis,
+        edge_provenance,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(
+            rows, "rec_id_a string, rec_id_b string"
+        )
+
+    rules = [
+        ("r0", pairs([("a", "b"), ("a", "c")])),
+        ("r1", pairs([("a", "b"), ("c", "d")])),
+        ("r2", pairs([("a", "c"), ("c", "d"), ("e", "f")])),
+    ]
+    edges = pairs([("a", "b"), ("c", "d"), ("e", "f"), ("x", "y")])
+    got = {
+        (r.rec_id_a, r.rec_id_b): (r.match_rule_idx, r.match_key)
+        for r in edge_provenance(rules, edges).collect()
+    }
+    assert got == {
+        ("a", "b"): (0, "r0"),
+        ("c", "d"): (1, "r1"),
+        ("e", "f"): (2, "r2"),
+        ("x", "y"): (-1, "none"),   # review-injected edge: kept, flagged
+    }
+    # agreement with the coverage analysis' first-rule convention
+    cov = {r.rule: r.n_new_pairs
+           for r in blocking_rule_analysis(rules).collect()}
+    from collections import Counter
+
+    prov_new = Counter(
+        v[1] for k, v in got.items() if v[0] >= 0
+    )
+    # every distinct pair here is an admitted edge except ('a','c')
+    assert cov["r0"] == prov_new["r0"] + 1  # ('a','c') credited to r0
+    assert cov["r1"] == prov_new["r1"]
+    assert cov["r2"] == prov_new["r2"]
+
+
+def test_edge_provenance_rejects_empty_rules(spark):
+    import pytest as _pytest
+
+    from postal_address_spark.operators.blocking_analysis import (
+        edge_provenance,
+    )
+
+    edges = spark.createDataFrame([], "rec_id_a string, rec_id_b string")
+    with _pytest.raises(ValueError):
+        edge_provenance([], edges)

@@ -28,7 +28,7 @@ EXPECTED_QUERIES = {
     "blocking_stats", "phonetic_blocking_stats", "candidate_pair_counts",
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_threshold_sweep",
-    "er_membership_history", "blocking_key_profile",
+    "er_membership_history", "blocking_key_profile", "er_edge_provenance",
     "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
     "er_cluster_diff", "er_bridge_edges", "er_bcubed_stats",
