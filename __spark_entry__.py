@@ -2322,6 +2322,24 @@ def _q_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_analysis(rules)
 
 
+def _q_er_entity_split(spark, sf_dir):
+    """Leakage-safe matcher-training split (operators/cluster.py
+    with_entity_split): train/valid/test as a pure function of the
+    CLUSTER id over the mirrored integer-kernel closure, so no entity
+    straddles a split and within-entity pairs can never leak into eval.
+    Zero extra shuffle; portable 'lcg' map on the numeric part of the
+    min-id label so the oracle replays every assignment (xxhash
+    production path pytest-pinned with a straddle-freedom assertion)."""
+    from postal_address_spark.operators.cluster import with_entity_split
+
+    _, asg = _er_closure_assignments(spark, sf_dir)
+    return with_entity_split(
+        asg,
+        method="lcg",
+        key=F.substring("cluster_id", 2, 8).cast("long"),
+    ).orderBy("rec_id")
+
+
 def _q_er_edge_provenance(spark, sf_dir):
     """Match-key provenance (operators/blocking_analysis.py
     edge_provenance — Splink's match_key): the admitted match edges
@@ -2672,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_membership_history": _q_er_membership_history,
         "blocking_key_profile": _q_blocking_key_profile,
         "er_edge_provenance": _q_er_edge_provenance,
+        "er_entity_split": _q_er_entity_split,
         "er_explain_pairs": _q_er_explain_pairs,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
@@ -4151,6 +4170,23 @@ def oracle_sql() -> dict[str, str]:
            CAST(count(*) AS BIGINT) AS n_versions
     FROM isl GROUP BY rec_id, cluster_id, island
     ORDER BY rec_id, version_from
+    """
+
+    # -- er_entity_split: the portable lcg split map over the numeric
+    # part of the closure's min-id cluster label — same asg chain.
+    sql["er_entity_split"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    bucketed AS (
+      SELECT rec_id, cluster_id,
+             (CAST(substring(cluster_id, 2, 8) AS BIGINT) * 40503 + 2024)
+               % 100 AS b
+      FROM asg
+    )
+    SELECT rec_id, cluster_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM bucketed ORDER BY rec_id
     """
 
     # -- link_and_dedupe: the closure chain over the UNION of both

@@ -537,3 +537,41 @@ def membership_history(
         )
         .drop("_island")
     )
+
+
+def with_entity_split(
+    assignments: DataFrame,
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    method: str = "xxhash",
+    salt: int = 2024,
+    key: "Column | None" = None,
+) -> DataFrame:
+    """Leakage-safe train/valid/test split for MATCHER training data:
+    the split is a pure function of the CLUSTER id, so no entity ever
+    straddles a split — pairs, comparison vectors or features derived
+    within an entity can never leak from train into eval (the
+    record-level split would leak on every within-entity pair; the same
+    trap with_conversation_split closes for multi-turn context).
+
+    Delegates to the corpus split primitives (`split_assign`): zero
+    shuffle, coordination-free, re-runs and late shards agree.
+    ``method='lcg'`` (the portable oracle path) needs an INTEGER key —
+    pass ``key`` (e.g. the numeric part of the min-id label); xxhash
+    (production) hashes the label directly.
+    """
+    from .corpus import split_assign
+
+    bucket = split_assign(
+        key if key is not None else F.col(cluster_col),
+        100,
+        method=method,
+        salt=salt,
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return assignments.withColumn("split", split)

@@ -379,3 +379,34 @@ def test_membership_history_over_threshold_sweep(spark):
             1 for a, b in zip(ts, ts[1:]) if labels[rec][a] != labels[rec][b]
         )
         assert len(ivs) == changes + 1, rec
+
+
+# ---- with_entity_split (leakage-safe matcher-training split) ----
+
+@pytest.mark.parametrize("method", ["xxhash", "lcg"])
+def test_entity_split_no_entity_straddles(spark, method):
+    from postal_address_spark.operators.cluster import with_entity_split
+
+    rows = [(f"m{i:08d}", f"m{(i // 3) * 3:08d}") for i in range(300)]
+    asg = spark.createDataFrame(rows, "rec_id string, cluster_id string")
+    key = (
+        F.substring("cluster_id", 2, 8).cast("long")
+        if method == "lcg"
+        else None
+    )
+    out = with_entity_split(asg, method=method, key=key)
+    straddle = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddle == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    # pure function of the cluster: same label -> same split, rerun-stable
+    again = {
+        (r.rec_id, r.split)
+        for r in with_entity_split(asg, method=method, key=key).collect()
+    }
+    assert again == {(r.rec_id, r.split) for r in out.collect()}

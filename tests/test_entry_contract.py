@@ -29,6 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_threshold_sweep",
     "er_membership_history", "blocking_key_profile", "er_edge_provenance",
+    "er_entity_split",
     "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
     "er_cluster_diff", "er_bridge_edges", "er_bcubed_stats",
