@@ -548,6 +548,23 @@ def _q_conv_transitions(spark, sf_dir):
     ).orderBy("prev_action", "action")
 
 
+def _q_conv_windows(spark, sf_dir):
+    """Overlapping pretraining context windows over conversations
+    (operators/conversations.py conversation_windows): window=6,
+    stride=3 over the ordered action sequence — udtf_doc_chunks'
+    conversation-aware form; integer boundary arithmetic
+    (1 + ceil(extra/stride) windows, last one truncated) so the oracle
+    replays every window.  One fold shuffle + one generator; no join."""
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return conversation_windows(
+        turns, "conv_id", ("ts", "event_id"), "action", window=6, stride=3
+    ).orderBy("conv", "window_idx")
+
+
 def _q_conv_near_dups(spark, sf_dir):
     """Conversation-level near-dup detection: EXACT Jaccard >= 40/100 over
     action-sequence trigram sets via the PPJoin probing-prefix join
@@ -2751,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dups": _q_conv_near_dups,
         "conv_dup_clusters": _q_conv_dup_clusters,
         "conv_transitions": _q_conv_transitions,
+        "conv_windows": _q_conv_windows,
         "conv_quality_stats": _q_conv_quality,
         "conv_split_summary": _q_conv_split_summary,
         # --- corpus curation / text analysis ---
@@ -5234,6 +5252,32 @@ def oracle_sql() -> dict[str, str]:
     # -- conv_transitions: conversation-ordered action bigrams.  The
     # (ts, event_id) ordering is total (event_id unique), so LAG is
     # deterministic on both engines.
+    # -- conv_windows: list-slice replay of the window chunking; the
+    # ceil is the integer (extra + stride - 1) // stride on both
+    # engines.
+    sql["conv_windows"] = """
+    WITH turns AS (
+      SELECT user_id AS conv_id, lower(event_type) AS action, ts, event_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    seqs AS (
+      SELECT conv_id AS conv, list(action ORDER BY ts, event_id) AS toks
+      FROM turns GROUP BY conv_id
+    ),
+    sized AS (
+      SELECT conv, toks,
+             CAST(1 + (greatest(0, len(toks) - 6) + 2) // 3 AS INT)
+               AS n_win
+      FROM seqs
+    )
+    SELECT conv, CAST(i AS INT) AS window_idx,
+           CAST(i * 3 AS INT) AS start_turn,
+           CAST(len(toks[i*3+1 : i*3+6]) AS INT) AS n_window_turns,
+           array_to_string(toks[i*3+1 : i*3+6], ' ') AS window_text
+    FROM sized, LATERAL unnest(generate_series(0, n_win - 1)) AS t(i)
+    ORDER BY conv, window_idx
+    """
+
     sql["conv_transitions"] = """
     WITH turns AS (
       SELECT user_id AS conv_id, lower(event_type) AS action, ts, event_id

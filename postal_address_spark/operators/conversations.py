@@ -442,3 +442,62 @@ def conversation_near_dups(
         "n_inter",
         "n_union",
     )
+
+
+def conversation_windows(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Overlapping fixed-size CONTEXT WINDOWS over each conversation's
+    ordered turn sequence — the pretraining chunking for transcripts too
+    long for one context (``udtf_doc_chunks`` for documents; this is the
+    conversation-aware form): consecutive windows overlap by
+    ``window - stride`` turns so no cross-boundary context is lost.
+
+    Output: ``(conv, window_idx, start_turn, n_window_turns,
+    window_text)``.  Window starts are ``0, stride, 2*stride, ...`` with
+    ``n_windows = 1 + ceil(max(0, n - window) / stride)`` — every turn is
+    covered whenever ``stride <= window`` (the usual overlap regime;
+    larger strides subsample deliberately), only the LAST window may be
+    short (the slice truncates at the sequence end), and a conversation
+    shorter than ``window`` yields exactly one window.  All boundary arithmetic is integer (the ceil is
+    ``(extra + stride - 1) // stride``), so a DuckDB oracle replays every
+    window bit-for-bit.
+
+    Cost shape: ONE fold shuffle (the shared ordered-array fold) + one
+    generator — no second shuffle, no join.  The token array and the
+    window count are real projected columns before the generator (HOF
+    rule 1), and the never-empty window-index sequence uses
+    ``posexplode_outer`` (rule 2: plain explode would add an inferred
+    size>0 filter that re-inlines the sequence expression).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    docs = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
+    extra = F.greatest(F.lit(0), F.col("n_turns") - F.lit(window))
+    n_win = (
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+    ).cast("int")
+    sized = docs.select(
+        "conv", "toks", n_win.alias("_n_win")
+    )
+    exploded = sized.select(
+        "conv",
+        "toks",
+        F.posexplode_outer(F.sequence(F.lit(0), F.col("_n_win") - 1)).alias(
+            "window_idx", "_i"
+        ),
+    )
+    piece = F.slice("toks", F.col("_i") * stride + 1, window)
+    return exploded.select(
+        "conv",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        (F.col("_i") * stride).cast("int").alias("start_turn"),
+        F.size(piece).cast("int").alias("n_window_turns"),
+        F.concat_ws(" ", piece).alias("window_text"),
+    )

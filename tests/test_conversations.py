@@ -391,3 +391,89 @@ def test_conversation_signatures_injection_free(spark):
     }
     assert sigs["c1"] == sigs["c3"]
     assert sigs["c1"] != sigs["c2"]
+
+
+# ---- conversation_windows (pretraining context chunking) ----
+
+def _win_turns(spark):
+    rows = []
+    for cid, n in ((1, 7), (2, 3), (3, 1), (4, 10)):
+        for i in range(n):
+            rows.append((cid, i, f"a{cid}_{i}"))
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, action string"
+    )
+
+
+def test_conversation_windows_hand_computed(spark):
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    out = conversation_windows(
+        _win_turns(spark), "conv_id", ("turn_idx",), "action",
+        window=3, stride=2,
+    ).collect()
+    got = {
+        (r.conv, r.window_idx): (r.start_turn, r.n_window_turns,
+                                 r.window_text)
+        for r in out
+    }
+    # conv 1 (7 turns): starts 0,2,4 -> last window full (4..6)
+    assert got[(1, 0)] == (0, 3, "a1_0 a1_1 a1_2")
+    assert got[(1, 1)] == (2, 3, "a1_2 a1_3 a1_4")
+    assert got[(1, 2)] == (4, 3, "a1_4 a1_5 a1_6")
+    # conv 2 (3 turns == window): one window
+    assert [k for k in got if k[0] == 2] == [(2, 0)]
+    # conv 3 (1 turn < window): one short window
+    assert got[(3, 0)] == (0, 1, "a3_0")
+    # conv 4 (10 turns): starts 0,2,4,6 -> wait extra=7, ceil(7/2)=4 ->
+    # 5 windows (starts 0,2,4,6,8), last short (8,9)
+    c4 = sorted(k[1] for k in got if k[0] == 4)
+    assert c4 == [0, 1, 2, 3, 4]
+    assert got[(4, 4)] == (8, 2, "a4_8 a4_9")
+
+
+def test_conversation_windows_cover_every_turn(spark):
+    """With stride <= window every turn index appears in >= 1 window."""
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    for window, stride in ((4, 4), (5, 2), (3, 1)):
+        out = conversation_windows(
+            _win_turns(spark), "conv_id", ("turn_idx",), "action",
+            window=window, stride=stride,
+        ).collect()
+        covered = {}
+        for r in out:
+            for t in range(r.start_turn, r.start_turn + r.n_window_turns):
+                covered.setdefault(r.conv, set()).add(t)
+        assert covered[1] == set(range(7)), (window, stride)
+        assert covered[4] == set(range(10)), (window, stride)
+
+
+def test_conversation_windows_plan_one_shuffle_one_generate(spark):
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    df = conversation_windows(_win_turns(spark), "conv_id", ("turn_idx",),
+                              "action", window=3, stride=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("Generate") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_conversation_windows_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    with _pytest.raises(ValueError):
+        conversation_windows(_win_turns(spark), window=0)
+    with _pytest.raises(ValueError):
+        conversation_windows(_win_turns(spark), stride=0)

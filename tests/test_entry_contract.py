@@ -37,7 +37,8 @@ EXPECTED_QUERIES = {
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
     "fs_pattern_truth", "link_and_dedupe",
     # training-data ops
-    "exact_dedup_documents", "conv_transitions", "conv_near_dups",
+    "exact_dedup_documents", "conv_transitions", "conv_windows",
+    "conv_near_dups",
     "conv_dup_clusters", "conv_quality_stats", "conv_split_summary",
     "rare_token_pairs", "edit_distance_pairs",
     "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
