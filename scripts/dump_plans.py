@@ -334,6 +334,15 @@ def main() -> None:
             em.queries()["fs_labeled_mu"](spark, SF),
         ),
         (
+            "conv_windows — one fold shuffle + one generator",
+            "Look for: ONE Exchange (the conversation fold), ONE Generate "
+            "(posexplode_outer of the never-empty window-index sequence — "
+            "plain explode would add an inferred size>0 filter that "
+            "re-inlines it), and no Join: window slicing runs on the "
+            "projected token array.",
+            em.queries()["conv_windows"](spark, SF),
+        ),
+        (
             "sequence_packing — one shard shuffle, text never moves",
             "Look for: exactly ONE Exchange (hashpartitioning on shard) "
             "feeding FlatMapGroupsInPandas, with the Project below it "
