@@ -5,6 +5,8 @@ way ``jobs/link.py`` composes the linkage ones:
     exact dedup -> MinHash near-dedup -> quality gate
     -> [benchmark decontamination] -> PII redaction
     -> deterministic split -> per-split parquet
+    -> [token-budget sequence packing: per-split next-fit bin manifest
+        for the training loader (operators/packing.py)]
 
 Package the engine and submit::
 
@@ -14,7 +16,8 @@ Package the engine and submit::
         --output-root <dir>       # writes <dir>/corpus + <dir>/rejected \
         [--near-dup-threshold 0.7] [--no-near-dup] [--no-redact] \
         [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024] \
-        [--decontaminate <benchmark table> [--contam-w 13] [--max-contam-pct 0]]
+        [--decontaminate <benchmark table> [--contam-w 13] [--max-contam-pct 0]] \
+        [--pack-budget <tokens> [--pack-shards 256]]
 
 No ``master`` is set — the cluster manager provides it.  The kept corpus
 is written partitioned by ``split`` so downstream training readers prune
@@ -46,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=5000)
     p.add_argument("--split-salt", type=int, default=2024)
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="also write <output-root>/packed_manifest: the kept "
+                   "docs packed next-fit into bins of at most this many "
+                   "whitespace tokens, per split (operators/packing.py); "
+                   "0 = off")
+    p.add_argument("--pack-shards", type=int, default=256,
+                   help="parallel packing shards (bins never span shards)")
     p.add_argument(
         "--decontaminate",
         help="benchmark/eval documents table: drop kept docs overlapping it "
@@ -162,6 +172,56 @@ def main(argv=None, spark=None) -> dict:
     write_table(kept, corpus_path, partition_by=["split"])
     write_table(rejected, rejected_path)
 
+    # 6. optional sequence packing of the kept corpus, split-pure (bins
+    # can never mix splits — group_cols joins the shuffle key); manifest
+    # carries ids + token counts only, text never enters the shuffle.
+    pack_counts = None
+    if args.pack_budget:
+        from postal_address_spark.operators.packing import (
+            bin_stats,
+            pack_sequences,
+        )
+
+        tt = F.trim(F.coalesce(F.col("text"), F.lit("")))
+        doc_tokens = kept.select(
+            "doc_id",
+            "split",
+            F.when(tt == "", F.lit(0))
+            .otherwise(F.size(F.split(tt, r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            doc_tokens,
+            args.pack_budget,
+            n_shards=args.pack_shards,
+            seed=args.split_salt,
+            group_cols=("split",),
+        ).persist()
+        pack_path = f"{args.output_root.rstrip('/')}/packed_manifest"
+        write_table(packed, pack_path, partition_by=["split"])
+        pack_counts = {
+            "budget": args.pack_budget,
+            "path": pack_path,
+            "splits": {
+                r["split"]: {
+                    "n_bins": int(r["n_bins"]),
+                    "n_docs": int(r["n_docs"]),
+                    "total_tokens": int(r["total_tokens"]),
+                    "n_oversize_bins": int(r["n_oversize_bins"]),
+                    "utilization": (
+                        round(float(r["utilization"]), 6)
+                        if r["utilization"] is not None
+                        else None
+                    ),
+                }
+                for r in bin_stats(
+                    packed, args.pack_budget, group_cols=("split",)
+                ).collect()
+            },
+        }
+        packed.unpersist()
+
     out = spark.read.parquet(corpus_path)
     split_counts = {
         r["split"]: r["n"]
@@ -184,6 +244,8 @@ def main(argv=None, spark=None) -> dict:
         "corpus": corpus_path,
         "rejected": rejected_path,
     }
+    if pack_counts is not None:
+        summary["packing"] = pack_counts
     print(json.dumps(summary))
     return summary
 

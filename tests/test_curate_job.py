@@ -118,3 +118,45 @@ def test_curate_job_decontaminate(spark, tmp_path):
     assert {r["doc_id"]: r["reasons"] for r in reasons} == {
         1: "benchmark_contamination"
     }
+
+
+def test_curate_job_pack_budget(spark, tmp_path):
+    """--pack-budget writes a per-split manifest over the kept docs:
+    every kept doc exactly once, split-pure bins, budget respected."""
+    rows = [
+        (i, "some real sentence with enough words to pass the gate "
+            f"plus marker {i}", "en", "web")
+        for i in range(30)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(inp)
+
+    import curate
+
+    summary = curate.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out"),
+         "--no-near-dup", "--no-redact",
+         "--pack-budget", "40", "--pack-shards", "2"],
+        spark=spark,
+    )
+    pk = summary["packing"]
+    manifest = spark.read.parquet(pk["path"])
+    kept = spark.read.parquet(summary["corpus"])
+    assert manifest.count() == kept.count()
+    kept_splits = {
+        (r.doc_id, r.split)
+        for r in kept.select("doc_id", "split").collect()
+    }
+    assert {(r.doc_id, r.split) for r in manifest.collect()} == kept_splits
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in manifest.collect():
+        bins[(r.split, r.shard, r.bin_in_shard)].append(r)
+    for key, rs in bins.items():
+        if not any(x.oversize for x in rs):
+            assert sum(x.n_tokens for x in rs) <= 40, key
+        assert len({x.split for x in rs}) == 1
+    assert sum(v["n_docs"] for v in pk["splits"].values()) == kept.count()

@@ -191,3 +191,97 @@ def test_meta_blocking_empty_pair_streams(spark):
 
     empty = spark.createDataFrame([], "rec_id_a string, rec_id_b string")
     assert meta_blocking_prune([("r1", empty), ("r2", empty)]).count() == 0
+
+
+# ---- round-4 session operators: degenerate inputs ----
+
+def test_cluster_at_thresholds_empty_edges(spark):
+    from postal_address_spark.operators.cluster import cluster_at_thresholds
+
+    verts = spark.createDataFrame([("a",), ("b",)], "rec_id string")
+    edges = spark.createDataFrame([], "src string, dst string, score int")
+    out = cluster_at_thresholds(verts, edges, [1, 2]).collect()
+    # every vertex is its own singleton at every threshold
+    assert {(r.rec_id, r.threshold, r.cluster_id) for r in out} == {
+        ("a", 1, "a"), ("b", 1, "b"), ("a", 2, "a"), ("b", 2, "b"),
+    }
+
+
+def test_membership_history_empty(spark):
+    from postal_address_spark.operators.cluster import membership_history
+
+    asg = spark.createDataFrame(
+        [], "version int, rec_id string, cluster_id string"
+    )
+    assert membership_history(asg).count() == 0
+
+
+def test_pack_sequences_empty_and_zero_tokens(spark):
+    from postal_address_spark.operators.packing import (
+        bin_stats,
+        pack_sequences,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty, 64).count() == 0
+    # zero-token docs pack (infinitely many fit); stats stay defined
+    zeros = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(zeros, 64, n_shards=1)
+    rows = packed.collect()
+    assert len(rows) == 5
+    assert all(not r.oversize and r.start_offset == 0 for r in rows)
+    stat = bin_stats(packed, 64).collect()[0]
+    assert stat.n_bins == 1 and stat.total_tokens == 0
+
+
+def test_conversation_windows_empty_and_all_null_actions(spark):
+    from postal_address_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    empty = spark.createDataFrame(
+        [], "conv_id long, turn_idx int, action string"
+    )
+    assert conversation_windows(empty).count() == 0
+    # all-NULL actions: conversation absent (the documented fold rule)
+    nulls = spark.createDataFrame(
+        [(1, 0, None), (1, 1, None)],
+        "conv_id long, turn_idx int, action string",
+    )
+    assert conversation_windows(nulls).count() == 0
+
+
+def test_mu_from_labels_empty(spark):
+    from postal_address_spark.operators import fs_em
+
+    empty = spark.createDataFrame(
+        [],
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int, is_match boolean",
+    )
+    assert fs_em.mu_from_labels(empty).count() == 0
+
+
+def test_labeling_sample_empty(spark):
+    from postal_address_spark.operators import fs_em
+
+    empty = spark.createDataFrame(
+        [],
+        "rec_id_a string, rec_id_b string, gamma_line1_jw int,"
+        " gamma_line1_tsl int, gamma_city_jw int",
+    )
+    assert fs_em.labeling_sample(empty, 5).count() == 0
+
+
+def test_edge_provenance_empty_edges(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        edge_provenance,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b")], "rec_id_a string, rec_id_b string"
+    )
+    empty = spark.createDataFrame([], "rec_id_a string, rec_id_b string")
+    assert edge_provenance([("r0", pairs)], empty).count() == 0
