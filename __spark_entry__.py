@@ -565,6 +565,41 @@ def _q_conv_windows(spark, sf_dir):
     ).orderBy("conv", "window_idx")
 
 
+def _q_conv_alternation(spark, sf_dir):
+    """Role-alternation well-formedness per conversation
+    (operators/conversations.py alternation_stats): adjacent same-role
+    turn pairs + the first offending ordinal — the SFT-corpus sanity
+    check (chat fine-tuning expects alternation; same-role runs usually
+    mean merged or dropped turns).  One lag window + one aggregation on
+    the same key (Exchange reused); all-integer, lag/row_number oracle."""
+    from postal_address_spark.operators.conversations import (
+        alternation_stats,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return alternation_stats(
+        turns, "conv_id", ("ts", "event_id"), "action"
+    ).orderBy("conv")
+
+
+def _q_er_distance_histogram(spark, sf_dir):
+    """Candidate-pair distance histogram over the refined blocks — the
+    chart a practitioner reads BEFORE choosing admission thresholds
+    (this exact histogram picked the sweep's 0/19/21 cutoffs: the
+    within-block lev distribution is bimodal — identical line1 vs
+    different street sharing a house number).  One map-side-combinable
+    aggregation over the pair stream; NULL kernels (a NULL line1 side)
+    bin at -1 — errors are data."""
+    _, pairs = _er_blocked_pairs(spark, sf_dir)
+    lev = F.levenshtein(F.lower("line1_a"), F.lower("line1_b"))
+    return (
+        pairs.select(F.coalesce(lev, F.lit(-1)).alias("lev"))
+        .groupBy("lev")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lev")
+    )
+
+
 def _q_conv_near_dups(spark, sf_dir):
     """Conversation-level near-dup detection: EXACT Jaccard >= 40/100 over
     action-sequence trigram sets via the PPJoin probing-prefix join
@@ -2706,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_sweep": _q_er_threshold_sweep,
         "er_membership_history": _q_er_membership_history,
         "blocking_key_profile": _q_blocking_key_profile,
+        "er_distance_histogram": _q_er_distance_histogram,
         "er_edge_provenance": _q_er_edge_provenance,
         "er_entity_split": _q_er_entity_split,
         "er_explain_pairs": _q_er_explain_pairs,
@@ -2769,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dup_clusters": _q_conv_dup_clusters,
         "conv_transitions": _q_conv_transitions,
         "conv_windows": _q_conv_windows,
+        "conv_alternation": _q_conv_alternation,
         "conv_quality_stats": _q_conv_quality,
         "conv_split_summary": _q_conv_split_summary,
         # --- corpus curation / text analysis ---
@@ -4109,6 +4146,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT rec_id, cluster_id FROM asg ORDER BY rec_id
     """
 
+    # -- er_distance_histogram: the pre-threshold diagnostic — pair
+    # count per lev value over the refined blocks; NULL kernel -> -1.
+    sql["er_distance_histogram"] = f"""
+    WITH norm AS MATERIALIZED ({_oracle_er_normalize()}),
+    blocked AS MATERIALIZED (
+      SELECT 'm' || lpad(CAST(mention_id AS VARCHAR), 8, '0') AS rec_id,
+             line1,
+             top_country || '|' || postal_code AS block_key,
+             coalesce(regexp_extract(line1, '^(\\d+)', 1), '') AS hn
+      FROM norm
+      WHERE top_country IS NOT NULL AND postal_code IS NOT NULL
+    ),
+    p AS (
+      SELECT coalesce(
+               levenshtein(lower(a.line1), lower(b.line1)), -1
+             ) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    )
+    SELECT CAST(lev AS INT) AS lev, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY lev ORDER BY lev
+    """
+
     # -- er_threshold_sweep: three INDEPENDENT direct closures (lev <= 0,
     # 19, 21 — cutoffs chosen to CUT the fixture's bimodal distance
     # distribution, so levels genuinely merge clusters) over the same blocked chain — the engine computes them
@@ -5252,6 +5313,28 @@ def oracle_sql() -> dict[str, str]:
     # -- conv_transitions: conversation-ordered action bigrams.  The
     # (ts, event_id) ordering is total (event_id unique), so LAG is
     # deterministic on both engines.
+    # -- conv_alternation: lag/row_number replay of the alternation
+    # check; first_violation_idx NULL when well-formed on both engines.
+    sql["conv_alternation"] = """
+    WITH turns AS (
+      SELECT user_id AS conv_id, lower(event_type) AS action, ts, event_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    m AS (
+      SELECT conv_id AS conv,
+             CASE WHEN lag(action) OVER w = action THEN 1 ELSE 0 END
+               AS same,
+             row_number() OVER w - 1 AS ord
+      FROM turns
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+    )
+    SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(same) AS BIGINT) AS n_same_adjacent,
+           CAST(min(CASE WHEN same = 1 THEN ord END) AS INT)
+             AS first_violation_idx
+    FROM m GROUP BY conv ORDER BY conv
+    """
+
     # -- conv_windows: list-slice replay of the window chunking; the
     # ceil is the integer (extra + stride - 1) // stride on both
     # engines.

@@ -501,3 +501,59 @@ def conversation_windows(
         F.size(piece).cast("int").alias("n_window_turns"),
         F.concat_ws(" ", piece).alias("window_text"),
     )
+
+
+def alternation_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+) -> DataFrame:
+    """Role-alternation well-formedness per conversation — the SFT-corpus
+    sanity check (chat fine-tuning expects user/assistant turns to
+    alternate; repeated-role runs usually mean merged or dropped turns):
+    ``(conv, n_turns, n_same_adjacent, first_violation_idx)`` where
+    ``n_same_adjacent`` counts adjacent turn pairs with the SAME role and
+    ``first_violation_idx`` is the 0-based ordinal of the first offender
+    (NULL when well-formed).  NULL-role turns are excluded (the fold
+    rule); all outputs integer, oracle-replayable.
+
+    One window (lag over the turn order) + one aggregation on the same
+    key — the Exchange is reused, no join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(*order_cols)
+    marked = (
+        turns.where(F.col(role_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("conv"),
+            *[F.col(c) for c in order_cols],
+            F.col(role_col).alias("_r"),
+        )
+        .withColumn(
+            "_same",
+            (
+                F.lag("_r").over(
+                    Window.partitionBy("conv").orderBy(*order_cols)
+                )
+                == F.col("_r")
+            ).cast("int"),
+        )
+        .withColumn(
+            "_ord",
+            F.row_number().over(
+                Window.partitionBy("conv").orderBy(*order_cols)
+            )
+            - 1,
+        )
+    )
+    return marked.groupBy("conv").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(F.sum("_same"), F.lit(0)).cast("long").alias(
+            "n_same_adjacent"
+        ),
+        F.min(F.when(F.col("_same") == 1, F.col("_ord"))).cast("int").alias(
+            "first_violation_idx"
+        ),
+    )

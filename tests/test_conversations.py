@@ -477,3 +477,48 @@ def test_conversation_windows_rejects_bad_args(spark):
         conversation_windows(_win_turns(spark), window=0)
     with _pytest.raises(ValueError):
         conversation_windows(_win_turns(spark), stride=0)
+
+
+# ---- alternation_stats (role-alternation well-formedness) ----
+
+def test_alternation_stats_hand_computed(spark):
+    from postal_address_spark.operators.conversations import (
+        alternation_stats,
+    )
+
+    rows = [
+        # conv 1: u a u a -> well-formed
+        (1, 0, "u"), (1, 1, "a"), (1, 2, "u"), (1, 3, "a"),
+        # conv 2: u u a a -> violations at ordinals 1 and 3
+        (2, 0, "u"), (2, 1, "u"), (2, 2, "a"), (2, 3, "a"),
+        # conv 3: NULL roles excluded; survivors u a -> well-formed
+        (3, 0, "u"), (3, 1, None), (3, 2, "a"),
+        # conv 4: single turn
+        (4, 0, "a"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string"
+    )
+    got = {
+        r.conv: (r.n_turns, r.n_same_adjacent, r.first_violation_idx)
+        for r in alternation_stats(turns).collect()
+    }
+    assert got == {
+        1: (4, 0, None),
+        2: (4, 2, 1),
+        3: (2, 0, None),
+        4: (1, 0, None),
+    }
+
+
+def test_alternation_stats_single_exchange(spark):
+    from postal_address_spark.operators.conversations import (
+        alternation_stats,
+    )
+
+    turns = spark.createDataFrame(
+        [(1, 0, "u"), (1, 1, "a")], "conv_id long, turn_idx int, role string"
+    )
+    plan = alternation_stats(turns)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2500]
+    assert "Join" not in plan, plan[:2500]

@@ -29,7 +29,7 @@ EXPECTED_QUERIES = {
     "cc_clusters",
     "er_link_mentions", "er_link_closure", "er_threshold_sweep",
     "er_membership_history", "blocking_key_profile", "er_edge_provenance",
-    "er_entity_split",
+    "er_entity_split", "er_distance_histogram",
     "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
     "er_cluster_diff", "er_bridge_edges", "er_bcubed_stats",
@@ -38,7 +38,7 @@ EXPECTED_QUERIES = {
     "fs_pattern_truth", "link_and_dedupe",
     # training-data ops
     "exact_dedup_documents", "conv_transitions", "conv_windows",
-    "conv_near_dups",
+    "conv_alternation", "conv_near_dups",
     "conv_dup_clusters", "conv_quality_stats", "conv_split_summary",
     "rare_token_pairs", "edit_distance_pairs",
     "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
