@@ -2374,6 +2374,42 @@ def _q_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_analysis(rules)
 
 
+def _q_blocking_recall(spark, sf_dir):
+    """Labeled-match recall per blocking rule
+    (operators/blocking_analysis.py blocking_rule_recall — the Splink
+    "do my blocking rules capture the known matches?" check, the recall
+    side the cost-side coverage analysis can't see): the mod-360
+    generator truth restricted to mentions with ``mention_id % 5 == 0``
+    — 360 ≡ 0 (mod 5), so the sample keeps 72 of the 360 truth cliques
+    WHOLE and drops the rest entirely, exactly how clerical labeling
+    works (you label entire entities, not random pairs), while the
+    7-cycle city variant still cycles within each kept clique so the
+    phonetic rule has real work to do.  Candidate streams reduce against
+    the broadcast labeled set map-side before the two tiny aggregations;
+    all counts integer, recalls single int/int divisions — the DuckDB
+    oracle replays the three rule definitions, the truth sample, and the
+    first-rule credit bit-for-bit."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir)
+    num = F.substring("rec_id", 2, 8).cast("long")
+    lab = norm.where(F.pmod(num, F.lit(5)) == 0).select(
+        "rec_id", F.pmod(num, F.lit(360)).alias("tid")
+    )
+    truth = (
+        lab.alias("a")
+        .join(lab.alias("b"), "tid")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+    )
+    return blocking_rule_recall(rules, truth)
+
+
 def _q_er_entity_split(spark, sf_dir):
     """Leakage-safe matcher-training split (operators/cluster.py
     with_entity_split): train/valid/test as a pure function of the
@@ -2771,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_best_matches": _q_link_best_matches,
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
+        "blocking_recall": _q_blocking_recall,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
         "er_unlinkables": _q_er_unlinkables,
@@ -5110,6 +5147,53 @@ def oracle_sql() -> dict[str, str]:
            CAST(sum(coalesce(w.n_new, 0))
                 OVER (ORDER BY n.rule_idx) AS BIGINT) AS n_cumulative
     FROM names n
+    LEFT JOIN tots t ON n.rule_idx = t.r
+    LEFT JOIN news w ON n.rule_idx = w.fr
+    ORDER BY n.rule_idx
+    """
+
+    # -- blocking_recall: the SAME three rule pair sets intersected with
+    # the mod-360 truth cliques sampled at mention_id % 5 == 0 (360 is a
+    # multiple of 5, so whole cliques survive), then first-rule credit +
+    # integer tallies + single int/int recall divisions.
+    sql["blocking_recall"] = f"""
+    WITH {_bcov_prefix},
+    lab AS (
+      SELECT rec_id,
+             CAST(substr(rec_id, 2, 8) AS BIGINT) % 360 AS tid
+      FROM ids
+      WHERE CAST(substr(rec_id, 2, 8) AS BIGINT) % 5 = 0
+    ),
+    truth AS (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM lab a JOIN lab b ON a.tid = b.tid AND a.rec_id < b.rec_id
+    ),
+    ap AS (
+      SELECT s, d, 0 AS r FROM p1
+      UNION ALL SELECT s, d, 1 FROM p2
+      UNION ALL SELECT s, d, 2 FROM p3
+    ),
+    caught AS (SELECT g.s, g.d, g.r FROM ap g JOIN truth t USING (s, d)),
+    tots AS (SELECT r, count(*) AS n_true FROM caught GROUP BY r),
+    firsts AS (SELECT s, d, min(r) AS fr FROM caught GROUP BY s, d),
+    news AS (SELECT fr, count(*) AS n_new FROM firsts GROUP BY fr),
+    tot AS (SELECT count(*) AS total FROM truth),
+    names AS (
+      SELECT * FROM (VALUES
+        (0, 'exact_postal_hn'), (1, 'phonetic_city'), (2, 'snm_window4')
+      ) AS v(rule_idx, rule)
+    )
+    SELECT n.rule, CAST(n.rule_idx AS INT) AS rule_idx,
+           CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true_caught,
+           CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new_true,
+           CAST(sum(coalesce(w.n_new, 0))
+                OVER (ORDER BY n.rule_idx) AS BIGINT) AS n_cumulative_true,
+           CAST(tot.total AS BIGINT) AS total_truth_pairs,
+           coalesce(t.n_true, 0) / nullif(tot.total, 0) AS recall_rule,
+           CAST(sum(coalesce(w.n_new, 0)) OVER (ORDER BY n.rule_idx)
+                AS BIGINT) / nullif(tot.total, 0) AS recall_cumulative
+    FROM names n
+    CROSS JOIN tot
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx

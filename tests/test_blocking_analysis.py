@@ -287,3 +287,78 @@ def test_edge_provenance_rejects_empty_rules(spark):
     edges = spark.createDataFrame([], "rec_id_a string, rec_id_b string")
     with _pytest.raises(ValueError):
         edge_provenance([], edges)
+
+
+def test_blocking_rule_recall_hand_case(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+        missed_truth_pairs,
+    )
+
+    # rule1 catches (a,b) and (c,d); rule2 catches (a,b) and (e,f);
+    # truth = {(a,b) both, (c,d) rule1 only, (g,h) missed} plus a
+    # non-match candidate (x,y) that must not count anywhere.
+    r1 = _pairs(spark, [("a", "b"), ("c", "d"), ("x", "y")])
+    r2 = _pairs(spark, [("a", "b"), ("e", "f")])
+    truth = _pairs(spark, [("a", "b"), ("c", "d"), ("g", "h")])
+    out = blocking_rule_recall([("r1", r1), ("r2", r2)], truth).collect()
+    got = {
+        r["rule"]: (
+            r["n_true_caught"], r["n_new_true"], r["n_cumulative_true"],
+            r["total_truth_pairs"], r["recall_rule"], r["recall_cumulative"],
+        )
+        for r in out
+    }
+    assert got == {
+        "r1": (2, 2, 2, 3, 2 / 3, 2 / 3),
+        "r2": (1, 0, 2, 3, 1 / 3, 2 / 3),
+    }
+    missed = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in missed_truth_pairs([("r1", r1), ("r2", r2)], truth).collect()
+    }
+    assert missed == {("g", "h")}
+
+
+def test_blocking_rule_recall_empty_truth_gives_null_recall(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+    )
+
+    r1 = _pairs(spark, [("a", "b")])
+    truth = _pairs(spark, []).limit(0)
+    [row] = blocking_rule_recall([("r1", r1)], truth).collect()
+    assert row["n_true_caught"] == 0
+    assert row["total_truth_pairs"] == 0
+    assert row["recall_rule"] is None
+    assert row["recall_cumulative"] is None
+
+
+def test_blocking_rule_recall_rejects_empty_rules(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+        missed_truth_pairs,
+    )
+
+    truth = _pairs(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        blocking_rule_recall([], truth)
+    with pytest.raises(ValueError):
+        missed_truth_pairs([], truth)
+
+
+def test_missed_truth_pairs_extra_columns_survive(spark):
+    # truth frames in practice carry label metadata (source, labeler);
+    # the anti-join must keep those columns on the missed rows.
+    from postal_address_spark.operators.blocking_analysis import (
+        missed_truth_pairs,
+    )
+
+    r1 = _pairs(spark, [("a", "b")])
+    truth = spark.createDataFrame(
+        [("a", "b", "clerical"), ("g", "h", "clerical")],
+        "rec_id_a string, rec_id_b string, label_source string",
+    )
+    rows = missed_truth_pairs([("r1", r1)], truth).collect()
+    assert [(r["rec_id_a"], r["rec_id_b"], r["label_source"]) for r in rows] \
+        == [("g", "h", "clerical")]

@@ -53,7 +53,8 @@ EXPECTED_QUERIES = {
     "fs_pattern_counts", "fs_em_weights", "er_review_queue",
     "er_labeling_sample", "fs_labeled_mu", "sequence_packing", "snm_pairs",
     "tf_city_evidence",
-    "link_two_datasets", "blocking_rule_coverage", "meta_blocking_pairs",
+    "link_two_datasets", "blocking_rule_coverage", "blocking_recall",
+    "meta_blocking_pairs",
     "unblocked_mentions", "er_unlinkables", "profile_customer",
     "link_best_matches", "streaming_link_datasets",
 }
