@@ -226,6 +226,16 @@ def main() -> None:
             em.queries()["tf_city_evidence"](spark, SF),
         ),
         (
+            "blocking_recall — broadcast labeled-truth probe",
+            "Look for: the clerical truth set on the BUILD side of a "
+            "BroadcastHashJoin against the unioned candidate streams (no "
+            "Exchange of any rule's pair volume on the pair key before "
+            "the join) — each rule reduces to its labeled survivors "
+            "map-side, so the two tallies aggregate at most rules*|truth| "
+            "rows no matter how many pairs the rules generate.",
+            em.queries()["blocking_recall"](spark, SF),
+        ),
+        (
             "phonetic_blocking_stats — pure-codegen soundex key",
             "Look for: zero ArrowEvalPython/BatchEvalPython nodes — "
             "soundex + regexp_extract are JVM expressions inside "

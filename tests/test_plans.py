@@ -449,3 +449,45 @@ def test_sft_single_fold_shuffle_no_python(spark):
         1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
     )
     assert n_exchanges <= 2, plan[:3000]
+
+
+def test_blocking_recall_truth_probe_is_broadcast(spark):
+    """blocking_rule_recall (operators/blocking_analysis.py): the clerical
+    truth set must BROADCAST into the unioned candidate streams — a
+    SortMergeJoin on the pair key would shuffle every rule's full
+    candidate volume to intersect it with a few thousand labeled pairs.
+    Same discipline for missed_truth_pairs' LeftSemi probes."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+        missed_truth_pairs,
+    )
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("rec_id"),
+        F.col("c_nationkey").alias("k"),
+    )
+    pairs = (
+        cust.alias("a")
+        .join(cust.alias("b"), "k")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+    )
+    truth = spark.createDataFrame(
+        [("1", "2"), ("3", "4")], "rec_id_a string, rec_id_b string"
+    )
+    plan = physical(blocking_rule_recall([("r1", pairs)], truth))
+    # the candidate->truth intersection never sorts/shuffles on the pair
+    # key; the only SMJ allowed is the rule's own equi-join on k.
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "rec_id_a" not in line, line
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    mplan = physical(missed_truth_pairs([("r1", pairs)], truth))
+    semi = [l for l in mplan.splitlines() if "LeftSemi" in l]
+    assert semi and all("Broadcast" in l for l in semi), semi or mplan[:2000]
