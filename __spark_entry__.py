@@ -565,6 +565,56 @@ def _q_conv_windows(spark, sf_dir):
     ).orderBy("conv", "window_idx")
 
 
+def _q_conv_prefix_dups(spark, sf_dir):
+    """Prefix-containment dedup decisions
+    (operators/conversations.py prefix_containment_dups — the
+    incremental-logging trap: a pipeline that snapshots a chat after
+    every exchange stores k strict PREFIXES of the final transcript;
+    exact signatures differ and token-set Jaccard drifts below
+    threshold, yet every copy over-weights the opening turns).  The
+    fixture conversations are too long for organic prefix collisions,
+    so the query PLANTS the failure mode deterministically: every
+    conversation with ``conv_id % 7 == 0`` also contributes a snapshot
+    copy of its first ``ceil(n/2)`` turns under ``conv_id + 1000000`` —
+    exactly replayable in DuckDB (row_number/count windows + integer
+    div).  Candidates come from an integer-signature equi-join (one
+    (conv,k,checksum,last-hash) row per turn, token text never rides
+    the stream); arrays join back only to slice-verify the bounded
+    candidate set, so anagram checksum collisions cannot create false
+    positives.  Representative container = longest, ties smallest id
+    (min(struct(-n,id)) ≡ row_number ORDER BY n DESC, id ASC)."""
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    from pyspark.sql import Window
+
+    turns = _conv_turns(spark, sf_dir)
+    wo = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("conv_id")
+    ranked = turns.select(
+        "conv_id",
+        "ts",
+        "event_id",
+        "action",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    snaps = ranked.where(
+        (F.pmod("conv_id", F.lit(7)) == 0)
+        & (F.col("_rn") <= F.expr("(_n + 1) div 2"))
+    ).select(
+        (F.col("conv_id") + 1000000).alias("conv_id"),
+        "ts",
+        "event_id",
+        "action",
+    )
+    aug = turns.unionByName(snaps)
+    return prefix_containment_dups(
+        aug, "conv_id", ("ts", "event_id"), "action"
+    ).orderBy("conv_id")
+
+
 def _q_conv_alternation(spark, sf_dir):
     """Role-alternation well-formedness per conversation
     (operators/conversations.py alternation_stats): adjacent same-role
@@ -2842,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dup_clusters": _q_conv_dup_clusters,
         "conv_transitions": _q_conv_transitions,
         "conv_windows": _q_conv_windows,
+        "conv_prefix_dups": _q_conv_prefix_dups,
         "conv_alternation": _q_conv_alternation,
         "conv_quality_stats": _q_conv_quality,
         "conv_split_summary": _q_conv_split_summary,
@@ -5443,6 +5494,63 @@ def oracle_sql() -> dict[str, str]:
            array_to_string(toks[i*3+1 : i*3+6], ' ') AS window_text
     FROM sized, LATERAL unnest(generate_series(0, n_win - 1)) AS t(i)
     ORDER BY conv, window_idx
+    """
+
+    # -- conv_prefix_dups: NON-mirrored brute-force oracle — the planted
+    # snapshot augmentation (conv_id % 7 == 0 -> first ceil(n/2) turns
+    # under conv_id + 1000000) replays via row_number/count windows and
+    # integer div, then prefix containment is decided by DIRECT list
+    # slicing over ALL strictly-shorter/longer pairs: a hash-match also
+    # proves the engine's integer-signature candidate join recall-
+    # lossless (the Ed-Join / conv_near_dups adjudication), not merely
+    # self-consistent.
+    sql["conv_prefix_dups"] = """
+    WITH t AS (
+      SELECT user_id AS conv, ts, event_id, lower(event_type) AS action
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+      SELECT conv, ts, event_id, action,
+             row_number() OVER (PARTITION BY conv ORDER BY ts, event_id)
+               AS rn,
+             count(*) OVER (PARTITION BY conv) AS n
+      FROM t
+    ),
+    aug AS (
+      SELECT conv, ts, event_id, action FROM t
+      UNION ALL
+      SELECT conv + 1000000, ts, event_id, action FROM r
+      WHERE conv % 7 = 0 AND rn <= (n + 1) // 2
+    ),
+    folded AS (
+      SELECT conv, list(action ORDER BY ts, event_id) AS toks,
+             count(*) AS n
+      FROM aug GROUP BY conv
+    ),
+    pairs AS (
+      SELECT c.conv AS cc, d.conv AS dc, d.n AS dn
+      FROM folded c JOIN folded d
+        ON c.n < d.n AND d.toks[1:CAST(c.n AS INT)] = c.toks
+    ),
+    agg AS (SELECT cc, count(*) AS n_containers FROM pairs GROUP BY cc),
+    rep AS (
+      SELECT cc, dc, dn FROM (
+        SELECT cc, dc, dn,
+               row_number() OVER (PARTITION BY cc
+                                  ORDER BY dn DESC, dc ASC) AS rk
+        FROM pairs) WHERE rk = 1
+    )
+    SELECT f.conv AS conv_id,
+           CAST(f.n AS BIGINT) AS n_turns,
+           CASE WHEN a.n_containers IS NOT NULL
+                THEN 'prefix_dup' ELSE 'kept' END AS status,
+           CAST(coalesce(a.n_containers, 0) AS BIGINT) AS n_containers,
+           r.dc AS container,
+           CAST(r.dn AS BIGINT) AS container_n_turns
+    FROM folded f
+    LEFT JOIN agg a ON f.conv = a.cc
+    LEFT JOIN rep r ON f.conv = r.cc
+    ORDER BY conv_id
     """
 
     sql["conv_transitions"] = """

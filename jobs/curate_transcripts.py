@@ -3,6 +3,8 @@ for multi-turn conversation data, composing the conversation operators
 the way ``jobs/curate.py`` composes the document ones:
 
     conversation quality gate -> exact dedup (content signature)
+    -> [prefix-containment dedup: incremental-logging snapshots — strict
+        prefixes of a longer conversation — dropped for their container]
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
     -> [semantic dedup (hashed-gram cosine) -> keep-one]
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
@@ -20,7 +22,8 @@ Package the engine and submit::
         --output-root <dir>       # writes <dir>/turns + <dir>/rejected_convs \
         [--conv-col conv_id] [--order-cols turn_idx] [--action-col role] \
         [--min-turns 3] [--min-distinct 2] [--max-run 6] \
-        [--tau-num 7 --tau-den 10] [--no-near-dup] [--split-salt 2024] \
+        [--tau-num 7 --tau-den 10] [--no-near-dup] [--prefix-dedup] \
+        [--split-salt 2024] \
         [--semantic-dedup [--sem-tau-num 19 --sem-tau-den 20]] \
         [--sft-output <dir> [--sft-role assistant] [--sft-max-context 8] \
          [--sft-min-response-chars 1]] \
@@ -86,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau-den", type=int, default=10)
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the near-dup conversation dedup")
+    p.add_argument("--prefix-dedup", action="store_true",
+                   help="additionally drop conversations whose full token "
+                   "sequence is a STRICT PREFIX of a longer surviving one "
+                   "(incremental-logging snapshots; "
+                   "operators/conversations.py prefix_containment_dups)")
     p.add_argument("--semantic-dedup", action="store_true",
                    help="additionally drop PARAPHRASE duplicates: "
                    "hashed-gram embedding + sign-LSH + exact integer "
@@ -195,6 +203,24 @@ def main(argv=None, spark=None) -> dict:
     )
     n_exact_dropped = n_convs_in - rejected.count() - exact_reps.count()
     turns = turns.join(exact_reps, conv, "left_semi")
+
+    # 2b. optional PREFIX-containment dedup: incremental-logging
+    # snapshots — conversations whose full sequence is a strict prefix
+    # of a longer surviving one — drop in favor of their container
+    # (operators/conversations.py prefix_containment_dups; prefix-of-a-
+    # prefix is a prefix, so keep/drop needs no closure).  Same dedup
+    # identity as stages 2/3; runs AFTER exact dedup so equal-length
+    # copies are already gone.
+    n_prefix_dropped = 0
+    if args.prefix_dedup:
+        from postal_address_spark.operators.conversations import (
+            prefix_containment_dups,
+        )
+
+        pdec = prefix_containment_dups(turns, conv, order_cols, dedup_tok)
+        pdrop = pdec.where(F.col("status") == "prefix_dup").select(conv)
+        n_prefix_dropped = pdrop.count()
+        turns = turns.join(pdrop, conv, "left_anti")
 
     # 3. near-dup dedup: exact prefix-filtered Jaccard pairs over the
     # surviving conversations -> connected components -> keep min id.
@@ -388,6 +414,7 @@ def main(argv=None, spark=None) -> dict:
         "n_null_conv_turns": int(n_null_conv),
         "n_convs_in": int(n_convs_in),
         "n_exact_dropped": int(n_exact_dropped),
+        "n_prefix_dropped": int(n_prefix_dropped),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_semantic_dropped": int(n_sem_dropped),
         "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),

@@ -557,3 +557,142 @@ def alternation_stats(
             "first_violation_idx"
         ),
     )
+
+
+def prefix_containment_dups(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    token_col: str = "action",
+) -> DataFrame:
+    """Prefix-containment dedup decisions — the incremental-logging trap
+    neither exact dedup nor Jaccard reliably catches: a chat pipeline
+    that snapshots the log after every exchange stores k PREFIXES of the
+    final conversation.  Exact signatures differ (different lengths);
+    token-SET Jaccard can sit below any threshold once later turns add
+    vocabulary; yet training on all k copies over-weights the opening
+    turns k-fold.  A conversation is a prefix-duplicate iff its FULL
+    ordered token sequence equals the first ``n`` tokens of a STRICTLY
+    longer conversation (infix/suffix containment intentionally excluded:
+    a shared opening is containment; a shared middle is coincidence).
+    Equal-length exact duplicates are :func:`conversation_signatures`'
+    job and are deliberately NOT flagged here.
+
+    Scale shape (the engine rules): candidate generation is an equi-join
+    on integer signatures only — the prefix stream carries ``(conv, k,
+    checksum, last_tok_hash)`` longs, one row per turn (O(total turns),
+    token text never rides the stream); the full-side signature is one
+    row per conversation computed from the already-folded array.  Token
+    arrays join back ONLY for the exact ``slice == toks`` verification of
+    the (bounded) candidate set — dedup rule 7's "ids explode, payloads
+    join back".  The checksum is an order-insensitive positional sum
+    (``sum(pmod(xxhash64(tok), 2^31))``), so anagram prefixes can
+    collide into candidates; the verify join rejects them, keeping the
+    operator EXACT (tests plant such collisions).  Transitivity is free:
+    prefix-of-a-prefix is a prefix, so keep/drop needs no closure.
+
+    Output, one row per conversation with ≥1 non-NULL token:
+    ``(conv_col, n_turns, status kept|prefix_dup, n_containers,
+    container, container_n_turns)`` — ``container`` is the LONGEST
+    containing conversation (ties: smallest id; the argmax is a
+    ``min(struct(-n, id))``, bit-stable across engines)."""
+    mod = F.lit(1 << 31)
+    folded = _ordered_token_arrays(turns, conv_col, order_cols, token_col)
+    base = folded.select("conv", "n_turns", "toks")
+
+    pos = base.select(
+        "conv", F.posexplode_outer("toks").alias("i", "tok")
+    )
+    pos = pos.select(
+        "conv",
+        (F.col("i") + 1).alias("k"),
+        F.pmod(F.xxhash64("tok"), mod).alias("tokh"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = pos.select(
+        "conv", "k", F.sum("tokh").over(w).alias("cum"), "tokh"
+    )
+
+    full = base.select(
+        "conv",
+        "n_turns",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.pmod(F.xxhash64(x), mod),
+        ).alias("cum"),
+        F.pmod(F.xxhash64(F.element_at("toks", -1)), mod).alias("tokh"),
+    )
+
+    cand = (
+        full.alias("c")
+        .join(
+            pref.alias("d"),
+            (F.col("c.n_turns") == F.col("d.k"))
+            & (F.col("c.cum") == F.col("d.cum"))
+            & (F.col("c.tokh") == F.col("d.tokh"))
+            & (F.col("c.conv") != F.col("d.conv")),
+        )
+        .select(
+            F.col("c.conv").alias("contained"),
+            F.col("d.conv").alias("container"),
+            F.col("c.n_turns").alias("k"),
+        )
+    )
+
+    ver = (
+        cand.join(
+            base.select(
+                F.col("conv").alias("contained"),
+                F.col("toks").alias("toks_c"),
+            ),
+            "contained",
+        )
+        .join(
+            base.select(
+                F.col("conv").alias("container"),
+                F.col("n_turns").alias("n_d"),
+                F.col("toks").alias("toks_d"),
+            ),
+            "container",
+        )
+        .where(
+            (F.col("n_d") > F.col("k"))
+            & (F.slice("toks_d", F.lit(1), F.col("k")) == F.col("toks_c"))
+        )
+    )
+
+    per = ver.groupBy("contained").agg(
+        F.count(F.lit(1)).alias("n_containers"),
+        F.min(
+            F.struct(
+                (-F.col("n_d")).alias("neg"),
+                F.col("container").alias("c"),
+            )
+        ).alias("rep"),
+    )
+
+    return (
+        base.select("conv", "n_turns")
+        .join(per, F.col("conv") == F.col("contained"), "left")
+        .select(
+            F.col("conv").alias(conv_col),
+            "n_turns",
+            F.when(
+                F.col("n_containers").isNotNull(), F.lit("prefix_dup")
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("n_containers", F.lit(0))
+            .cast("long")
+            .alias("n_containers"),
+            F.col("rep.c").alias("container"),
+            (-F.col("rep.neg")).cast("long").alias("container_n_turns"),
+        )
+    )

@@ -522,3 +522,153 @@ def test_alternation_stats_single_exchange(spark):
     plan = alternation_stats(turns)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan[:2500]
     assert "Join" not in plan, plan[:2500]
+
+
+# ---------------------------------------------------------------------------
+# prefix_containment_dups
+# ---------------------------------------------------------------------------
+
+
+def _prefix_rows(convs):
+    rows = []
+    for cid, toks in convs.items():
+        rows.extend((cid, i, t) for i, t in enumerate(toks))
+    return rows
+
+
+def test_prefix_dups_hand_case_with_anagram_collision(spark):
+    """B and C (equal-length exact dups) are both strict prefixes of A;
+    E is an INFIX of A (kept — containment means shared opening, not
+    shared middle); F is an ANAGRAM of B — its order-insensitive
+    checksum collides with B's prefix signature, so the verify join must
+    reject the A-candidacy while still catching F's true container G."""
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    convs = {
+        "A": ["a", "b", "c", "d"],
+        "B": ["a", "b"],
+        "C": ["a", "b"],
+        "D": ["x", "y"],
+        "E": ["b", "c"],
+        "F": ["b", "a"],
+        "G": ["b", "a", "z"],
+    }
+    out = prefix_containment_dups(
+        _turns_df(spark, _prefix_rows(convs))
+    ).collect()
+    got = {
+        r["conv_id"]: (
+            r["status"], r["n_containers"], r["container"],
+            r["container_n_turns"],
+        )
+        for r in out
+    }
+    assert got == {
+        "A": ("kept", 0, None, None),
+        "B": ("prefix_dup", 1, "A", 4),
+        "C": ("prefix_dup", 1, "A", 4),
+        "D": ("kept", 0, None, None),
+        "E": ("kept", 0, None, None),
+        "F": ("prefix_dup", 1, "G", 3),
+        "G": ("kept", 0, None, None),
+    }
+
+
+def test_prefix_dups_longest_container_tie_break(spark):
+    """Representative container = longest, then smallest id."""
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    convs = {
+        "p": ["a"],
+        "m2": ["a", "b"],
+        "m1": ["a", "c"],
+        "long": ["a", "b", "c"],
+    }
+    out = {
+        r["conv_id"]: r
+        for r in prefix_containment_dups(
+            _turns_df(spark, _prefix_rows(convs))
+        ).collect()
+    }
+    # p is contained by m1, m2 and long; longest wins
+    assert out["p"]["n_containers"] == 3
+    assert out["p"]["container"] == "long"
+    assert out["p"]["container_n_turns"] == 3
+    # m2 is a prefix of long; m1 is not
+    assert out["m2"]["status"] == "prefix_dup"
+    assert out["m1"]["status"] == "kept"
+
+
+def test_prefix_dups_brute_force_random_corpus(spark):
+    """Seeded random corpora over a small alphabet (so prefix collisions
+    and anagram checksum collisions genuinely occur) — the operator must
+    equal python brute force exactly: per conversation the full set of
+    strictly-longer containers whose opening equals the sequence."""
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    rng = random.Random(17)
+    alphabet = ["a", "b", "c"]
+    convs = {}
+    for i in range(80):
+        n = rng.randint(1, 6)
+        convs[f"c{i:03d}"] = [rng.choice(alphabet) for _ in range(n)]
+    # plant explicit snapshot chains too
+    convs["s0"] = ["a", "c", "b", "a", "c", "b", "b"]
+    convs["s1"] = convs["s0"][:5]
+    convs["s2"] = convs["s0"][:2]
+
+    want = {}
+    for c, toks in convs.items():
+        containers = {
+            (d, len(dt))
+            for d, dt in convs.items()
+            if d != c and len(dt) > len(toks) and dt[: len(toks)] == toks
+        }
+        if containers:
+            rep = min((-n, d) for d, n in containers)
+            want[c] = (
+                "prefix_dup", len(containers), rep[1], -rep[0],
+            )
+        else:
+            want[c] = ("kept", 0, None, None)
+
+    out = prefix_containment_dups(
+        _turns_df(spark, _prefix_rows(convs))
+    ).collect()
+    got = {
+        r["conv_id"]: (
+            r["status"], r["n_containers"], r["container"],
+            r["container_n_turns"],
+        )
+        for r in out
+    }
+    assert got == want
+
+
+def test_prefix_dups_degenerate_inputs(spark):
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    empty = _turns_df(spark, [])
+    assert prefix_containment_dups(empty).collect() == []
+    single = _turns_df(spark, [("only", 0, "a")])
+    [row] = prefix_containment_dups(single).collect()
+    assert (row["status"], row["n_containers"]) == ("kept", 0)
+    # NULL actions carry no sequence information: a conversation whose
+    # non-NULL tokens prefix another is still caught
+    withnull = spark.createDataFrame(
+        [("x", 0, "a"), ("x", 1, None), ("y", 0, "a"), ("y", 1, "b")],
+        "conv_id string, turn_idx int, action string",
+    )
+    got = {
+        r["conv_id"]: r["status"]
+        for r in prefix_containment_dups(withnull).collect()
+    }
+    assert got == {"x": "prefix_dup", "y": "kept"}

@@ -251,3 +251,50 @@ def test_curate_transcripts_pack_budget(spark, tmp_path):
     for v in splits.values():
         assert v["n_oversize_bins"] == 0
         assert v["utilization"] is not None and 0 < v["utilization"] <= 1
+
+
+def test_curate_transcripts_prefix_dedup_stage(spark, tmp_path):
+    """--prefix-dedup drops incremental-logging snapshots (strict
+    prefixes of a longer survivor) and ONLY those: an infix overlap and
+    a distinct conversation survive; without the flag nothing drops.
+    Texts differ per turn so near-dup Jaccard stays below tau and the
+    prefix stage is the only thing that can catch the snapshots."""
+    import curate_transcripts
+
+    texts = [f"step {i} payload{i}{i}" for i in range(10)]
+
+    def tconv(cid, toks):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in enumerate(toks)
+        ]
+
+    rows = (
+        tconv(1, texts)            # full conversation
+        + tconv(2, texts[:4])      # snapshot after 4 turns -> prefix_dup
+        + tconv(3, texts[:7])      # snapshot after 7 turns -> prefix_dup
+        + tconv(4, texts[3:7])     # INFIX of 1 -> kept
+        + tconv(5, [f"other {i}" for i in range(6)])  # unrelated -> kept
+    )
+    inp = str(tmp_path / "turns_prefix")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_prefix"),
+         "--prefix-dedup", "--tau-num", "99", "--tau-den", "100"],
+        spark=spark,
+    )
+    assert summary["n_prefix_dropped"] == 2
+    kept = spark.read.parquet(summary["turns"])
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} \
+        == {1, 4, 5}
+
+    summary2 = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_noprefix"),
+         "--tau-num", "99", "--tau-den", "100"],
+        spark=spark,
+    )
+    assert summary2["n_prefix_dropped"] == 0
+    assert summary2["n_convs_kept"] == 5
