@@ -2460,6 +2460,50 @@ def _q_blocking_recall(spark, sf_dir):
     return blocking_rule_recall(rules, truth)
 
 
+def _q_er_dup_estimate(spark, sf_dir):
+    """Capture–recapture estimate of the matches blocking missed
+    (operators/blocking_analysis.py capture_recapture — census
+    dual-system estimation, Chapman's bias-corrected form): the two
+    key-equality production rules (exact postal+housenumber, phonetic
+    city) are the independent capture systems, each feeding the SAME
+    integer lev<=5 kernel over the union of their candidates (the
+    kernel runs once per distinct pair).  Needs NO labels — the
+    complement of blocking_recall's clerical-sample audit.  Both
+    estimate columns are single int/int divisions with denominator
+    m+1 >= 1 (never NULL), the numerators exact int64 algebra — the
+    DuckDB oracle replays the rules, the kernel, and the estimator
+    bit-for-bit.  Correlated rules bias the estimate downward
+    (independence caveat in the operator docstring): read est_missed
+    as a lower bound."""
+    from postal_address_spark.operators.blocking_analysis import (
+        capture_recapture,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir, include_snm=False)
+    (name_a, pa), (name_b, pb) = rules[0], rules[1]
+    lv = norm.select("rec_id", F.lower("line1").alias("_l1"))
+    cand = pa.unionByName(pb).distinct()
+    edges = (
+        cand.join(
+            lv.select(
+                F.col("rec_id").alias("rec_id_a"), F.col("_l1").alias("_la")
+            ),
+            "rec_id_a",
+        )
+        .join(
+            lv.select(
+                F.col("rec_id").alias("rec_id_b"), F.col("_l1").alias("_lb")
+            ),
+            "rec_id_b",
+        )
+        .where(F.levenshtein("_la", "_lb") <= 5)
+        .select("rec_id_a", "rec_id_b")
+    )
+    ma = pa.join(edges, ["rec_id_a", "rec_id_b"], "left_semi")
+    mb = pb.join(edges, ["rec_id_a", "rec_id_b"], "left_semi")
+    return capture_recapture(ma, mb, system_a=name_a, system_b=name_b)
+
+
 def _q_er_entity_split(spark, sf_dir):
     """Leakage-safe matcher-training split (operators/cluster.py
     with_entity_split): train/valid/test as a pure function of the
@@ -2858,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "blocking_recall": _q_blocking_recall,
+        "er_dup_estimate": _q_er_dup_estimate,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
         "er_unlinkables": _q_er_unlinkables,
@@ -5248,6 +5293,40 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- er_dup_estimate: Chapman dual-system estimator over the two
+    # key-equality rules as capture systems, same lev<=5 kernel run once
+    # per distinct candidate; both estimates single int/int divisions
+    # with denominator n_both+1 >= 1.
+    sql["er_dup_estimate"] = f"""
+    WITH {_bcov_prefix},
+    lv AS (SELECT rec_id, lower(line1) AS l1 FROM ids),
+    cand AS (SELECT s, d FROM p1 UNION SELECT s, d FROM p2),
+    edges AS (
+      SELECT c.s, c.d FROM cand c
+      JOIN lv a ON c.s = a.rec_id
+      JOIN lv b ON c.d = b.rec_id
+      WHERE levenshtein(a.l1, b.l1) <= 5
+    ),
+    ma AS (SELECT p.s, p.d FROM p1 p JOIN edges e USING (s, d)),
+    mb AS (SELECT p.s, p.d FROM p2 p JOIN edges e USING (s, d)),
+    na AS (SELECT count(*) AS n_a FROM ma),
+    nb AS (SELECT count(*) AS n_b FROM mb),
+    nm AS (SELECT count(*) AS n_both FROM
+             (SELECT s, d FROM ma INTERSECT SELECT s, d FROM mb))
+    SELECT 'exact_postal_hn' AS system_a,
+           'phonetic_city' AS system_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_a + n_b - n_both AS BIGINT) AS n_union,
+           ((n_a + 1) * (n_b + 1) - (n_both + 1)) / (n_both + 1)
+             AS est_total_matches,
+           ((n_a + 1) * (n_b + 1) - (n_both + 1)
+             - (n_a + n_b - n_both) * (n_both + 1)) / (n_both + 1)
+             AS est_missed
+    FROM na, nb, nm
     """
 
     # -- er_edge_provenance: first-rule credit joined onto the admitted

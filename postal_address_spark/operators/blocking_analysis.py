@@ -524,3 +524,64 @@ def edge_provenance(
         .withColumn("match_key", name)
         .drop("_first")
     )
+
+
+def capture_recapture(
+    matched_a: DataFrame,
+    matched_b: DataFrame,
+    system_a: str = "system_a",
+    system_b: str = "system_b",
+) -> DataFrame:
+    """Dual-system (capture–recapture) estimate of the TOTAL matched-pair
+    population — the label-free companion to :func:`blocking_rule_recall`:
+    when no clerical truth exists, two INDEPENDENT capture systems (two
+    blocking rules, each feeding the same match kernel) estimate how many
+    matches both of them missed, the dual-system estimation used in
+    census coverage evaluation since Sekar & Deming (JASA 1949).
+
+    Chapman's bias-corrected estimator::
+
+        N_hat = (n_a + 1)(n_b + 1) / (m + 1) - 1
+
+    where ``n_a``/``n_b`` are the match pairs each system captured and
+    ``m`` the pairs captured by both.  Algebraically
+    ``N_hat = ((n_a+1)(n_b+1) - (m+1)) / (m+1)`` and
+    ``est_missed = N_hat - |A ∪ B|
+                 = ((n_a+1)(n_b+1) - (m+1) - |A∪B|(m+1)) / (m+1)`` —
+    each a SINGLE integer/integer division (denominator ≥ 1, never
+    NULL/div-zero), so the one-row report is hash-stable across engines.
+    The integer numerator is exact while ``n_a, n_b < ~3.0e9`` (the
+    int64 bound on the product); past that, sample the pair streams
+    before estimating — at that volume the estimate is about the RATE,
+    not the roster.
+
+    THE CAVEAT THAT MATTERS: the estimator assumes capture independence.
+    Blocking rules keyed on correlated evidence (postal code and city
+    both missing on the same dirty records) violate it and bias N_hat
+    DOWNWARD — treat ``est_missed`` as a lower bound on what blocking
+    left on the floor, exactly how census dual-system estimates are
+    read.  Inputs are match-PAIR frames ``(rec_id_a, rec_id_b)`` (id-
+    ordered); each is deduped here, so callers may pass raw per-rule
+    captures.  Everything aggregates map-side to three 1-row frames
+    before the final cross join (evaluate.py's 1-row-frame precedent) —
+    nothing pair-scale ever reaches the driver."""
+    a = matched_a.select("rec_id_a", "rec_id_b").distinct()
+    b = matched_b.select("rec_id_a", "rec_id_b").distinct()
+    both = a.join(b, ["rec_id_a", "rec_id_b"])
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    nm = both.agg(F.count(F.lit(1)).alias("n_both"))
+    out = na.crossJoin(nb).crossJoin(nm)
+    num = (F.col("n_a") + 1) * (F.col("n_b") + 1) - (F.col("n_both") + 1)
+    den = F.col("n_both") + 1
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        F.lit(system_a).alias("system_a"),
+        F.lit(system_b).alias("system_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        n_union.cast("long").alias("n_union"),
+        (num / den).alias("est_total_matches"),
+        ((num - n_union * den) / den).alias("est_missed"),
+    )

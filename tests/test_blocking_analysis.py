@@ -362,3 +362,41 @@ def test_missed_truth_pairs_extra_columns_survive(spark):
     rows = missed_truth_pairs([("r1", r1)], truth).collect()
     assert [(r["rec_id_a"], r["rec_id_b"], r["label_source"]) for r in rows] \
         == [("g", "h", "clerical")]
+
+
+def test_capture_recapture_chapman_hand_case(spark):
+    """n_a=4, n_b=3, both=2 -> Chapman N_hat = 5*4/3 - 1 = 17/3;
+    union = 5, est_missed = 17/3 - 5 = 2/3."""
+    from postal_address_spark.operators.blocking_analysis import (
+        capture_recapture,
+    )
+
+    a = _pairs(spark, [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")])
+    b = _pairs(spark, [("a", "b"), ("c", "d"), ("i", "j")])
+    [row] = capture_recapture(a, b, "ruleA", "ruleB").collect()
+    assert (row["system_a"], row["system_b"]) == ("ruleA", "ruleB")
+    assert (row["n_a"], row["n_b"], row["n_both"], row["n_union"]) \
+        == (4, 3, 2, 5)
+    assert row["est_total_matches"] == (5 * 4 - 3) / 3   # 17/3
+    assert row["est_missed"] == (17 - 5 * 3) / 3         # 2/3
+
+
+def test_capture_recapture_dedupes_and_degenerates(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        capture_recapture,
+    )
+
+    # duplicate capture rows must not inflate counts
+    a = _pairs(spark, [("a", "b"), ("a", "b"), ("c", "d")])
+    b = _pairs(spark, [("a", "b"), ("a", "b")])
+    [row] = capture_recapture(a, b).collect()
+    assert (row["n_a"], row["n_b"], row["n_both"]) == (2, 1, 1)
+    # perfect overlap -> estimator says nothing is missed
+    [same] = capture_recapture(a, a).collect()
+    assert same["est_missed"] == 0.0
+    assert same["est_total_matches"] == float(same["n_union"])
+    # both systems empty -> all zeros, no div-by-zero
+    empty = _pairs(spark, []).limit(0)
+    [z] = capture_recapture(empty, empty).collect()
+    assert (z["n_a"], z["n_b"], z["n_both"], z["n_union"]) == (0, 0, 0, 0)
+    assert z["est_total_matches"] == 0.0 and z["est_missed"] == 0.0
