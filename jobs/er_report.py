@@ -31,6 +31,14 @@ and AFTER committing a full linkage run):
   (``labeled_mu/``) and the Horvitz-Thompson-reweighted labeled-vs-EM
   parameter audit (``mu_audit/``) — the trust check that the
   unsupervised fit converged to the match/non-match dichotomy;
+* **labeled blocking recall** (opt-in, ``--truth-pairs``): per rule the
+  fraction of KNOWN matches it co-blocks (first-rule-credited) plus the
+  concrete missed-match list (``blocking_recall/``, ``missed_truth/``) —
+  the recall side the cost-side coverage chart can't see;
+* **capture–recapture missed-match estimate** (opt-in,
+  ``--dup-estimate``): Chapman dual-system estimate of the matches BOTH
+  keyed rules missed, label-free (``dup_estimate/``; correlated rules
+  bias it downward — read as a lower bound);
 * **review impact** (opt-in, ``--decisions``): fold adjudicated
   confirm/reject decisions back into the production match edges
   (operators/review.py) and report what the re-closure changes —
@@ -106,6 +114,26 @@ def build_parser() -> argparse.ArgumentParser:
         "mu_audit/ (labeled vs EM m/u and log2-Bayes-factor deltas via "
         "the Horvitz-Thompson-reweighted fs_em.labeled_params), the "
         "trust check that EM converged to the match/non-match dichotomy",
+    )
+    p.add_argument(
+        "--truth-pairs",
+        help="labeled TRUE match pairs table (rec_id_a, rec_id_b, id-"
+        "ordered; label metadata columns ride along) — when given, the "
+        "report writes blocking_recall/ (per-rule labeled-match recall, "
+        "blocking_analysis.blocking_rule_recall: the fraction of known "
+        "matches each rule co-blocks, first-rule-credited) and "
+        "missed_truth/ (the labeled matches NO rule co-blocks — the "
+        "casualty list a new rule should be designed around).  The "
+        "truth set broadcasts; cost is one map-side reduction per rule",
+    )
+    p.add_argument(
+        "--dup-estimate", action="store_true",
+        help="opt-in: write dup_estimate/ — the Chapman capture-"
+        "recapture estimate of matches BOTH keyed rules missed "
+        "(blocking_analysis.capture_recapture; label-free, independence "
+        "caveat documented there: correlated rules bias it downward).  "
+        "Pays the scoring kernel over the union of the two keyed "
+        "rules' candidates",
     )
     p.add_argument(
         "--decisions",
@@ -186,6 +214,83 @@ def main(argv=None, spark=None) -> dict:
     # unblocked vs the abstaining keyed rules (SNM never abstains)
     unblocked = unblocked_records(norm, "rec_id", rules[:2])
     write_table(unblocked, f"{root}/unblocked")
+
+    # ---- labeled-match recall per rule (opt-in): the RECALL side the
+    # cost-side coverage above can't see — what fraction of KNOWN
+    # matches each rule co-blocks, plus the concrete missed-pair list.
+    # The clerical truth set broadcasts, so each rule's candidate stream
+    # reduces to its labeled survivors map-side (cost ~ coverage's).
+    recall_rows = None
+    if args.truth_pairs:
+        from postal_address_spark.operators.blocking_analysis import (
+            blocking_rule_recall,
+            missed_truth_pairs,
+        )
+
+        truth = read_table(spark, args.truth_pairs)
+        recall = blocking_rule_recall(rules, truth)
+        write_table(recall, f"{root}/blocking_recall")
+        write_table(
+            missed_truth_pairs(rules, truth), f"{root}/missed_truth"
+        )
+        recall_rows = {
+            r["rule"]: {
+                "n_true_caught": int(r["n_true_caught"]),
+                "recall_rule": r["recall_rule"],
+                "recall_cumulative": r["recall_cumulative"],
+            }
+            for r in spark.read.parquet(f"{root}/blocking_recall").collect()
+        }
+
+    # ---- capture-recapture missed-match estimate (opt-in, label-free):
+    # the two keyed rules as dual capture systems over the production
+    # score — the kernel runs ONCE over the distinct candidate union,
+    # each rule's matches recovered by a semi-join.
+    dup_est = None
+    if args.dup_estimate:
+        from postal_address_spark.operators.blocking_analysis import (
+            capture_recapture,
+        )
+        from postal_address_spark.operators.scoring import score_pairs
+
+        (sys_a, cap_a), (sys_b, cap_b) = rules[0], rules[1]
+        cand = cap_a.unionByName(cap_b).distinct()
+        vcols = ["line1", "city_name", "postal_code"]
+        paired = cand.join(
+            norm.select(
+                F.col("rec_id").alias("rec_id_a"),
+                F.col("block_key"),
+                *[F.col(c).alias(f"{c}_a") for c in vcols],
+            ),
+            "rec_id_a",
+        ).join(
+            norm.select(
+                F.col("rec_id").alias("rec_id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in vcols],
+            ),
+            "rec_id_b",
+        )
+        match_edges = score_pairs(paired, threshold=args.threshold).select(
+            "rec_id_a", "rec_id_b"
+        )
+        est = capture_recapture(
+            cap_a.join(match_edges, ["rec_id_a", "rec_id_b"], "left_semi"),
+            cap_b.join(match_edges, ["rec_id_a", "rec_id_b"], "left_semi"),
+            system_a=sys_a,
+            system_b=sys_b,
+        )
+        write_table(est, f"{root}/dup_estimate")
+        [er] = spark.read.parquet(f"{root}/dup_estimate").collect()
+        dup_est = {
+            "system_a": er["system_a"],
+            "system_b": er["system_b"],
+            "n_a": int(er["n_a"]),
+            "n_b": int(er["n_b"]),
+            "n_both": int(er["n_both"]),
+            "n_union": int(er["n_union"]),
+            "est_total_matches": er["est_total_matches"],
+            "est_missed": er["est_missed"],
+        }
 
     # ---- Fellegi-Sunter fit over the production candidate pairs.  A
     # zero-pair corpus is a legitimate report outcome (it is exactly the
@@ -452,6 +557,8 @@ def main(argv=None, spark=None) -> dict:
         },
         "review_impact": impact,
         "cluster_audit": audit,
+        "blocking_recall": recall_rows,
+        "dup_estimate": dup_est,
         "labeled_mu": labeled_mu,
         "column_profile": {
             r["col_name"]: {

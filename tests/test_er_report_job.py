@@ -283,3 +283,97 @@ def test_er_report_key_profile_consistency(spark, tmp_path):
         summary["coverage"]["exact_postal_hn"]["n_pairs"]
         == kp["country_postal_hn"]["n_pairs"]
     )
+
+
+def test_er_report_truth_recall_and_dup_estimate(spark, tmp_path):
+    """--truth-pairs writes the per-rule labeled recall + the missed-pair
+    casualty list; --dup-estimate writes the Chapman one-row report.
+    Truth here = pairs guaranteed co-blocked by rule 1 (same refined
+    exact key) plus one impossible pair no rule can produce — so
+    recall_cumulative < 1, the impossible pair is the missed_truth/
+    content, and the estimator identity N_hat = ((nA+1)(nB+1)-(m+1))/
+    (m+1) is checkable from the written integers."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking import (
+        with_block_key,
+        with_phonetic_block_key,
+    )
+    from postal_address_spark.operators.extract import extract_mentions
+    from postal_address_spark.operators.normalize_op import (
+        normalize_mentions,
+    )
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts_tr")
+    root = str(tmp_path / "report_tr")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=80, n_entities=30
+    ).write.parquet(inp)
+
+    # pairs sharing the REFINED exact key (block_key + house number) are
+    # caught by rule 1 by construction (threshold 0.82 > refine bound)
+    norm = with_phonetic_block_key(with_block_key(normalize_mentions(
+        extract_mentions(spark.read.parquet(inp))
+    )))
+    keyed = norm.where(F.col("block_key").isNotNull()).select(
+        "rec_id",
+        F.concat_ws(
+            "#", "block_key", F.regexp_extract("line1", r"^(\d+)", 1)
+        ).alias("k"),
+    )
+    co = (
+        keyed.alias("a").join(keyed.alias("b"), "k")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+        .limit(10)
+    )
+    truth = co.unionByName(spark.createDataFrame(
+        [("zzz#0", "zzz#1")], "rec_id_a string, rec_id_b string"
+    ))
+    truth_path = str(tmp_path / "truth_pairs")
+    truth.write.parquet(truth_path)
+    n_truth = spark.read.parquet(truth_path).count()
+    assert n_truth >= 2
+
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root,
+         "--truth-pairs", truth_path, "--dup-estimate"],
+        spark=spark,
+    )
+
+    rec = {r["rule"]: r for r in
+           spark.read.parquet(f"{root}/blocking_recall").collect()}
+    assert set(rec) == {"exact_postal_hn", "phonetic_city", "snm_window4"}
+    # rule 1 catches every co-keyed truth pair; the impossible pair is
+    # caught by nothing
+    assert rec["exact_postal_hn"]["n_true_caught"] == n_truth - 1
+    assert all(r["total_truth_pairs"] == n_truth for r in rec.values())
+    last = rec["snm_window4"]
+    assert last["n_cumulative_true"] < n_truth
+    missed = spark.read.parquet(f"{root}/missed_truth").collect()
+    assert {(r["rec_id_a"], r["rec_id_b"]) for r in missed} \
+        == {("zzz#0", "zzz#1")}
+    assert summary["blocking_recall"]["exact_postal_hn"][
+        "n_true_caught"] == n_truth - 1
+
+    est = summary["dup_estimate"]
+    assert est["system_a"] == "exact_postal_hn"
+    assert est["system_b"] == "phonetic_city"
+    na, nb, m, u = est["n_a"], est["n_b"], est["n_both"], est["n_union"]
+    assert m <= min(na, nb) and u == na + nb - m
+    assert est["est_total_matches"] == ((na + 1) * (nb + 1) - (m + 1)) / (m + 1)
+    # same single-division form as the engine/oracle (NOT est_total - u,
+    # which rounds twice and can differ in the last ulp)
+    assert est["est_missed"] == (
+        ((na + 1) * (nb + 1) - (m + 1) - u * (m + 1)) / (m + 1)
+    )
+    # the estimate can never fall below what was observed
+    assert est["est_total_matches"] >= u
