@@ -353,6 +353,29 @@ def main() -> None:
             em.queries()["conv_windows"](spark, SF),
         ),
         (
+            "conv_prefix_dups — integer-signature candidate join, arrays "
+            "join back",
+            "Look for: the prefix signature stream (posexplode -> "
+            "pmod(xxhash64) -> one conv-partitioned cumulative-sum "
+            "Window reusing the fold's Exchange) joined on "
+            "(length, checksum, last-hash) INTEGERS only — no toks#/tok# "
+            "payload on the candidate join — with the token arrays "
+            "joining back solely for the slice-equality verification of "
+            "the bounded candidate set; no CartesianProduct/BNLJ "
+            "anywhere.",
+            em.queries()["conv_prefix_dups"](spark, SF),
+        ),
+        (
+            "er_dup_estimate — one kernel pass, three 1-row aggregates",
+            "Look for: the two rule pair streams unioned + distinct "
+            "before ONE levenshtein kernel evaluation (never one kernel "
+            "pass per rule), per-system matches recovered as LeftSemi "
+            "joins, and the Chapman algebra over a cross join of three "
+            "single-row aggregates — nothing pair-scale reaches the "
+            "driver.",
+            em.queries()["er_dup_estimate"](spark, SF),
+        ),
+        (
             "sequence_packing — one shard shuffle, text never moves",
             "Look for: exactly ONE Exchange (hashpartitioning on shard) "
             "feeding FlatMapGroupsInPandas, with the Project below it "

@@ -491,3 +491,32 @@ def test_blocking_recall_truth_probe_is_broadcast(spark):
     mplan = physical(missed_truth_pairs([("r1", pairs)], truth))
     semi = [l for l in mplan.splitlines() if "LeftSemi" in l]
     assert semi and all("Broadcast" in l for l in semi), semi or mplan[:2000]
+
+
+def test_prefix_dups_signature_join_carries_no_tokens(spark):
+    """prefix_containment_dups (operators/conversations.py): the
+    candidate equi-join runs on integer signatures only — any Exchange
+    or sort for the (length, checksum, last-hash) join key that also
+    carries the token array (toks#) or token strings (tok#) would ship
+    the corpus text through the candidate shuffle; arrays may join back
+    only for the slice verification."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.conversations import (
+        prefix_containment_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    turns = docs.select(
+        F.pmod("doc_id", F.lit(40)).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.substring("text", 1, 8).alias("action"),
+    )
+    plan = physical(prefix_containment_dups(turns))
+    sig_joins = [
+        l for l in plan.splitlines() if "Join" in l and "cum#" in l
+    ]
+    assert sig_joins, plan[:2000]  # the signature join must exist
+    for line in sig_joins:
+        assert "toks#" not in line and "tok#" not in line, line
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
