@@ -615,6 +615,24 @@ def _q_conv_prefix_dups(spark, sf_dir):
     ).orderBy("conv_id")
 
 
+def _q_conv_boilerplate(spark, sf_dir):
+    """Cross-conversation repeated-turn profile
+    (operators/conversations.py boilerplate_turns): per distinct turn
+    value the distinct-conversation count, total occurrences, and
+    conversation share (single int/int division) — the evidence behind
+    the curation job's --boilerplate-min-convs masking (system prompts
+    and canned turns dominate content dedup identity otherwise).
+    Conv-distinctness WITHOUT a countDistinct Expand: one
+    map-side-combinable (token, conv) collapse + one vocabulary-scale
+    roll-up + a broadcast 1-row total."""
+    from postal_address_spark.operators.conversations import (
+        boilerplate_turns,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    return boilerplate_turns(turns, "conv_id", "action").orderBy("token")
+
+
 def _q_conv_alternation(spark, sf_dir):
     """Role-alternation well-formedness per conversation
     (operators/conversations.py alternation_stats): adjacent same-role
@@ -2944,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dup_clusters": _q_conv_dup_clusters,
         "conv_transitions": _q_conv_transitions,
         "conv_windows": _q_conv_windows,
+        "conv_boilerplate": _q_conv_boilerplate,
         "conv_alternation": _q_conv_alternation,
         "conv_quality_stats": _q_conv_quality,
         "conv_split_summary": _q_conv_split_summary,
@@ -5636,6 +5655,29 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN agg a ON f.conv = a.cc
     LEFT JOIN rep r ON f.conv = r.cc
     ORDER BY conv_id
+    """
+
+    # -- conv_boilerplate: distinct-conv + occurrence tallies per turn
+    # value; share is the single int/int division.
+    sql["conv_boilerplate"] = """
+    WITH t AS (
+      SELECT user_id AS conv, lower(event_type) AS token
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    pc AS (SELECT token, conv, count(*) AS n FROM t GROUP BY token, conv),
+    prof AS (
+      SELECT token, count(*) AS n_convs, sum(n) AS n_turns
+      FROM pc GROUP BY token
+    ),
+    tot AS (SELECT count(DISTINCT conv) AS total FROM t)
+    SELECT token,
+           CAST(n_convs AS BIGINT) AS n_convs,
+           CAST(n_turns AS BIGINT) AS n_turns,
+           n_convs / nullif(total, 0) AS share_convs
+    FROM prof CROSS JOIN tot
+    ORDER BY token
     """
 
     sql["conv_transitions"] = """

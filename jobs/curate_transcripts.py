@@ -2,7 +2,9 @@
 for multi-turn conversation data, composing the conversation operators
 the way ``jobs/curate.py`` composes the document ones:
 
-    conversation quality gate -> exact dedup (content signature)
+    [boilerplate masking: cross-conversation repeated turn values leave
+     the dedup identity (written turns untouched)]
+    -> conversation quality gate -> exact dedup (content signature)
     -> [prefix-containment dedup: incremental-logging snapshots — strict
         prefixes of a longer conversation — dropped for their container]
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
@@ -89,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau-den", type=int, default=10)
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the near-dup conversation dedup")
+    p.add_argument("--boilerplate-min-convs", type=int, default=0,
+                   metavar="K",
+                   help="mask turn values appearing in >= K distinct "
+                   "conversations OUT of the dedup identity (system "
+                   "prompts / canned turns dominate content dedup "
+                   "otherwise; conversations that are ALL boilerplate "
+                   "keep their raw identity — operator docstring). Also "
+                   "writes boilerplate/ (the thresholded profile). 0 = off")
     p.add_argument("--prefix-dedup", action="store_true",
                    help="additionally drop conversations whose full token "
                    "sequence is a STRICT PREFIX of a longer surviving one "
@@ -171,6 +181,32 @@ def main(argv=None, spark=None) -> dict:
         dedup_tok,
         F.coalesce(F.col(text_col), F.col(act)) if text_col else F.col(act),
     )
+
+    # 0b. optional boilerplate masking: turn values repeated across >= K
+    # conversations (system prompts, canned greetings, tool banners)
+    # leave the DEDUP IDENTITY — NULL identity tokens drop from every
+    # fold, so stages 2/2b/3/3b compare conversations by content, not by
+    # shared templates.  The turns WRITTEN are untouched; only the
+    # identity column is masked.  All-boilerplate conversations keep
+    # their raw identity (mask_boilerplate_identity's fallback).
+    n_boiler_values = 0
+    if args.boilerplate_min_convs > 0:
+        from postal_address_spark.operators.conversations import (
+            boilerplate_turns,
+            mask_boilerplate_identity,
+        )
+
+        boiler = boilerplate_turns(turns, conv, dedup_tok).where(
+            F.col("n_convs") >= args.boilerplate_min_convs
+        )
+        write_table(boiler, f"{args.output_root.rstrip('/')}/boilerplate")
+        boiler_read = spark.read.parquet(
+            f"{args.output_root.rstrip('/')}/boilerplate"
+        )
+        n_boiler_values = boiler_read.count()
+        turns = mask_boilerplate_identity(
+            turns, boiler_read, conv, dedup_tok
+        )
 
     # 1. quality gate at conversation granularity.  The gate output is
     # conversation-sized (one row per conv) — tiny next to the turns.
@@ -413,6 +449,7 @@ def main(argv=None, spark=None) -> dict:
         "n_turns_in": int(n_turns_in),
         "n_null_conv_turns": int(n_null_conv),
         "n_convs_in": int(n_convs_in),
+        "n_boilerplate_values": int(n_boiler_values),
         "n_exact_dropped": int(n_exact_dropped),
         "n_prefix_dropped": int(n_prefix_dropped),
         "n_near_dup_dropped": int(n_near_dropped),

@@ -696,3 +696,105 @@ def prefix_containment_dups(
             (-F.col("rep.neg")).cast("long").alias("container_n_turns"),
         )
     )
+
+
+def boilerplate_turns(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    token_col: str = "action",
+) -> DataFrame:
+    """Cross-conversation repeated-turn profile — the transcript-corpus
+    analogue of document boilerplate: system prompts, canned greetings
+    and templated tool banners repeat VERBATIM across conversations, so
+    they dominate any content-based dedup identity (two conversations
+    sharing only their system prompt can clear a Jaccard threshold on
+    boilerplate alone — the text cousin of the role-sequence trap this
+    job's dedup identity already documents).
+
+    One row per distinct non-NULL token value: ``(token, n_convs,
+    n_turns, share_convs)`` where ``share_convs`` is the single
+    int/int division ``n_convs / total conversations`` (NULL when the
+    corpus is empty).  Callers threshold ``n_convs`` themselves — what
+    counts as boilerplate is a corpus-size decision, not an operator
+    constant.
+
+    Scale shape: conv-distinctness WITHOUT a countDistinct Expand — one
+    map-side-combinable ``groupBy(token, conv)`` collapse, then one
+    vocabulary-scale ``groupBy(token)`` roll-up; the corpus-wide
+    conversation total is a 1-row aggregate broadcast by the cross
+    join (evaluate.py precedent).  Output is vocabulary-sized."""
+    base = turns.select(
+        F.col(conv_col).alias("conv"), F.col(token_col).alias("token")
+    ).where(F.col("token").isNotNull() & F.col("conv").isNotNull())
+    per_conv = base.groupBy("token", "conv").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    prof = per_conv.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("_n").alias("n_turns"),
+    )
+    total = (
+        turns.where(F.col(conv_col).isNotNull())
+        .select(F.col(conv_col).alias("conv"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_total"))
+    )
+    return prof.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        (F.col("n_convs") / F.nullif(F.col("_total"), F.lit(0))).alias(
+            "share_convs"
+        ),
+    )
+
+
+def mask_boilerplate_identity(
+    turns: DataFrame,
+    boiler_tokens: DataFrame,
+    conv_col: str = "conv_id",
+    token_col: str = "_dedup_tok",
+) -> DataFrame:
+    """NULL the boilerplate values out of a dedup-identity column so
+    downstream folds (exact signature, near-dup shingles — both drop
+    NULL tokens) compare conversations by their CONTENT, not their
+    shared templates.  ``boiler_tokens``: a frame with a ``token``
+    column (typically :func:`boilerplate_turns` thresholded on
+    ``n_convs``) — vocabulary-scale by construction, broadcast into a
+    left join, never shuffled against the turns.
+
+    THE FALLBACK THAT KEEPS THIS SAFE: a conversation consisting
+    ENTIRELY of boilerplate would lose every identity token and vanish
+    from the dedup folds — silently surviving every dedup stage (or
+    worse, being dropped by a keep-one semi-join it never entered).
+    Such conversations keep their RAW tokens instead (one conv-level
+    aggregate decides), so identical all-template conversations still
+    exact-dedup against each other while content-bearing ones are
+    compared template-free."""
+    boiler = F.broadcast(
+        boiler_tokens.select(
+            F.col("token").alias(token_col), F.lit(True).alias("_is_boiler")
+        ).distinct()
+    )
+    joined = turns.join(boiler, [token_col], "left")
+    content = joined.groupBy(conv_col).agg(
+        F.max(
+            F.when(
+                F.col("_is_boiler").isNull() & F.col(token_col).isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("_has_content")
+    )
+    return (
+        joined.join(content, conv_col)
+        .withColumn(
+            token_col,
+            # untyped NULL literal: the when/otherwise resolves it to the
+            # identity column's own type, whatever the caller uses
+            F.when(
+                F.col("_is_boiler").isNotNull() & (F.col("_has_content") == 1),
+                F.lit(None),
+            ).otherwise(F.col(token_col)),
+        )
+        .drop("_is_boiler", "_has_content")
+    )

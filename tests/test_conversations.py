@@ -672,3 +672,94 @@ def test_prefix_dups_degenerate_inputs(spark):
         for r in prefix_containment_dups(withnull).collect()
     }
     assert got == {"x": "prefix_dup", "y": "kept"}
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_turns / mask_boilerplate_identity
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_profile_hand_computed(spark):
+    from postal_address_spark.operators.conversations import (
+        boilerplate_turns,
+    )
+
+    rows = (
+        [("c1", 0, "sys"), ("c1", 1, "hello"), ("c1", 2, "sys")]
+        + [("c2", 0, "sys"), ("c2", 1, "world")]
+        + [("c3", 0, "unique"), ("c3", 1, None)]
+    )
+    out = {
+        r["token"]: (r["n_convs"], r["n_turns"], r["share_convs"])
+        for r in boilerplate_turns(
+            _turns_df(spark, rows), "conv_id", "action"
+        ).collect()
+    }
+    assert out == {
+        "sys": (2, 3, 2 / 3),
+        "hello": (1, 1, 1 / 3),
+        "world": (1, 1, 1 / 3),
+        "unique": (1, 1, 1 / 3),
+    }
+    # empty corpus: no rows, no div-by-zero
+    assert boilerplate_turns(
+        _turns_df(spark, []), "conv_id", "action"
+    ).collect() == []
+
+
+def test_mask_boilerplate_identity_and_all_boiler_fallback(spark):
+    from postal_address_spark.operators.conversations import (
+        mask_boilerplate_identity,
+    )
+
+    rows = (
+        [("c1", 0, "sys"), ("c1", 1, "hello")]   # content-bearing: mask sys
+        + [("c2", 0, "sys"), ("c2", 1, "sys")]   # ALL boilerplate: keep raw
+        + [("c3", 0, "world"), ("c3", 1, None)]  # untouched
+    )
+    boiler = spark.createDataFrame([("sys",)], "token string")
+    out = mask_boilerplate_identity(
+        _turns_df(spark, rows), boiler, "conv_id", "action"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["action"] for r in out.collect()
+    }
+    assert got[("c1", 0)] is None          # masked
+    assert got[("c1", 1)] == "hello"
+    assert got[("c2", 0)] == "sys"         # fallback: all-boiler keeps raw
+    assert got[("c2", 1)] == "sys"
+    assert got[("c3", 0)] == "world"
+    assert got[("c3", 1)] is None
+    # column set unchanged (no helper columns leak)
+    assert set(out.columns) == {"conv_id", "turn_idx", "action"}
+
+
+def test_mask_boilerplate_changes_dedup_outcome(spark):
+    """The reason the stage exists: two conversations identical except
+    for their (shared) system prompt exact-dedup ONLY after masking,
+    while two all-boilerplate conversations still dedup via the raw
+    fallback identity."""
+    from postal_address_spark.operators.conversations import (
+        conversation_signatures,
+        mask_boilerplate_identity,
+    )
+
+    rows = (
+        [("a", 0, "sys"), ("a", 1, "x"), ("a", 2, "y")]
+        + [("b", 0, "sys"), ("b", 1, "sys"), ("b", 2, "x"), ("b", 3, "y")]
+        + [("p", 0, "sys"), ("p", 1, "sys")]
+        + [("q", 0, "sys"), ("q", 1, "sys")]
+    )
+    turns = _turns_df(spark, rows)
+    boiler = spark.createDataFrame([("sys",)], "token string")
+
+    before = conversation_signatures(turns, "conv_id", ("turn_idx",), "action")
+    sig_before = {r["conv_id"]: r["sig"] for r in before.collect()}
+    assert sig_before["a"] != sig_before["b"]   # prompt count differs
+    assert sig_before["p"] == sig_before["q"]
+
+    masked = mask_boilerplate_identity(turns, boiler, "conv_id", "action")
+    after = conversation_signatures(masked, "conv_id", ("turn_idx",), "action")
+    sig_after = {r["conv_id"]: r["sig"] for r in after.collect()}
+    assert sig_after["a"] == sig_after["b"]     # content-equal after masking
+    assert sig_after["p"] == sig_after["q"]     # fallback identity intact

@@ -298,3 +298,58 @@ def test_curate_transcripts_prefix_dedup_stage(spark, tmp_path):
     )
     assert summary2["n_prefix_dropped"] == 0
     assert summary2["n_convs_kept"] == 5
+
+
+def test_curate_transcripts_boilerplate_masking_stage(spark, tmp_path):
+    """--boilerplate-min-convs masks the shared system prompt out of the
+    dedup identity, so two conversations identical except for prompt
+    repetition count exact-dedup; all-boilerplate conversations still
+    dedup against each other via the raw-identity fallback."""
+    import curate_transcripts
+
+    def tconv(cid, toks):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in enumerate(toks)
+        ]
+
+    content = ["ask one", "answer one", "ask two", "answer two"]
+    rows = (
+        tconv(1, ["SYS PROMPT"] + content)
+        + tconv(2, ["SYS PROMPT", "SYS PROMPT"] + content)  # dup after mask
+        + tconv(3, ["SYS PROMPT"] * 4)                      # all-boiler
+        + tconv(4, ["SYS PROMPT"] * 4)                      # dup of 3 (raw)
+        + tconv(5, ["SYS PROMPT"] + ["different " + str(i) for i in range(4)])
+    )
+    inp = str(tmp_path / "turns_boiler")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    out1 = str(tmp_path / "out_boiler")
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", out1,
+         "--boilerplate-min-convs", "5", "--no-near-dup",
+         "--min-turns", "2", "--min-distinct", "1", "--max-run", "99"],
+        spark=spark,
+    )
+    assert summary["n_boilerplate_values"] == 1   # just SYS PROMPT
+    # conv 2 dups conv 1 (masked identity), conv 4 dups conv 3 (fallback)
+    assert summary["n_exact_dropped"] == 2
+    kept = spark.read.parquet(summary["turns"])
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} \
+        == {1, 3, 5}
+    # written turns untouched: conv 1 keeps its prompt turn
+    assert kept.where("conv_id = 1").count() == 5
+    boiler = spark.read.parquet(f"{out1}/boilerplate").collect()
+    assert [(r["token"], r["n_convs"]) for r in boiler] == [("SYS PROMPT", 5)]
+
+    # without masking nothing exact-dedups except the all-boiler twins
+    summary2 = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_noboiler"),
+         "--no-near-dup",
+         "--min-turns", "2", "--min-distinct", "1", "--max-run", "99"],
+        spark=spark,
+    )
+    assert summary2["n_boilerplate_values"] == 0
+    assert summary2["n_exact_dropped"] == 1       # conv 4 == conv 3 only
