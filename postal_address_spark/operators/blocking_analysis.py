@@ -350,6 +350,17 @@ def blocking_key_profile(
     )
 
 
+def _normalized_truth(truth_pairs: DataFrame) -> DataFrame:
+    """Labeled pairs -> id-ordered, deduplicated (rec_id_a, rec_id_b):
+    the rule streams' orientation.  Duplicated labels would inflate
+    both the denominator and (inconsistently, via the first-rule
+    dedup) the per-rule tallies — normalize once, here."""
+    a, b = F.col("rec_id_a"), F.col("rec_id_b")
+    return truth_pairs.select(
+        F.least(a, b).alias("rec_id_a"), F.greatest(a, b).alias("rec_id_b")
+    ).distinct()
+
+
 def blocking_rule_recall(
     rules: Sequence[Tuple[str, DataFrame]],
     truth_pairs: DataFrame,
@@ -364,8 +375,11 @@ def blocking_rule_recall(
     rule set with 0.99 pairwise F1 on scored pairs is still silently
     capped by whatever recall blocking left on the floor.
 
-    ``truth_pairs``: labeled TRUE match pairs ``(rec_id_a, rec_id_b)``,
-    id-ordered ``a < b`` (the rule streams' orientation).  Labeled truth
+    ``truth_pairs``: labeled TRUE match pairs ``(rec_id_a, rec_id_b)``.
+    Orientation and duplicates are NORMALIZED here (least/greatest +
+    distinct): clerical labels arrive in whatever order the labeler
+    clicked, and a silently-unmatched orientation would read as 0%%
+    recall — a footgun, not a semantics choice.  Labeled truth
     is a clerical sample — inherently small (thousands of pairs labeled
     by humans, never the 10^12-row corpus) — so with
     ``broadcast_truth=True`` (default) it ships to every executor and
@@ -387,7 +401,7 @@ def blocking_rule_recall(
     """
     if not rules:
         raise ValueError("at least one blocking rule required")
-    truth = truth_pairs.select("rec_id_a", "rec_id_b")
+    truth = _normalized_truth(truth_pairs)
     probe = F.broadcast(truth) if broadcast_truth else truth
 
     tagged = None
@@ -462,10 +476,13 @@ def missed_truth_pairs(
     reduced to its labeled survivors against the broadcast truth set
     map-side (LEFT SEMI), so the dedup + anti-join run over at most
     ``len(rules) * |truth|`` rows — the candidate volume never shuffles.
+    Truth orientation is normalized like the recall report's (the
+    anti-join compares id-ordered keys); label metadata columns ride
+    through on the missed rows, and duplicate labels each appear.
     """
     if not rules:
         raise ValueError("at least one blocking rule required")
-    truth = truth_pairs.select("rec_id_a", "rec_id_b")
+    truth = _normalized_truth(truth_pairs)
     probe = F.broadcast(truth) if broadcast_truth else truth
     covered = None
     for _, pairs in rules:
@@ -473,7 +490,11 @@ def missed_truth_pairs(
             probe, ["rec_id_a", "rec_id_b"], "left_semi"
         )
         covered = t if covered is None else covered.unionByName(t)
-    return truth_pairs.join(
+    a, b = F.col("rec_id_a"), F.col("rec_id_b")
+    oriented = truth_pairs.withColumns(
+        {"rec_id_a": F.least(a, b), "rec_id_b": F.greatest(a, b)}
+    )
+    return oriented.join(
         covered.distinct(), ["rec_id_a", "rec_id_b"], "left_anti"
     )
 

@@ -400,3 +400,25 @@ def test_capture_recapture_dedupes_and_degenerates(spark):
     [z] = capture_recapture(empty, empty).collect()
     assert (z["n_a"], z["n_b"], z["n_both"], z["n_union"]) == (0, 0, 0, 0)
     assert z["est_total_matches"] == 0.0 and z["est_missed"] == 0.0
+
+
+def test_blocking_recall_normalizes_orientation_and_duplicates(spark):
+    """Clerical labels arrive in click order and sometimes twice — the
+    recall math must be invariant to both (a reversed pair reading as
+    0% recall is a footgun, not a semantics choice)."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_recall,
+        missed_truth_pairs,
+    )
+
+    r1 = _pairs(spark, [("a", "b"), ("c", "d")])
+    messy = _pairs(
+        spark, [("b", "a"), ("a", "b"), ("d", "c"), ("h", "g")]
+    )
+    [row] = blocking_rule_recall([("r1", r1)], messy).collect()
+    assert row["total_truth_pairs"] == 3      # dedup to {ab, cd, gh}
+    assert row["n_true_caught"] == 2
+    assert row["recall_rule"] == 2 / 3
+    missed = missed_truth_pairs([("r1", r1)], messy).collect()
+    # the reversed duplicate labels each survive, id-ordered
+    assert [(r["rec_id_a"], r["rec_id_b"]) for r in missed] == [("g", "h")]
