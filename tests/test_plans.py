@@ -520,3 +520,23 @@ def test_prefix_dups_signature_join_carries_no_tokens(spark):
     for line in sig_joins:
         assert "toks#" not in line and "tok#" not in line, line
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_boilerplate_profile_no_expand(spark):
+    """boilerplate_turns (operators/conversations.py): conv-distinctness
+    must come from the two-phase (token, conv) collapse + roll-up — a
+    countDistinct would put an Expand node (doubling the shuffled rows)
+    into a query that runs over every turn of the corpus."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.conversations import (
+        boilerplate_turns,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("conv_id"),
+        F.lower("event_type").alias("action"),
+    )
+    plan = physical(boilerplate_turns(events, "conv_id", "action"))
+    assert "Expand" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
