@@ -615,6 +615,66 @@ def _q_conv_prefix_dups(spark, sf_dir):
     ).orderBy("conv_id")
 
 
+def _q_streaming_conv_fold(spark, sf_dir):
+    """Streaming conversation-state compaction == the batch fold,
+    executed BY the Structured Streaming runtime
+    (streaming/conv_stream.py): the events-as-turns table lands as
+    three arrival files that scatter EVERY conversation's turns across
+    micro-batches in non-chronological order (split on
+    xxhash64(event_id), files written 2,0,1 — the late-arrival case), an
+    availableNow drain merges each micro-batch into the bucket-
+    partitioned conversation state (order-insensitive array_sort merge;
+    only touched buckets rewritten — tests/test_conv_stream.py), and
+    the compacted state is read back in the batch fold's exact shape.
+    The oracle is the plain batch fold in DuckDB — a hash match proves
+    the stream/batch equivalence on a genuine streaming execution."""
+    import os
+    import shutil
+    import tempfile
+
+    from postal_address_spark.streaming.conv_stream import (
+        ConvStreamConfig,
+        read_conversations,
+        run_available,
+    )
+
+    turns = _conv_turns(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="conv_stream_")
+    try:
+        inp = os.path.join(root, "input")
+        split = F.pmod(F.xxhash64("event_id"), F.lit(3))
+        for i in (2, 0, 1):  # deliberately out of order
+            turns.where(split == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+        cfg = ConvStreamConfig(
+            conv_col="conv_id",
+            order_cols=("ts", "event_id"),
+            token_col="action",
+            n_buckets=8,
+        )
+        run_available(
+            spark, inp, os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+            "conv_id bigint, ts timestamp, event_id bigint, action string",
+            cfg,
+        )
+        out = (
+            read_conversations(spark, os.path.join(root, "state"), cfg)
+            .select(
+                F.col("conv").alias("conv_id"),
+                F.col("n_turns").cast("long").alias("n_turns"),
+                F.col("n_total_turns").cast("long").alias("n_total_turns"),
+                F.concat_ws(" ", "toks").alias("seq"),
+            )
+            .orderBy("conv_id")
+        )
+        # materialize before the scratch dirs disappear from under the plan
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_conv_boilerplate(spark, sf_dir):
     """Cross-conversation repeated-turn profile
     (operators/conversations.py boilerplate_turns): per distinct turn
@@ -2963,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_transitions": _q_conv_transitions,
         "conv_windows": _q_conv_windows,
         "conv_boilerplate": _q_conv_boilerplate,
+        "streaming_conv_fold": _q_streaming_conv_fold,
         "conv_alternation": _q_conv_alternation,
         "conv_quality_stats": _q_conv_quality,
         "conv_split_summary": _q_conv_split_summary,
@@ -5654,6 +5715,25 @@ def oracle_sql() -> dict[str, str]:
     FROM folded f
     LEFT JOIN agg a ON f.conv = a.cc
     LEFT JOIN rep r ON f.conv = r.cc
+    ORDER BY conv_id
+    """
+
+    # -- streaming_conv_fold: the BATCH fold replayed plain — the Spark
+    # side ran a genuine multi-micro-batch streaming drain with
+    # scattered out-of-order arrivals, so the hash match grades the
+    # stream/batch equivalence contract itself.
+    sql["streaming_conv_fold"] = """
+    WITH t AS (
+      SELECT user_id AS conv, ts, event_id, lower(event_type) AS action
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    )
+    SELECT conv AS conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_total_turns,
+           array_to_string(list(action ORDER BY ts, event_id), ' ') AS seq
+    FROM t GROUP BY conv
     ORDER BY conv_id
     """
 

@@ -1,0 +1,253 @@
+"""Streaming conversation-state compaction: fold turn micro-batches into
+a per-conversation state table as they land.
+
+Chat/agent logs emit conversations INCREMENTALLY — a turn at a time,
+files in arrival order that is nobody's promise (late shards, backfills,
+replays).  Every conversation operator in this engine consumes the
+per-conversation ordered token fold
+(operators/conversations.py:_ordered_token_arrays); this module keeps
+that fold as PERSISTENT STATE so the curation surface (signatures,
+dedup, quality, prefix containment) runs over compacted conversations
+without re-folding the raw turn history on every run.
+
+Equivalence contract (the thing the tests and the driver oracle grade):
+after draining arrival files F1..Fk in ANY order and ANY micro-batch
+partitioning, the state equals the batch fold over F1 ∪ ... ∪ Fk.  The
+merge is a concat + ``array_sort`` over (order-key, token) structs —
+order-insensitive by construction, so the equivalence needs no
+watermark and admits arbitrarily late turns (a late turn lands in its
+conversation at its order-key position, exactly where the batch fold
+would have put it).
+
+Scale shape: state is ONE row per conversation, hash-partitioned into
+``n_buckets`` directories (``_bucket = pmod(xxhash64(conv), n_buckets)``);
+each epoch merges the batch's conversations against ONLY the buckets it
+touches and rewrites ONLY those partitions (dynamic partition
+overwrite, the plans/incremental.py clusters-table precedent) — an
+epoch's cost is O(batch + touched-bucket state), never O(all state).
+Every write payload is eagerly materialized (``localCheckpoint``)
+BEFORE the write because its lineage reads the same directories it
+overwrites (engine rule 10).
+
+Exactly-once folding mirrors streaming/link_stream.py: epoch-marker
+files make replays idempotent, and the state dir is bound to its first
+stream checkpoint (fresh checkpoints restart epoch ids at 0 and would
+silently skip real folds).  The reference has no streaming surface
+(SURVEY §2.B); this is the transcript-side analogue of the linkage
+fold's resumability story.
+"""
+from __future__ import annotations
+
+import posixpath
+from dataclasses import dataclass
+from typing import Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fs import fs_exists, fs_qualified, fs_read_text, fs_write_text
+
+
+@dataclass(frozen=True)
+class ConvStreamConfig:
+    conv_col: str = "conv_id"
+    order_cols: Tuple[str, ...] = ("turn_idx",)
+    token_col: str = "action"
+    n_buckets: int = 64
+
+
+def _convs_dir(state_dir: str) -> str:
+    return posixpath.join(state_dir, "convs")
+
+
+def _epoch_marker(state_dir: str, epoch_id: int) -> str:
+    return posixpath.join(state_dir, "_epochs", f"v1-{epoch_id}")
+
+
+def _kt_struct(cfg: ConvStreamConfig):
+    return F.struct(
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(cfg.order_cols)],
+        F.col(cfg.token_col).alias("tok"),
+    )
+
+
+def _fold_batch(batch: DataFrame, cfg: ConvStreamConfig) -> DataFrame:
+    """One micro-batch of turn rows -> per-conversation partial fold
+    (conv, kts, n_total) — the same NULL-token discipline as
+    operators/conversations.py:_ordered_token_arrays (NULL tokens count
+    toward n_total only; NULL conv ids carry nothing and are dropped)."""
+    keyed = batch.where(F.col(cfg.conv_col).isNotNull()).select(
+        F.col(cfg.conv_col).alias("conv"),
+        F.when(F.col(cfg.token_col).isNotNull(), _kt_struct(cfg)).alias(
+            "kt"
+        ),
+    )
+    return keyed.groupBy("conv").agg(
+        F.array_sort(F.collect_list("kt")).alias("kts"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _read_convs(spark: SparkSession, state_dir: str):
+    path = _convs_dir(state_dir)
+    if fs_exists(spark, path):
+        return spark.read.parquet(path)
+    return None
+
+
+def fold_turns(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    cfg: ConvStreamConfig = ConvStreamConfig(),
+) -> None:
+    """Merge one batch of turn rows into the conversation state.
+
+    Callable directly (incremental batch jobs) or via the
+    ``foreachBatch`` sink below.  Merge = outer join on conv within the
+    TOUCHED buckets only, ``array_sort(concat(...))`` of the keyed-turn
+    structs (order-insensitive), summed total-turn counts."""
+    new = _fold_batch(batch, cfg).withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv"), F.lit(cfg.n_buckets))
+    )
+    state = _read_convs(spark, state_dir)
+    if state is not None:
+        touched = new.select("_bucket").distinct()
+        old = state.join(F.broadcast(touched), "_bucket")
+        merged = (
+            old.select(
+                "conv",
+                F.col("kts").alias("_k_old"),
+                F.col("n_total").alias("_t_old"),
+                "_bucket",
+            )
+            .join(
+                new.select(
+                    "conv",
+                    F.col("kts").alias("_k_new"),
+                    F.col("n_total").alias("_t_new"),
+                    F.col("_bucket").alias("_b_new"),
+                ),
+                "conv",
+                "full_outer",
+            )
+            .select(
+                "conv",
+                # both sides are individually sorted; only the genuine
+                # merge needs the re-sort (and no empty-array typing)
+                F.when(F.col("_k_old").isNull(), F.col("_k_new"))
+                .when(F.col("_k_new").isNull(), F.col("_k_old"))
+                .otherwise(
+                    F.array_sort(F.concat("_k_old", "_k_new"))
+                ).alias("kts"),
+                (
+                    F.coalesce("_t_old", F.lit(0))
+                    + F.coalesce("_t_new", F.lit(0))
+                ).alias("n_total"),
+                F.coalesce("_bucket", "_b_new").alias("_bucket"),
+            )
+        )
+    else:
+        merged = new
+    # engine rule 10: the payload's lineage reads the directories the
+    # write below replaces — materialize BEFORE the first write.
+    payload = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        payload.write.mode("overwrite").partitionBy("_bucket").parquet(
+            _convs_dir(state_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_conversations(
+    spark: SparkSession,
+    state_dir: str,
+    cfg: ConvStreamConfig = ConvStreamConfig(),
+) -> DataFrame:
+    """State -> the batch fold's exact shape: ``(conv, n_turns,
+    n_total_turns, toks)`` with the same only-tokenful-conversations
+    filter as ``_ordered_token_arrays`` — drop-in input for signatures /
+    dedup / quality over the compacted state."""
+    state = _read_convs(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no conversation state under {state_dir}")
+    return (
+        state.select(
+            "conv",
+            F.size("kts").alias("n_turns"),
+            F.col("n_total").alias("n_total_turns"),
+            F.transform("kts", lambda s: s["tok"]).alias("toks"),
+        )
+        .where(F.col("n_turns") > 0)
+    )
+
+
+def make_fold(state_dir: str, cfg: ConvStreamConfig = ConvStreamConfig()):
+    """``foreachBatch`` body: one idempotent state merge per epoch."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = _epoch_marker(state_dir, epoch_id)
+        if fs_exists(spark, marker):  # replayed epoch: already folded
+            return
+        if batch_df.isEmpty():
+            return
+        fold_turns(spark, batch_df, state_dir, cfg)
+        fs_write_text(spark, marker, "")
+
+    return fold
+
+
+def run_available(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    cfg: ConvStreamConfig = ConvStreamConfig(),
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Drain every unprocessed file under ``input_dir`` into the
+    conversation state (availableNow trigger), one merge per
+    micro-batch, then stop.  Returns the number of epochs folded.  The
+    state dir is bound to its first checkpoint (link_stream.py's
+    epoch-id-collision guard)."""
+    bind = posixpath.join(state_dir, "_epochs", "_checkpoint")
+    ckpt_abs = fs_qualified(spark, checkpoint_dir)
+    if fs_exists(spark, bind):
+        bound = fs_read_text(spark, bind).strip()
+        if bound != ckpt_abs:
+            raise ValueError(
+                f"state dir {state_dir!r} is bound to stream checkpoint "
+                f"{bound!r}; refusing {ckpt_abs!r} — epoch ids from a new "
+                "checkpoint restart at 0 and would collide with existing "
+                "fold markers"
+            )
+    else:
+        fs_write_text(spark, bind, ckpt_abs)
+
+    folded = {"n": 0}
+    inner = make_fold(state_dir, cfg)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        before = fs_exists(spark, _epoch_marker(state_dir, epoch_id))
+        inner(batch_df, epoch_id)
+        if not before and fs_exists(
+            spark, _epoch_marker(state_dir, epoch_id)
+        ):
+            folded["n"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return folded["n"]

@@ -1,0 +1,169 @@
+"""Streaming conversation-state compaction == batch fold, at any
+micro-batch split (streaming/conv_stream.py).
+
+Asserts (1) the drained state equals the batch fold over the whole
+input regardless of how files carve micro-batches — including a split
+that scatters each conversation's turns ACROSS files out of order (the
+late-arrival case), (2) a re-run drains nothing new, (3) a replayed
+epoch is a no-op (markers), (4) a foreign checkpoint is refused, and
+(5) only touched buckets are rewritten on a merge epoch."""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from postal_address_spark.operators.conversations import (  # noqa: E402
+    _ordered_token_arrays,
+)
+from postal_address_spark.streaming.conv_stream import (  # noqa: E402
+    ConvStreamConfig,
+    fold_turns,
+    make_fold,
+    read_conversations,
+    run_available,
+)
+
+DDL = "conv_id long, turn_idx int, action string"
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="stream_conv_")
+    yield {
+        "input": os.path.join(root, "input"),
+        "state": os.path.join(root, "state"),
+        "ckpt": os.path.join(root, "ckpt"),
+        "ckpt2": os.path.join(root, "ckpt2"),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _turns(spark, n_convs=60, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_convs):
+        n = rng.randint(1, 12)
+        for i in range(n):
+            tok = None if rng.random() < 0.1 else rng.choice("abcdefgh")
+            rows.append((c, i, tok))
+    return spark.createDataFrame(rows, DDL)
+
+
+def _fold_set(df):
+    return {
+        (r["conv"], r["n_turns"], r["n_total_turns"], tuple(r["toks"]))
+        for r in df.collect()
+    }
+
+
+def test_stream_fold_equals_batch_any_split(spark, dirs):
+    turns = _turns(spark).persist()
+    expected = _fold_set(
+        _ordered_token_arrays(turns, "conv_id", ("turn_idx",), "action")
+    )
+
+    # scatter each conversation's turns ACROSS arrival files by turn
+    # parity-ish hash — every conversation is split over micro-batches
+    # and no file is time-ordered (the late-arrival case)
+    split = F.pmod(F.xxhash64("turn_idx", "conv_id"), F.lit(3))
+    for i in (2, 0, 1):  # deliberately not in order
+        turns.where(split == i).coalesce(1).write.mode("append").parquet(
+            dirs["input"]
+        )
+    turns.unpersist()
+
+    cfg = ConvStreamConfig(n_buckets=8)
+    n = run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    )
+    assert n == 3
+    got = _fold_set(read_conversations(spark, dirs["state"], cfg))
+    assert got == expected
+
+    # re-run: nothing new to drain, state unchanged
+    n2 = run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    )
+    assert n2 == 0
+    assert _fold_set(read_conversations(spark, dirs["state"], cfg)) == expected
+
+    # a different checkpoint against the same state dir is refused
+    with pytest.raises(ValueError):
+        run_available(
+            spark, dirs["input"], dirs["state"], dirs["ckpt2"], DDL, cfg
+        )
+
+
+def test_replayed_epoch_is_noop_and_buckets_partial_rewrite(spark, dirs):
+    cfg = ConvStreamConfig(n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "x")], DDL
+    )
+    fold = make_fold(dirs["state"], cfg)
+    fold(b1, epoch_id=0)
+    before = _fold_set(read_conversations(spark, dirs["state"], cfg))
+
+    # replay of epoch 0 with DIFFERENT content must be ignored (marker)
+    poison = spark.createDataFrame([(1, 9, "z")], DDL)
+    fold(poison, epoch_id=0)
+    assert _fold_set(read_conversations(spark, dirs["state"], cfg)) == before
+
+    # record bucket-partition mtimes, then merge an epoch touching ONLY
+    # conv 1's bucket — conv 2's partition must not be rewritten
+    convs_dir = os.path.join(dirs["state"], "convs")
+    mtimes = {
+        d: os.path.getmtime(os.path.join(convs_dir, d))
+        for d in os.listdir(convs_dir)
+        if d.startswith("_bucket=")
+    }
+    [b_of_1] = [
+        r["_bucket"]
+        for r in spark.read.parquet(convs_dir)
+        .where(F.col("conv") == 1)
+        .select("_bucket")
+        .collect()
+    ]
+    [b_of_2] = [
+        r["_bucket"]
+        for r in spark.read.parquet(convs_dir)
+        .where(F.col("conv") == 2)
+        .select("_bucket")
+        .collect()
+    ]
+    fold(spark.createDataFrame([(1, 2, "c")], DDL), epoch_id=1)
+    got = _fold_set(read_conversations(spark, dirs["state"], cfg))
+    assert (1, 3, 3, ("a", "b", "c")) in got
+    assert (2, 1, 1, ("x",)) in got
+    if b_of_1 != b_of_2:  # distinct buckets: untouched partition intact
+        d2 = f"_bucket={b_of_2}"
+        assert os.path.getmtime(os.path.join(convs_dir, d2)) == mtimes[d2]
+
+
+def test_fold_turns_direct_null_handling(spark, dirs):
+    cfg = ConvStreamConfig(n_buckets=4)
+    b = spark.createDataFrame(
+        [(1, 0, None), (1, 1, "a"), (None, 0, "ghost"), (3, 0, None)], DDL
+    )
+    fold_turns(spark, b, dirs["state"], cfg)
+    out = read_conversations(spark, dirs["state"], cfg)
+    got = _fold_set(out)
+    # conv 1: one NULL token counts toward totals only; NULL conv ids
+    # vanish; conv 3 (all-NULL tokens) is excluded by the n_turns>0
+    # filter — same discipline as the batch fold
+    assert got == {(1, 1, 2, ("a",))}
+    # second direct fold merges in place
+    fold_turns(
+        spark, spark.createDataFrame([(3, 1, "t"), (1, 2, "b")], DDL),
+        dirs["state"], cfg,
+    )
+    got2 = _fold_set(read_conversations(spark, dirs["state"], cfg))
+    assert got2 == {(1, 2, 3, ("a", "b")), (3, 1, 2, ("t",))}

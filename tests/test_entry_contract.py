@@ -38,8 +38,8 @@ EXPECTED_QUERIES = {
     "fs_pattern_truth", "link_and_dedupe",
     # training-data ops
     "exact_dedup_documents", "conv_transitions", "conv_windows",
-    "conv_prefix_dups", "conv_boilerplate", "conv_alternation",
-    "conv_near_dups",
+    "conv_prefix_dups", "conv_boilerplate", "streaming_conv_fold",
+    "conv_alternation", "conv_near_dups",
     "conv_dup_clusters", "conv_quality_stats", "conv_split_summary",
     "rare_token_pairs", "edit_distance_pairs",
     "span_dup_stats", "benchmark_contamination", "ngram_jaccard_neighbors",
