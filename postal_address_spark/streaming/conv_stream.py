@@ -251,3 +251,30 @@ def run_available(
     )
     q.awaitTermination()
     return folded["n"]
+
+
+def state_to_turns(
+    spark: SparkSession,
+    state_dir: str,
+    cfg: ConvStreamConfig = ConvStreamConfig(),
+) -> DataFrame:
+    """State -> turn rows in the ORIGINAL column names — the compacted
+    replacement for the raw turn history: every conversation operator
+    (quality gate, signatures, near-dup, prefix containment, windows)
+    and the whole curation job consume turn rows, so exploding the
+    folded structs back out makes the state a drop-in ``--input``.
+    NULL-token turns are not representable in state (they contribute to
+    ``n_total_turns`` only), so consumers see exactly the tokenful turn
+    set — the same rows every fold-based operator would keep anyway."""
+    state = _read_convs(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no conversation state under {state_dir}")
+    cols = [
+        F.col("kt")[f"k{i}"].alias(c) for i, c in enumerate(cfg.order_cols)
+    ]
+    return state.select(
+        F.col("conv").alias(cfg.conv_col),
+        F.explode_outer("kts").alias("kt"),
+    ).where(F.col("kt").isNotNull()).select(
+        cfg.conv_col, *cols, F.col("kt")["tok"].alias(cfg.token_col)
+    )

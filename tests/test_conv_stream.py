@@ -167,3 +167,91 @@ def test_fold_turns_direct_null_handling(spark, dirs):
     )
     got2 = _fold_set(read_conversations(spark, dirs["state"], cfg))
     assert got2 == {(1, 2, 3, ("a", "b")), (3, 1, 2, ("t",))}
+
+
+def test_state_to_turns_roundtrip_feeds_batch_operators(spark, dirs):
+    """state_to_turns explodes the compacted state back into turn rows
+    whose fold equals the original — the drop-in --input contract for
+    the curation job (NULL-token turns are the one documented loss)."""
+    from postal_address_spark.streaming.conv_stream import state_to_turns
+
+    cfg = ConvStreamConfig(n_buckets=4)
+    turns = _turns(spark, n_convs=30, seed=11)
+    fold_turns(spark, turns, dirs["state"], cfg)
+
+    back = state_to_turns(spark, dirs["state"], cfg)
+    assert set(back.columns) == {"conv_id", "turn_idx", "action"}
+    expected = _fold_set(
+        _ordered_token_arrays(
+            turns.where(F.col("action").isNotNull()),
+            "conv_id", ("turn_idx",), "action",
+        )
+    )
+    # n_total over the exploded rows counts tokenful turns only
+    got = _fold_set(
+        _ordered_token_arrays(back, "conv_id", ("turn_idx",), "action")
+    )
+    assert got == expected
+
+
+def test_ingest_job_end_to_end(spark, dirs, tmp_path):
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "jobs"))
+    import ingest_transcripts
+
+    turns = _turns(spark, n_convs=25, seed=3)
+    split = F.pmod(F.xxhash64("turn_idx", "conv_id"), F.lit(2))
+    for i in (1, 0):
+        turns.where(split == i).coalesce(1).write.mode("append").parquet(
+            dirs["input"]
+        )
+    out_turns = str(tmp_path / "compacted_turns")
+    summary = ingest_transcripts.main(
+        ["--input", dirs["input"], "--state", dirs["state"],
+         "--checkpoint", dirs["ckpt"], "--schema", DDL,
+         "--action-col", "action", "--n-buckets", "4",
+         "--turns-output", out_turns],
+        spark=spark,
+    )
+    assert summary["n_epochs_folded"] == 2
+    expected = _fold_set(
+        _ordered_token_arrays(turns, "conv_id", ("turn_idx",), "action")
+    )
+    assert summary["n_convs"] == len(expected)
+    assert summary["n_tokenful_turns"] == sum(e[1] for e in expected)
+    # totals cover TOKENFUL conversations (read_conversations' n_turns>0
+    # filter, same as the batch fold): an all-NULL-token conversation's
+    # turns are excluded from the summary
+    tokenful = turns.where(F.col("action").isNotNull()).select(
+        "conv_id"
+    ).distinct()
+    assert summary["n_total_turns"] == turns.join(
+        tokenful, "conv_id", "left_semi"
+    ).count()
+    # the written compacted turn table folds back to the batch result
+    # over the TOKENFUL rows (NULL-token turns are not representable in
+    # exploded state — state_to_turns' documented loss)
+    got = _fold_set(
+        _ordered_token_arrays(
+            spark.read.parquet(out_turns), "conv_id", ("turn_idx",),
+            "action",
+        )
+    )
+    assert got == _fold_set(
+        _ordered_token_arrays(
+            turns.where(F.col("action").isNotNull()),
+            "conv_id", ("turn_idx",), "action",
+        )
+    )
+    # second run: nothing new
+    summary2 = ingest_transcripts.main(
+        ["--input", dirs["input"], "--state", dirs["state"],
+         "--checkpoint", dirs["ckpt"], "--schema", DDL,
+         "--action-col", "action", "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert summary2["n_epochs_folded"] == 0
+    assert summary2["n_convs"] == len(expected)
