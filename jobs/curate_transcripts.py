@@ -9,6 +9,7 @@ the way ``jobs/curate.py`` composes the document ones:
         prefixes of a longer conversation — dropped for their container]
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
     -> [semantic dedup (hashed-gram cosine) -> keep-one]
+    -> [PII redaction of the written text (dedup saw raw content)]
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
     -> [SFT (context, response) pair extraction with pair-level
         gate + dedup flags]
@@ -91,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau-den", type=int, default=10)
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the near-dup conversation dedup")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="redact emails/SSNs/IPv4s/phone-shaped runs from "
+                   "the WRITTEN --text-col (and the SFT pairs extracted "
+                   "from it) with typed placeholders; dedup identity "
+                   "still compares the raw content (redaction runs after "
+                   "every dedup stage). No-op without --text-col")
     p.add_argument("--boilerplate-min-convs", type=int, default=0,
                    metavar="K",
                    help="mask turn values appearing in >= K distinct "
@@ -309,6 +316,23 @@ def main(argv=None, spark=None) -> dict:
     kept_turns = with_conversation_split(
         turns.drop(dedup_tok), conv, salt=args.split_salt
     )
+    # 3c. optional PII redaction of the WRITTEN text (and everything
+    # downstream of it: the SFT pairs extract from kept_turns, so
+    # contexts and responses inherit the redaction).  Runs AFTER every
+    # dedup stage on purpose — dedup identity compares the raw content
+    # (two conversations differing only in redacted spans are genuinely
+    # different documents), the training corpus ships placeholders.
+    n_turns_redacted = 0
+    if args.redact_pii and text_col:
+        from postal_address_spark.operators.text_analysis import redact_pii
+
+        red = redact_pii(F.col(text_col))
+        n_turns_redacted = int(
+            kept_turns.where(
+                F.col(text_col).isNotNull() & (red != F.col(text_col))
+            ).count()
+        )
+        kept_turns = kept_turns.withColumn(text_col, red)
     turns_path = f"{args.output_root.rstrip('/')}/turns"
     rejected_path = f"{args.output_root.rstrip('/')}/rejected_convs"
     write_table(kept_turns, turns_path, partition_by=["split"])
@@ -454,6 +478,7 @@ def main(argv=None, spark=None) -> dict:
         "n_prefix_dropped": int(n_prefix_dropped),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_semantic_dropped": int(n_sem_dropped),
+        "n_turns_redacted": int(n_turns_redacted),
         "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),
         "n_turns_kept": int(sum(v["n_turns"] for v in split_counts.values())),
         "n_convs_rejected": int(sum(reject_reasons.values())),

@@ -353,3 +353,41 @@ def test_curate_transcripts_boilerplate_masking_stage(spark, tmp_path):
     )
     assert summary2["n_boilerplate_values"] == 0
     assert summary2["n_exact_dropped"] == 1       # conv 4 == conv 3 only
+
+
+def test_curate_transcripts_redact_pii_stage(spark, tmp_path):
+    """--redact-pii: written text (and SFT pairs) carry placeholders,
+    dedup identity still sees the raw content, counts reported."""
+    import curate_transcripts
+
+    rows = [
+        (1, 0, "user", "my email is bob@example.com please write"),
+        (1, 1, "assistant", "noted, reaching 10.1.2.3 now"),
+        (1, 2, "user", "thanks a lot friend"),
+        (2, 0, "user", "clean conversation one two"),
+        (2, 1, "assistant", "indeed quite clean here"),
+        (2, 2, "user", "goodbye now then"),
+    ]
+    inp = str(tmp_path / "turns_pii")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    sft_out = str(tmp_path / "sft_pii")
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_pii"),
+         "--redact-pii", "--no-near-dup", "--sft-output", sft_out,
+         "--min-turns", "2", "--min-distinct", "1", "--max-run", "99"],
+        spark=spark,
+    )
+    assert summary["n_turns_redacted"] == 2
+    kept = spark.read.parquet(summary["turns"])
+    texts = {r["text"] for r in kept.collect()}
+    assert not any("bob@example.com" in t or "10.1.2.3" in t for t in texts)
+    assert any("<EMAIL>" in t or "EMAIL" in t for t in texts)
+    # SFT pairs extracted downstream inherit the redaction
+    pairs = spark.read.parquet(sft_out).collect()
+    blob = " ".join(
+        (r["context"] or "") + " " + (r["response"] or "") for r in pairs
+    )
+    assert "bob@example.com" not in blob and "10.1.2.3" not in blob
