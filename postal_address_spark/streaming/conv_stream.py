@@ -89,9 +89,17 @@ def _fold_batch(batch: DataFrame, cfg: ConvStreamConfig) -> DataFrame:
 
 
 def _read_convs(spark: SparkSession, state_dir: str):
+    from pyspark.errors import AnalysisException
+
     path = _convs_dir(state_dir)
     if fs_exists(spark, path):
-        return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            # retract-everything leaves the dir with no parquet files
+            # (only write markers) — schema inference fails; the state
+            # is legitimately empty
+            return None
     return None
 
 
@@ -278,3 +286,75 @@ def state_to_turns(
     ).where(F.col("kt").isNotNull()).select(
         cfg.conv_col, *cols, F.col("kt")["tok"].alias(cfg.token_col)
     )
+
+
+def retract_conversations(
+    spark: SparkSession,
+    conv_ids,
+    state_dir: str,
+    cfg: ConvStreamConfig = ConvStreamConfig(),
+) -> int:
+    """Remove whole conversations from the state (GDPR-style deletion —
+    a user withdraws consent, their transcripts must leave the corpus),
+    leaving the state identical to folding only the SURVIVING turns.
+    Unlike linkage retraction (plans/incremental.py, where star-edge
+    state forces an edge-log replay), conversation state is
+    self-contained — one row per conversation — so deletion is a
+    filtered rewrite of ONLY the touched buckets, with now-empty bucket
+    partitions deleted explicitly (dynamic overwrite cannot drop a
+    partition absent from its payload — the retract_mentions
+    precedent).  Unknown ids are ignored, so re-runs are idempotent.
+
+    ``conv_ids``: an iterable of conversation ids or a DataFrame with
+    the ``cfg.conv_col`` (or ``conv``) column.  Returns the number of
+    conversations actually removed."""
+    if isinstance(conv_ids, DataFrame):
+        col = cfg.conv_col if cfg.conv_col in conv_ids.columns else "conv"
+        gone = conv_ids.select(F.col(col).alias("conv")).distinct()
+    else:
+        ids = list(conv_ids)
+        if not ids:
+            return 0
+        gone = spark.createDataFrame(
+            [(i,) for i in ids], ["conv"]
+        ).distinct()
+    state = _read_convs(spark, state_dir)
+    if state is None:
+        raise FileNotFoundError(f"no conversation state under {state_dir}")
+
+    gone = gone.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv"), F.lit(cfg.n_buckets))
+    )
+    touched = [
+        r["_bucket"] for r in gone.select("_bucket").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    in_touched = state.where(F.col("_bucket").isin(touched))
+    n_before = in_touched.count()
+    survivors = in_touched.join(
+        F.broadcast(gone.select("conv")), "conv", "left_anti"
+    )
+    # engine rule 10: materialize before overwriting the dirs the plan reads
+    payload = survivors.localCheckpoint(eager=True)
+    n_removed = n_before - payload.count()
+    present = {
+        r["_bucket"] for r in payload.select("_bucket").distinct().collect()
+    }
+    from ..sources.fs import fs_delete
+
+    for b in touched:
+        if b not in present:
+            fs_delete(
+                spark,
+                posixpath.join(_convs_dir(state_dir), f"_bucket={b}"),
+            )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        payload.write.mode("overwrite").partitionBy("_bucket").parquet(
+            _convs_dir(state_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return int(n_removed)

@@ -255,3 +255,46 @@ def test_ingest_job_end_to_end(spark, dirs, tmp_path):
     )
     assert summary2["n_epochs_folded"] == 0
     assert summary2["n_convs"] == len(expected)
+
+
+def test_retract_conversations_equals_survivor_fold(spark, dirs):
+    """Retraction leaves the state identical to folding only the
+    surviving turns; unknown ids no-op; retract-everything leaves an
+    empty state that a later fold repopulates cleanly."""
+    from postal_address_spark.streaming.conv_stream import (
+        retract_conversations,
+    )
+
+    cfg = ConvStreamConfig(n_buckets=4)
+    turns = _turns(spark, n_convs=20, seed=5).persist()
+    fold_turns(spark, turns, dirs["state"], cfg)
+
+    gone = [3, 7, 11]
+    n = retract_conversations(spark, gone, dirs["state"], cfg)
+    assert n == 3
+    survivors = turns.where(~F.col("conv_id").isin(gone))
+    assert _fold_set(read_conversations(spark, dirs["state"], cfg)) \
+        == _fold_set(_ordered_token_arrays(
+            survivors, "conv_id", ("turn_idx",), "action"))
+
+    # unknown ids + already-retracted ids: idempotent no-op
+    assert retract_conversations(
+        spark, [3, 999], dirs["state"], cfg
+    ) == 0
+    # empty id list: no-op
+    assert retract_conversations(spark, [], dirs["state"], cfg) == 0
+
+    # retract everything, then a fresh fold repopulates
+    remaining = [
+        r["conv"]
+        for r in read_conversations(spark, dirs["state"], cfg)
+        .select("conv").collect()
+    ]
+    # include the all-NULL-token conversations state still holds
+    retract_conversations(spark, list(range(20)), dirs["state"], cfg)
+    b = spark.createDataFrame([(50, 0, "z")], DDL)
+    fold_turns(spark, b, dirs["state"], cfg)
+    got = _fold_set(read_conversations(spark, dirs["state"], cfg))
+    assert got == {(50, 1, 1, ("z",))}
+    assert remaining  # sanity: the pre-wipe state wasn't empty
+    turns.unpersist()
