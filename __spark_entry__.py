@@ -2538,6 +2538,37 @@ def _q_blocking_recall(spark, sf_dir):
     return blocking_rule_recall(rules, truth)
 
 
+def _q_blocking_tradeoff(spark, sf_dir):
+    """Cost-per-recall decision table
+    (operators/blocking_analysis.py blocking_rule_tradeoff): the
+    coverage chart's pair COSTS joined with the labeled-recall BENEFITS
+    over the same mod-5 whole-clique truth sample as blocking_recall —
+    per rule the first-rule-credited new pairs vs new true matches plus
+    the two price divisions (pairs_per_true, new_pairs_per_new_true,
+    each a single int/int division NULLed via nullif when the rule
+    caught nothing).  The DuckDB oracle composes the two already-
+    mirrored CTE chains and joins them on rule_idx."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_tradeoff,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir)
+    num = F.substring("rec_id", 2, 8).cast("long")
+    lab = norm.where(F.pmod(num, F.lit(5)) == 0).select(
+        "rec_id", F.pmod(num, F.lit(360)).alias("tid")
+    )
+    truth = (
+        lab.alias("a")
+        .join(lab.alias("b"), "tid")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+    )
+    return blocking_rule_tradeoff(rules, truth)
+
+
 def _q_er_dup_estimate(spark, sf_dir):
     """Capture–recapture estimate of the matches blocking missed
     (operators/blocking_analysis.py capture_recapture — census
@@ -2980,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "blocking_recall": _q_blocking_recall,
+        "blocking_tradeoff": _q_blocking_tradeoff,
         "er_dup_estimate": _q_er_dup_estimate,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
@@ -5378,6 +5410,58 @@ def oracle_sql() -> dict[str, str]:
     CROSS JOIN tot
     LEFT JOIN tots t ON n.rule_idx = t.r
     LEFT JOIN news w ON n.rule_idx = w.fr
+    ORDER BY n.rule_idx
+    """
+
+    # -- blocking_tradeoff: the coverage tallies joined with the
+    # labeled-recall tallies (both CTE chains already mirrored above) on
+    # rule_idx; price columns as single nullif divisions.
+    sql["blocking_tradeoff"] = f"""
+    WITH {_bcov_prefix},
+    ap AS (
+      SELECT s, d, 0 AS r FROM p1
+      UNION ALL SELECT s, d, 1 FROM p2
+      UNION ALL SELECT s, d, 2 FROM p3
+    ),
+    firsts AS (SELECT s, d, min(r) AS fr FROM ap GROUP BY s, d),
+    news AS (SELECT fr, count(*) AS n_new FROM firsts GROUP BY fr),
+    tots AS (SELECT r, count(*) AS n_pairs FROM ap GROUP BY r),
+    lab AS (
+      SELECT rec_id,
+             CAST(substr(rec_id, 2, 8) AS BIGINT) % 360 AS tid
+      FROM ids
+      WHERE CAST(substr(rec_id, 2, 8) AS BIGINT) % 5 = 0
+    ),
+    truth AS (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM lab a JOIN lab b ON a.tid = b.tid AND a.rec_id < b.rec_id
+    ),
+    caught AS (SELECT g.s, g.d, g.r FROM ap g JOIN truth t USING (s, d)),
+    ttots AS (SELECT r, count(*) AS n_true FROM caught GROUP BY r),
+    tfirsts AS (SELECT s, d, min(r) AS fr FROM caught GROUP BY s, d),
+    tnews AS (SELECT fr, count(*) AS n_new_true FROM tfirsts GROUP BY fr),
+    ttot AS (SELECT count(*) AS total FROM truth),
+    names AS (
+      SELECT * FROM (VALUES
+        (0, 'exact_postal_hn'), (1, 'phonetic_city'), (2, 'snm_window4')
+      ) AS v(rule_idx, rule)
+    )
+    SELECT n.rule, CAST(n.rule_idx AS INT) AS rule_idx,
+           CAST(coalesce(t.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new_pairs,
+           CAST(coalesce(tt.n_true, 0) AS BIGINT) AS n_true_caught,
+           CAST(coalesce(tw.n_new_true, 0) AS BIGINT) AS n_new_true,
+           CAST(ttot.total AS BIGINT) AS total_truth_pairs,
+           coalesce(t.n_pairs, 0) / nullif(coalesce(tt.n_true, 0), 0)
+             AS pairs_per_true,
+           coalesce(w.n_new, 0) / nullif(coalesce(tw.n_new_true, 0), 0)
+             AS new_pairs_per_new_true
+    FROM names n
+    CROSS JOIN ttot
+    LEFT JOIN tots t ON n.rule_idx = t.r
+    LEFT JOIN news w ON n.rule_idx = w.fr
+    LEFT JOIN ttots tt ON n.rule_idx = tt.r
+    LEFT JOIN tnews tw ON n.rule_idx = tw.fr
     ORDER BY n.rule_idx
     """
 

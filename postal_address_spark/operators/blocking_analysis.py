@@ -606,3 +606,55 @@ def capture_recapture(
         (num / den).alias("est_total_matches"),
         ((num - n_union * den) / den).alias("est_missed"),
     )
+
+
+def blocking_rule_tradeoff(
+    rules: Sequence[Tuple[str, DataFrame]],
+    truth_pairs: DataFrame,
+    broadcast_truth: bool = True,
+) -> DataFrame:
+    """Cost-per-recall decision table — the join the two separate charts
+    make the practitioner do in their head: per rule the candidate-pair
+    COST (:func:`blocking_rule_analysis`: total + first-rule-credited
+    new pairs) against the labeled-match BENEFIT
+    (:func:`blocking_rule_recall`: total + first-rule-credited new true
+    matches), plus the two price columns that actually decide whether a
+    rule stays in the cascade::
+
+        pairs_per_true      = n_pairs     / n_true_caught
+        new_pairs_per_new_true = n_new_pairs / n_new_true
+
+    (each a SINGLE int/int division, NULL via ``nullif`` when the rule
+    caught nothing — a rule with ``new_pairs_per_new_true`` orders of
+    magnitude above its peers buys marginal recall at a price the
+    scoring kernel pays downstream).  Same scale discipline as the two
+    inputs: the pair-volume side is one union-tag shuffle, the truth
+    side reduces map-side against the broadcast labeled sample."""
+    cost = blocking_rule_analysis(rules).select(
+        "rule_idx", "n_pairs", "n_new_pairs"
+    )
+    recall = blocking_rule_recall(
+        rules, truth_pairs, broadcast_truth=broadcast_truth
+    ).select(
+        "rule",
+        "rule_idx",
+        "n_true_caught",
+        "n_new_true",
+        "total_truth_pairs",
+    )
+    out = recall.join(cost, "rule_idx")
+    return out.select(
+        "rule",
+        "rule_idx",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_new_pairs").cast("long").alias("n_new_pairs"),
+        "n_true_caught",
+        "n_new_true",
+        "total_truth_pairs",
+        (
+            F.col("n_pairs") / F.nullif(F.col("n_true_caught"), F.lit(0))
+        ).alias("pairs_per_true"),
+        (
+            F.col("n_new_pairs") / F.nullif(F.col("n_new_true"), F.lit(0))
+        ).alias("new_pairs_per_new_true"),
+    ).orderBy("rule_idx")

@@ -422,3 +422,31 @@ def test_blocking_recall_normalizes_orientation_and_duplicates(spark):
     missed = missed_truth_pairs([("r1", r1)], messy).collect()
     # the reversed duplicate labels each survive, id-ordered
     assert [(r["rec_id_a"], r["rec_id_b"]) for r in missed] == [("g", "h")]
+
+
+def test_blocking_rule_tradeoff_hand_case(spark):
+    """Joins the cost and benefit tallies rule-by-rule; the price
+    divisions NULL out when a rule catches no labeled match."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_rule_tradeoff,
+    )
+
+    r1 = _pairs(spark, [("a", "b"), ("c", "d"), ("x", "y")])
+    r2 = _pairs(spark, [("a", "b"), ("e", "f"), ("p", "q")])
+    truth = _pairs(spark, [("a", "b"), ("c", "d"), ("g", "h")])
+    out = {
+        r["rule"]: r
+        for r in blocking_rule_tradeoff(
+            [("r1", r1), ("r2", r2)], truth
+        ).collect()
+    }
+    assert (out["r1"]["n_pairs"], out["r1"]["n_new_pairs"]) == (3, 3)
+    assert (out["r1"]["n_true_caught"], out["r1"]["n_new_true"]) == (2, 2)
+    assert out["r1"]["pairs_per_true"] == 3 / 2
+    assert out["r1"]["new_pairs_per_new_true"] == 3 / 2
+    # r2's only true catch was already credited to r1 -> marginal price NULL
+    assert (out["r2"]["n_pairs"], out["r2"]["n_new_pairs"]) == (3, 2)
+    assert (out["r2"]["n_true_caught"], out["r2"]["n_new_true"]) == (1, 0)
+    assert out["r2"]["pairs_per_true"] == 3 / 1
+    assert out["r2"]["new_pairs_per_new_true"] is None
+    assert all(r["total_truth_pairs"] == 3 for r in out.values())
