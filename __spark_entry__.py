@@ -1974,6 +1974,81 @@ def _q_er_cluster_diff(spark, sf_dir):
     return cluster_diff(old, new)
 
 
+def _q_er_stable_ids(spark, sf_dir):
+    """Persistent entity-ID carryover (operators/cluster.py
+    stable_entity_ids) between the automatic integer-kernel closure
+    (last run's PUBLISHED entity ids) and the review-adjusted closure
+    (this run's clustering): each new cluster inherits its max-overlap
+    old entity, each old entity is inherited by at most one fragment
+    (larger overlap wins, ties by smaller ids), losers and all-new
+    clusters mint ``e:``-prefixed fresh ids.  Both closures are already
+    independently mirrored (er_link_closure, er_apply_review); the
+    oracle replays the contingency cells and the two argmaxes as
+    row_number windows — the Spark side's min(struct(-n, id)) is
+    exactly (n DESC, id ASC), the survivorship precedent."""
+    from postal_address_spark.operators.cluster import stable_entity_ids
+
+    _, old = _er_closure_assignments(spark, sf_dir)
+    new = _er_reviewed_assignments(spark, sf_dir)
+    old_ent = old.select("rec_id", F.col("cluster_id").alias("entity_id"))
+    return stable_entity_ids(old_ent, new).orderBy("cluster_id")
+
+
+def _q_er_training_triplets(spark, sf_dir):
+    """Contrastive training-triplet mining (operators/triplets.py
+    mine_triplets) over the integer-kernel linkage path: per anchor
+    mention, its most-similar SAME-cluster candidate (positive) and its
+    most-similar CROSS-cluster candidate (the hard negative — the
+    co-blocked near-miss the closure rejected), both as
+    min(struct(lev, id)) argmins.  This is the Ditto/sentence-
+    transformers recipe for turning a resolved linkage into matcher
+    training data.  Triplets are mined over the UNREFINED block
+    (block_key only): the (block, house-number) refinement exists to
+    co-block MATCHES, so the near-misses a matcher must learn to reject
+    live one ring out — same postal block, different house number (and
+    the refined candidate set is so match-pure here that no anchor has
+    both sides).  The closure itself stays on the refined lev<=5 path
+    (same clustering er_link_closure grades).  The DuckDB oracle
+    replays the block-keyed candidate relation, the cluster tags, and
+    both argmins as row_number windows ((lev ASC, id ASC) —
+    deterministic, all integers/strings)."""
+    from postal_address_spark.operators.cluster import assign_clusters
+    from postal_address_spark.operators.triplets import mine_triplets
+
+    nodes, pairs = _er_blocked_pairs(spark, sf_dir)
+    lev = F.levenshtein(F.lower("line1_a"), F.lower("line1_b"))
+    edges = pairs.where(lev <= 5).select(
+        F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst")
+    )
+    asg = assign_clusters(nodes, edges)
+    # ASCII-projected kernel input: DuckDB's levenshtein counts BYTES,
+    # Spark's counts codepoints, so a multi-byte char misaligned across
+    # the pair (é vs plain ASCII) scores 2 vs 1.  Projecting non-ASCII
+    # codepoints to '?' on BOTH sides makes byte- and codepoint-distance
+    # provably equal (every remaining char is one byte).
+    ascii_l1 = F.regexp_replace(F.lower("line1"), "[^ -~]", "?")
+    a = nodes.select(
+        F.col("rec_id").alias("rec_id_a"),
+        F.col("block_key").alias("bk"),
+        ascii_l1.alias("_l1a"),
+    )
+    b = nodes.select(
+        F.col("rec_id").alias("rec_id_b"),
+        F.col("block_key").alias("bk"),
+        ascii_l1.alias("_l1b"),
+    )
+    scored = (
+        a.join(b, "bk")
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select(
+            "rec_id_a",
+            "rec_id_b",
+            F.levenshtein("_l1a", "_l1b").alias("dist"),
+        )
+    )
+    return mine_triplets(scored, asg).orderBy("rec_id")
+
+
 def _q_er_eval_metrics(spark, sf_dir):
     """Linkage-quality evaluation (operators/evaluate.py) over the
     integer-kernel clustering, hash-graded end-to-end: pairwise
@@ -2992,6 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_graph": _q_er_cluster_graph,
         "er_apply_review": _q_er_apply_review,
         "er_cluster_diff": _q_er_cluster_diff,
+        "er_stable_ids": _q_er_stable_ids,
+        "er_training_triplets": _q_er_training_triplets,
         "er_bridge_edges": _q_er_bridge_edges,
         "er_incremental_link": _q_er_incremental_link,
         "er_retract_link": _q_er_retract_link,
@@ -4764,15 +4841,11 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY cluster_id
     """
 
-    # -- er_cluster_diff: clustering-churn report between the automatic
-    # closure (asg) and the review-adjusted closure (asg2 — the same
-    # suffixed chain er_apply_review grades, sharing norm/blocked).  Diff
-    # columns are integers, cluster-id strings, or the CASE-derived
-    # status, so the hash is exact.  DuckDB runs both recursive CTEs in
-    # one WITH RECURSIVE list.
-    sql["er_cluster_diff"] = f"""
-    WITH RECURSIVE {closure_ctes},
-    cand2 AS MATERIALIZED (
+    # -- the review-adjusted closure as a suffixed CTE chain (asg2 —
+    # the same clustering er_apply_review grades, sharing norm/blocked
+    # with the automatic closure_ctes chain).  Shared by er_cluster_diff
+    # and er_stable_ids, which both compare asg against asg2.
+    _asg2_ctes = """cand2 AS MATERIALIZED (
       SELECT a.rec_id AS s, b.rec_id AS d,
              a.mention_id + b.mention_id AS nsum,
              levenshtein(lower(a.line1), lower(b.line1)) AS lev
@@ -4798,7 +4871,16 @@ def oracle_sql() -> dict[str, str]:
     asg2 AS MATERIALIZED (
       SELECT v.rec_id, coalesce(l.cluster_id, v.rec_id) AS cluster_id
       FROM blocked v LEFT JOIN labels2 l ON v.rec_id = l.rec_id
-    ),
+    )"""
+
+    # -- er_cluster_diff: clustering-churn report between the automatic
+    # closure (asg) and the review-adjusted closure (asg2).  Diff
+    # columns are integers, cluster-id strings, or the CASE-derived
+    # status, so the hash is exact.  DuckDB runs both recursive CTEs in
+    # one WITH RECURSIVE list.
+    sql["er_cluster_diff"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    {_asg2_ctes},
     cells AS MATERIALIZED (
       SELECT o.cluster_id AS old_cluster_id, n.cluster_id AS nid,
              COUNT(*) AS n
@@ -4856,6 +4938,106 @@ def oracle_sql() -> dict[str, str]:
       ELSE 'mixed' END AS status
     FROM merged
     ORDER BY old_cluster_id
+    """
+
+    # -- er_stable_ids: persistent entity-id carryover from the automatic
+    # closure (asg = published ids) to the review-adjusted closure (asg2).
+    # Two row_number argmaxes replay the Spark side's min(struct(-n, id))
+    # aggregations exactly ((n DESC, id ASC) — the survivorship
+    # precedent); losers and no-overlap clusters mint 'e:' fresh ids.
+    sql["er_stable_ids"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    {_asg2_ctes},
+    sizes AS (
+      SELECT cluster_id AS cl, COUNT(*) AS n_members FROM asg2 GROUP BY 1
+    ),
+    cells AS MATERIALIZED (
+      SELECT n.cluster_id AS cl, o.cluster_id AS ent, COUNT(*) AS n
+      FROM asg2 n JOIN asg o ON n.rec_id = o.rec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cl, ent, n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cl ORDER BY n DESC, ent ASC
+        ) AS rn FROM cells
+      ) WHERE rn = 1
+    ),
+    winners AS (
+      SELECT ent, cl FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY ent ORDER BY n DESC, cl ASC
+        ) AS rn FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT s.cl AS cluster_id,
+           CASE WHEN w.cl IS NOT NULL THEN c.ent
+                ELSE 'e:' || s.cl END AS entity_id,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN c.ent IS NULL THEN 'new'
+                WHEN w.cl IS NOT NULL THEN 'inherited'
+                ELSE 'contended' END AS status
+    FROM sizes s
+    LEFT JOIN cand c ON s.cl = c.cl
+    LEFT JOIN winners w ON c.ent = w.ent AND c.cl = w.cl
+    ORDER BY cluster_id
+    """
+
+    # -- er_training_triplets: per anchor, the min-lev same-cluster
+    # candidate (positive) and min-lev cross-cluster candidate (hard
+    # negative) over the UNREFINED block-keyed candidate relation (no
+    # house-number arm — near-misses live one ring out); both argmins
+    # replay the Spark min(struct(lev, id)) as row_number
+    # (lev ASC, id ASC) windows.  NULL-lev pairs are dropped on both
+    # sides (a NULL inside the argmin struct orders differently across
+    # engines).
+    # the kernel input is ASCII-projected on both sides: DuckDB
+    # levenshtein counts BYTES, Spark counts codepoints — '[^ -~]'->'?'
+    # makes every remaining char one byte, so the distances agree.
+    sql["er_training_triplets"] = f"""
+    WITH RECURSIVE {closure_ctes},
+    tcand AS MATERIALIZED (
+      SELECT a.rec_id AS s, b.rec_id AS d,
+             levenshtein(
+               regexp_replace(lower(a.line1), '[^ -~]', '?', 'g'),
+               regexp_replace(lower(b.line1), '[^ -~]', '?', 'g')
+             ) AS lev
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.rec_id < b.rec_id
+    ),
+    doubled AS (
+      SELECT s AS anchor, d AS other, lev FROM tcand WHERE lev IS NOT NULL
+      UNION ALL
+      SELECT d AS anchor, s AS other, lev FROM tcand WHERE lev IS NOT NULL
+    ),
+    tagged AS (
+      SELECT dd.anchor, dd.other, dd.lev,
+             la.cluster_id AS ca, lo.cluster_id AS co
+      FROM doubled dd
+      JOIN asg la ON dd.anchor = la.rec_id
+      JOIN asg lo ON dd.other = lo.rec_id
+    ),
+    pos AS (
+      SELECT anchor, other AS pos_id, lev AS pos_dist FROM (
+        SELECT anchor, other, lev, row_number() OVER (
+          PARTITION BY anchor ORDER BY lev ASC, other ASC
+        ) AS rn FROM tagged WHERE ca = co
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor, other AS neg_id, lev AS neg_dist FROM (
+        SELECT anchor, other, lev, row_number() OVER (
+          PARTITION BY anchor ORDER BY lev ASC, other ASC
+        ) AS rn FROM tagged WHERE ca <> co
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor AS rec_id, a2.cluster_id,
+           p.pos_id, CAST(p.pos_dist AS INT) AS pos_dist,
+           n.neg_id, CAST(n.neg_dist AS INT) AS neg_dist
+    FROM pos p JOIN neg n ON p.anchor = n.anchor
+    JOIN asg a2 ON p.anchor = a2.rec_id
+    ORDER BY rec_id
     """
 
     # -- er_golden_records: survivorship over the same mirrored closure.

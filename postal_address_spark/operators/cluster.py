@@ -539,6 +539,110 @@ def membership_history(
     )
 
 
+def stable_entity_ids(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "rec_id",
+    entity_col: str = "entity_id",
+    cluster_col: str = "cluster_id",
+    fresh_prefix: str = "e:",
+) -> DataFrame:
+    """Persistent entity-ID carryover between linkage runs — the piece
+    that turns a clustering into a PUBLISHABLE entity table.  Closure
+    labels (component-min rec_ids) are unstable by construction: one new
+    mention, one review decision, and half the labels move even though
+    the entities barely changed, breaking every downstream foreign key.
+    Production ER therefore keeps a durable ``entity_id`` that follows
+    the entity, not the label: each new cluster inherits the old entity
+    it overlaps MOST, and each old entity is inherited by at most ONE
+    new cluster (when a review splits an entity, exactly one fragment
+    keeps its id and the others mint fresh ones — the warehouse-side
+    contract `membership_history` and `cluster_diff` assume).
+
+    Inputs: ``old`` — last run's published ``(id_col, entity_col)``
+    assignment; ``new`` — this run's ``(id_col, cluster_col)``
+    clustering.  Output, one row per NEW cluster::
+
+        cluster_id   this run's (unstable) label
+        entity_id    the durable id: the inherited old entity, or
+                     ``fresh_prefix || cluster_id`` when none is won
+        n_members    new cluster size
+        n_overlap    members shared with the CANDIDATE old entity
+                     (the argmax; 0 when the cluster is all-new)
+        status       'inherited' | 'contended' (its best old entity
+                     was won by a larger fragment) | 'new'
+
+    Resolution is two deterministic argmaxes: per new cluster the old
+    entity with max overlap (ties -> smallest entity id), then per old
+    entity the claiming cluster with max overlap (ties -> smallest
+    cluster id) — both as ``min(struct(-n, id))`` aggregations, which
+    combine partially map-side (no window over the full cell relation).
+    Fresh ids are ``fresh_prefix || cluster_id``; pick a prefix outside
+    the old entity-id namespace (collisions are the caller's contract,
+    exactly like closure labels).  Scale: one rec_id equi-join + three
+    aggregations over the (cluster, entity) contingency cells — output
+    cardinality = new cluster count, nothing quadratic.  All columns are
+    strings/integers, so the driver hash-grades the full table against a
+    DuckDB replay (``er_stable_ids``).
+    """
+    o = old.select(
+        F.col(id_col).alias("_rid"), F.col(entity_col).alias("_ent")
+    )
+    n = new.select(F.col(id_col).alias("_rid"), F.col(cluster_col).alias("_cl"))
+    sizes = n.groupBy("_cl").agg(F.count(F.lit(1)).alias("n_members"))
+    cells = (
+        n.join(o, "_rid")
+        .groupBy("_cl", "_ent")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cand = cells.groupBy("_cl").agg(
+        F.min(
+            F.struct((-F.col("_n")).alias("neg"), F.col("_ent").alias("ent"))
+        ).alias("_top")
+    ).select(
+        "_cl",
+        F.col("_top.ent").alias("_cand_ent"),
+        (-F.col("_top.neg")).alias("n_overlap"),
+    )
+    winners = cand.groupBy("_cand_ent").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_overlap")).alias("neg"), F.col("_cl").alias("cl")
+            )
+        ).alias("_win")
+    ).select(
+        F.col("_cand_ent").alias("_went"), F.col("_win.cl").alias("_wcl")
+    )
+    resolved = cand.join(
+        winners,
+        (cand["_cand_ent"] == winners["_went"]) & (cand["_cl"] == winners["_wcl"]),
+        "left",
+    ).select(
+        "_cl",
+        "_cand_ent",
+        "n_overlap",
+        F.col("_wcl").isNotNull().alias("_won"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        sizes.join(resolved, "_cl", "left")
+        .select(
+            F.col("_cl").alias(cluster_col),
+            F.when(F.col("_won"), F.col("_cand_ent"))
+            .otherwise(F.concat(F.lit(fresh_prefix), F.col("_cl")))
+            .alias(entity_col),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce(F.col("n_overlap"), zero).cast("long").alias(
+                "n_overlap"
+            ),
+            F.when(F.col("_cand_ent").isNull(), F.lit("new"))
+            .when(F.col("_won"), F.lit("inherited"))
+            .otherwise(F.lit("contended"))
+            .alias("status"),
+        )
+    )
+
+
 def with_entity_split(
     assignments: DataFrame,
     cluster_col: str = "cluster_id",

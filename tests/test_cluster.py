@@ -410,3 +410,65 @@ def test_entity_split_no_entity_straddles(spark, method):
         for r in with_entity_split(asg, method=method, key=key).collect()
     }
     assert again == {(r.rec_id, r.split) for r in out.collect()}
+
+
+# ---- stable_entity_ids (persistent entity-id carryover) ----
+
+def _stable(spark, old_rows, new_rows):
+    from postal_address_spark.operators.cluster import stable_entity_ids
+
+    old = spark.createDataFrame(old_rows, "rec_id string, entity_id string")
+    new = spark.createDataFrame(new_rows, "rec_id string, cluster_id string")
+    return {
+        r.cluster_id: (r.entity_id, r.n_members, r.n_overlap, r.status)
+        for r in stable_entity_ids(old, new).collect()
+    }
+
+
+def test_stable_ids_split_merge_new(spark):
+    old = (
+        [(x, "E1") for x in "abcd"]
+        + [(x, "E2") for x in "ef"]
+        + [("g", "E3"), ("x", "E4")]
+    )
+    new = (
+        [(x, "C1") for x in "abc"]          # big E1 fragment
+        + [("d", "C2"), ("z", "C2")]          # small E1 fragment + new rec
+        + [(x, "C3") for x in "efg"]        # E2+E3 merged
+        + [("n1", "C4"), ("n2", "C4")]        # all-new cluster
+    )
+    got = _stable(spark, old, new)
+    assert got == {
+        # the larger fragment keeps the split entity's id
+        "C1": ("E1", 3, 3, "inherited"),
+        # the losing fragment mints a fresh id but reports its overlap
+        "C2": ("e:C2", 2, 1, "contended"),
+        # a merged cluster inherits its max-overlap constituent
+        "C3": ("E2", 3, 2, "inherited"),
+        "C4": ("e:C4", 2, 0, "new"),
+    }
+    # removed old entity E4: no output row (output is per NEW cluster)
+
+
+def test_stable_ids_deterministic_tiebreaks(spark):
+    old = [("p", "EA"), ("q", "EA"), ("r", "EB"), ("s", "EB")]
+    # D1 overlaps EA and EB equally -> candidate = smaller entity id (EA);
+    # D1 and D2 then claim EA with equal overlap -> smaller cluster id wins.
+    new = [("p", "D1"), ("r", "D1"), ("q", "D2")]
+    got = _stable(spark, old, new)
+    assert got == {
+        "D1": ("EA", 2, 1, "inherited"),
+        "D2": ("e:D2", 1, 1, "contended"),
+    }
+
+
+def test_stable_ids_identity_run_is_all_inherited(spark):
+    old = [(f"m{i:04d}", f"E{i // 4}") for i in range(40)]
+    new = [(rid, ent.replace("E", "C")) for rid, ent in old]
+    got = _stable(spark, old, new)
+    assert all(s == "inherited" for _, _, _, s in got.values())
+    # each cluster inherits exactly its own old entity, full overlap
+    assert all(
+        ent == cl.replace("C", "E") and n == ov == 4
+        for cl, (ent, n, ov, s) in got.items()
+    )
