@@ -2644,6 +2644,39 @@ def _q_blocking_tradeoff(spark, sf_dir):
     return blocking_rule_tradeoff(rules, truth)
 
 
+def _q_blocking_subset_costs(spark, sf_dir):
+    """Exhaustive rule-SUBSET decision table
+    (operators/blocking_analysis.py blocking_subset_costs): for each of
+    the 7 non-empty subsets of the three production rules, the
+    DISTINCT candidate-pair cost, the labeled recall over the mod-5
+    whole-clique truth sample, and the Pareto-frontier flag — the
+    numbers per-rule charts cannot give because rule pair sets overlap
+    (costs and recalls don't add).  The candidate volume is collapsed
+    ONCE to per-pair rule bitmasks (one bit_or shuffle); subsets ×
+    masks is a constant-size inclusion join.  The DuckDB oracle
+    replays the bitmask fold, the generated subset table, and the
+    NOT-EXISTS dominance scan bit-for-bit."""
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_subset_costs,
+    )
+
+    norm, rules = _blocking_rules(spark, sf_dir)
+    num = F.substring("rec_id", 2, 8).cast("long")
+    lab = norm.where(F.pmod(num, F.lit(5)) == 0).select(
+        "rec_id", F.pmod(num, F.lit(360)).alias("tid")
+    )
+    truth = (
+        lab.alias("a")
+        .join(lab.alias("b"), "tid")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+    )
+    return blocking_subset_costs(rules, truth)
+
+
 def _q_er_dup_estimate(spark, sf_dir):
     """Capture–recapture estimate of the matches blocking missed
     (operators/blocking_analysis.py capture_recapture — census
@@ -3089,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "blocking_recall": _q_blocking_recall,
         "blocking_tradeoff": _q_blocking_tradeoff,
+        "blocking_subset_costs": _q_blocking_subset_costs,
         "er_dup_estimate": _q_er_dup_estimate,
         "meta_blocking_pairs": _q_meta_blocking_pairs,
         "unblocked_mentions": _q_unblocked_mentions,
@@ -5645,6 +5679,87 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN ttots tt ON n.rule_idx = tt.r
     LEFT JOIN tnews tw ON n.rule_idx = tw.fr
     ORDER BY n.rule_idx
+    """
+
+    # -- blocking_subset_costs: every non-empty subset of the three
+    # rules graded on union-deduplicated pair cost + labeled recall.
+    # One bit_or fold collapses the pair streams to per-pair rule
+    # bitmasks; the subset table is GENERATED from the same names list
+    # the Spark side uses, inclusion is (mask & subset) <> 0, and the
+    # Pareto flag is a NOT EXISTS dominance scan over the 7-row frame.
+    _subset_rule_names = ["exact_postal_hn", "phonetic_city", "snm_window4"]
+    _subset_vals = ",\n        ".join(
+        "({}, '{}', {})".format(
+            s,
+            "+".join(
+                n for i, n in enumerate(_subset_rule_names) if s & (1 << i)
+            ),
+            bin(s).count("1"),
+        )
+        for s in range(1, 2 ** len(_subset_rule_names))
+    )
+    sql["blocking_subset_costs"] = f"""
+    WITH {_bcov_prefix},
+    ap AS (
+      SELECT s, d, 1 AS m FROM p1
+      UNION ALL SELECT s, d, 2 FROM p2
+      UNION ALL SELECT s, d, 4 FROM p3
+    ),
+    masks AS MATERIALIZED (
+      SELECT s, d, bit_or(m) AS mask FROM ap GROUP BY s, d
+    ),
+    mc AS (SELECT mask, count(*) AS n FROM masks GROUP BY mask),
+    lab AS (
+      SELECT rec_id,
+             CAST(substr(rec_id, 2, 8) AS BIGINT) % 360 AS tid
+      FROM ids
+      WHERE CAST(substr(rec_id, 2, 8) AS BIGINT) % 5 = 0
+    ),
+    truth AS (
+      SELECT a.rec_id AS s, b.rec_id AS d
+      FROM lab a JOIN lab b ON a.tid = b.tid AND a.rec_id < b.rec_id
+    ),
+    tmask AS (
+      SELECT coalesce(m.mask, 0) AS mask FROM truth t
+      LEFT JOIN masks m ON t.s = m.s AND t.d = m.d
+    ),
+    tmc AS (SELECT mask, count(*) AS n FROM tmask GROUP BY mask),
+    tot AS (SELECT count(*) AS total FROM truth),
+    subsets AS (
+      SELECT * FROM (VALUES
+        {_subset_vals}
+      ) AS v(subset_id, rules, n_rules)
+    ),
+    psum AS (
+      SELECT sub.subset_id, CAST(coalesce(SUM(mc.n), 0) AS BIGINT) AS n_pairs
+      FROM subsets sub LEFT JOIN mc ON (mc.mask & sub.subset_id) <> 0
+      GROUP BY 1
+    ),
+    tsum AS (
+      SELECT sub.subset_id, CAST(coalesce(SUM(tmc.n), 0) AS BIGINT) AS n_true
+      FROM subsets sub LEFT JOIN tmc ON (tmc.mask & sub.subset_id) <> 0
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT sub.subset_id, sub.rules, sub.n_rules, psum.n_pairs,
+             tsum.n_true, CAST(tot.total AS BIGINT) AS total_truth_pairs
+      FROM subsets sub
+      JOIN psum USING (subset_id)
+      JOIN tsum USING (subset_id)
+      CROSS JOIN tot
+    )
+    SELECT CAST(a.subset_id AS INT) AS subset_id, a.rules,
+           CAST(a.n_rules AS INT) AS n_rules,
+           a.n_pairs, a.n_true AS n_true_caught, a.total_truth_pairs,
+           a.n_true / nullif(a.total_truth_pairs, 0) AS recall,
+           a.n_pairs / nullif(a.n_true, 0) AS pairs_per_true,
+           NOT EXISTS (
+             SELECT 1 FROM agg b
+             WHERE b.n_pairs <= a.n_pairs AND b.n_true >= a.n_true
+               AND (b.n_pairs < a.n_pairs OR b.n_true > a.n_true)
+           ) AS on_frontier
+    FROM agg a
+    ORDER BY subset_id
     """
 
     # -- er_dup_estimate: Chapman dual-system estimator over the two

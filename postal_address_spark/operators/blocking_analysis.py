@@ -608,6 +608,143 @@ def capture_recapture(
     )
 
 
+def blocking_subset_costs(
+    rules: Sequence[Tuple[str, DataFrame]],
+    truth_pairs: DataFrame,
+    broadcast_truth: bool = True,
+    max_rules: int = 6,
+) -> DataFrame:
+    """Exhaustive rule-SUBSET decision table: for every non-empty subset
+    of the rule list, the DISTINCT candidate-pair cost and the labeled
+    recall — the question the per-rule charts cannot answer, because
+    rules overlap (two rules' pair sets share mass, so per-rule costs
+    don't add and per-rule recalls don't either).  "Which combination
+    of rules should ship under this comparison budget?" needs the
+    union-deduplicated numbers per subset, and the subset lattice is
+    tiny (``2^k - 1`` rows) even though the pair volume is not.
+
+    Scale shape: the candidate volume is touched ONCE — each rule's
+    stream is tagged with its bit (``1 << idx``) and a single
+    ``groupBy(pair).bit_or`` collapses it to a per-pair rule BITMASK
+    (map-side combine, the same one shuffle
+    :func:`blocking_rule_analysis` pays).  Distinct masks number at
+    most ``2^k - 1``, so everything downstream — the subset × mask
+    inclusion join (``mask & subset != 0``), the truth tallies, the
+    Pareto scan — runs over constant-size frames.  The labeled truth
+    reduces map-side against the broadcast probe exactly like
+    :func:`blocking_rule_recall` (orientation/dup normalization
+    included).
+
+    Output, one row per subset (``subset_id`` = the bitmask over rule
+    list positions)::
+
+        subset_id, rules ('+'-joined names), n_rules,
+        n_pairs            distinct candidate pairs the subset generates
+        n_true_caught      labeled matches it co-blocks
+        total_truth_pairs, recall, pairs_per_true   (single divisions)
+        on_frontier        no other subset is >= on recall and <= on
+                           cost with one strict (the Pareto set you
+                           actually choose from)
+
+    All counts integer, divisions single int/int — the driver gate
+    hash-grades the table against a DuckDB replay
+    (``blocking_subset_costs``).
+    """
+    if not rules:
+        raise ValueError("at least one blocking rule required")
+    if len(rules) > max_rules:
+        raise ValueError(
+            f"{len(rules)} rules -> {2 ** len(rules) - 1} subsets; "
+            f"raise max_rules above {max_rules} explicitly if you mean it"
+        )
+    truth = _normalized_truth(truth_pairs)
+    probe = F.broadcast(truth) if broadcast_truth else truth
+
+    tagged = None
+    for i, (_, pairs) in enumerate(rules):
+        t = pairs.select(
+            "rec_id_a", "rec_id_b", F.lit(1 << i).cast("long").alias("_bit")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    masks = tagged.groupBy("rec_id_a", "rec_id_b").agg(
+        F.bit_or("_bit").alias("_mask")
+    )
+    mask_counts = masks.groupBy("_mask").agg(F.count(F.lit(1)).alias("_n"))
+    truth_masks = truth.join(masks, ["rec_id_a", "rec_id_b"], "left").select(
+        F.coalesce("_mask", F.lit(0).cast("long")).alias("_mask")
+    )
+    truth_counts = truth_masks.groupBy("_mask").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("total_truth_pairs"))
+
+    spark = tagged.sparkSession
+    names = [name for name, _ in rules]
+    subsets = spark.createDataFrame(
+        [
+            (
+                s,
+                "+".join(n for i, n in enumerate(names) if s & (1 << i)),
+                bin(s).count("1"),
+            )
+            for s in range(1, 2 ** len(rules))
+        ],
+        "subset_id long, rules string, n_rules int",
+    )
+
+    def _inclusion_sum(counts: DataFrame, out_col: str) -> DataFrame:
+        hit = F.col("_mask").bitwiseAND(F.col("subset_id")) != 0
+        return (
+            subsets.select("subset_id")
+            .join(counts, hit, "left")
+            .groupBy("subset_id")
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias(out_col))
+        )
+
+    agg = (
+        subsets.join(_inclusion_sum(mask_counts, "n_pairs"), "subset_id")
+        .join(_inclusion_sum(truth_counts, "n_true_caught"), "subset_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    # Pareto scan over the 2^k-1-row frame: dominated = some other
+    # subset is no worse on both axes and strictly better on one.
+    dom_probe = agg.select(
+        F.col("subset_id").alias("_oid"),
+        F.col("n_pairs").alias("_op"),
+        F.col("n_true_caught").alias("_ot"),
+    )
+    dominated = agg.join(
+        dom_probe,
+        (F.col("_op") <= F.col("n_pairs"))
+        & (F.col("_ot") >= F.col("n_true_caught"))
+        & (
+            (F.col("_op") < F.col("n_pairs"))
+            | (F.col("_ot") > F.col("n_true_caught"))
+        ),
+        "left_semi",
+    ).select(F.col("subset_id").alias("_did"), F.lit(True).alias("_dom"))
+    denom = F.nullif(F.col("total_truth_pairs"), F.lit(0))
+    return (
+        agg.join(dominated, agg["subset_id"] == dominated["_did"], "left")
+        .select(
+            F.col("subset_id").cast("int").alias("subset_id"),
+            "rules",
+            "n_rules",
+            "n_pairs",
+            "n_true_caught",
+            F.col("total_truth_pairs").cast("long").alias(
+                "total_truth_pairs"
+            ),
+            (F.col("n_true_caught") / denom).alias("recall"),
+            (
+                F.col("n_pairs") / F.nullif(F.col("n_true_caught"), F.lit(0))
+            ).alias("pairs_per_true"),
+            F.col("_dom").isNull().alias("on_frontier"),
+        )
+        .orderBy("subset_id")
+    )
+
+
 def blocking_rule_tradeoff(
     rules: Sequence[Tuple[str, DataFrame]],
     truth_pairs: DataFrame,

@@ -450,3 +450,62 @@ def test_blocking_rule_tradeoff_hand_case(spark):
     assert out["r2"]["pairs_per_true"] == 3 / 1
     assert out["r2"]["new_pairs_per_new_true"] is None
     assert all(r["total_truth_pairs"] == 3 for r in out.values())
+
+
+# ---- blocking_subset_costs (rule-subset cost/recall lattice) ----
+
+def test_subset_costs_hand_case(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_subset_costs,
+    )
+
+    # rule A: {ab, cd, ef}; rule B: {ab, gh} — overlap on ab, so the
+    # union cost is 4, not 5
+    r_a = _pairs(spark, [("a", "b"), ("c", "d"), ("e", "f")])
+    r_b = _pairs(spark, [("a", "b"), ("g", "h")])
+    # truth: ab (both rules), gh (B only), xy (missed by both)
+    truth = _pairs(spark, [("a", "b"), ("g", "h"), ("x", "y")])
+    out = {
+        r.subset_id: r.asDict()
+        for r in blocking_subset_costs([("A", r_a), ("B", r_b)], truth).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["rules"] == "A" and out[2]["rules"] == "B"
+    assert out[3]["rules"] == "A+B" and out[3]["n_rules"] == 2
+    assert out[1]["n_pairs"] == 3 and out[1]["n_true_caught"] == 1
+    assert out[2]["n_pairs"] == 2 and out[2]["n_true_caught"] == 2
+    # union deduplicates the shared ab pair
+    assert out[3]["n_pairs"] == 4 and out[3]["n_true_caught"] == 2
+    assert all(r["total_truth_pairs"] == 3 for r in out.values())
+    assert out[2]["recall"] == 2 / 3 and out[2]["pairs_per_true"] == 1.0
+    # frontier: B dominates A+B (same recall, fewer pairs) and A
+    # (fewer pairs AND more recall); only B survives
+    assert out[2]["on_frontier"] is True
+    assert out[1]["on_frontier"] is False
+    assert out[3]["on_frontier"] is False
+
+
+def test_subset_costs_truth_orientation_normalized(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_subset_costs,
+    )
+
+    r_a = _pairs(spark, [("a", "b")])
+    # reversed + duplicated clerical label still counts once, as caught
+    truth = _pairs(spark, [("b", "a"), ("a", "b")])
+    row = blocking_subset_costs([("A", r_a)], truth).collect()[0]
+    assert row.n_true_caught == 1 and row.total_truth_pairs == 1
+    assert row.on_frontier is True
+
+
+def test_subset_costs_guards(spark):
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_subset_costs,
+    )
+
+    truth = _pairs(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        blocking_subset_costs([], truth)
+    rules = [(f"r{i}", _pairs(spark, [("a", "b")])) for i in range(7)]
+    with pytest.raises(ValueError):
+        blocking_subset_costs(rules, truth)  # 127 subsets > default cap

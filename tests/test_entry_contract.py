@@ -56,7 +56,8 @@ EXPECTED_QUERIES = {
     "er_labeling_sample", "fs_labeled_mu", "sequence_packing", "snm_pairs",
     "tf_city_evidence",
     "link_two_datasets", "blocking_rule_coverage", "blocking_recall",
-    "blocking_tradeoff", "er_dup_estimate", "meta_blocking_pairs",
+    "blocking_tradeoff", "blocking_subset_costs", "er_dup_estimate",
+    "meta_blocking_pairs",
     "unblocked_mentions", "er_unlinkables", "profile_customer",
     "link_best_matches", "streaming_link_datasets",
 }
