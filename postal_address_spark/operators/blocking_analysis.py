@@ -670,11 +670,18 @@ def blocking_subset_costs(
         F.bit_or("_bit").alias("_mask")
     )
     mask_counts = masks.groupBy("_mask").agg(F.count(F.lit(1)).alias("_n"))
-    truth_masks = truth.join(masks, ["rec_id_a", "rec_id_b"], "left").select(
-        F.coalesce("_mask", F.lit(0).cast("long")).alias("_mask")
-    )
-    truth_counts = truth_masks.groupBy("_mask").agg(
-        F.count(F.lit(1)).alias("_n")
+    # truth tallies never touch the full mask relation: the tagged
+    # streams reduce to their labeled survivors MAP-SIDE against the
+    # broadcast probe (blocking_rule_recall's discipline), and truth
+    # pairs NO rule co-blocks would carry mask 0 — which can never pass
+    # the `mask & subset != 0` inclusion filter, so they are simply
+    # absent (the recall denominator comes from `tot`).
+    truth_counts = (
+        tagged.join(probe, ["rec_id_a", "rec_id_b"])
+        .groupBy("rec_id_a", "rec_id_b")
+        .agg(F.bit_or("_bit").alias("_mask"))
+        .groupBy("_mask")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     tot = truth.agg(F.count(F.lit(1)).alias("total_truth_pairs"))
 

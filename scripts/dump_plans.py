@@ -226,6 +226,33 @@ def main() -> None:
             em.queries()["tf_city_evidence"](spark, SF),
         ),
         (
+            "er_stable_ids — carryover argmaxes as aggregations",
+            "Look for: the (cluster, entity) contingency cells from ONE "
+            "rec_id equi-join; candidate and winner selection as "
+            "min(struct(-n, id)) HashAggregates — no Window node (a "
+            "window would sort the cells for the same answer); every "
+            "downstream join runs over cluster-count-size frames.",
+            em.queries()["er_stable_ids"](spark, SF),
+        ),
+        (
+            "er_training_triplets — argmin aggregation over doubled pairs",
+            "Look for: the candidate relation unioned with itself "
+            "(anchor on each side) feeding two filtered min(struct(lev, "
+            "id)) HashAggregates (positive / hard negative) — no Window, "
+            "no CartesianProduct; cluster tags join on rec_id only.",
+            em.queries()["er_training_triplets"](spark, SF),
+        ),
+        (
+            "blocking_subset_costs — one bitmask fold, constant lattice",
+            "Look for: the unioned rule streams collapsing through ONE "
+            "groupBy(pair) bit_or Exchange (map-side partial combine); "
+            "the labeled truth on the BUILD side of a BroadcastHashJoin "
+            "before any truth aggregation; the subsets x masks inclusion "
+            "join as a BroadcastNestedLoopJoin over frames of at most "
+            "2^k rows — the one place a BNLJ is the right plan.",
+            em.queries()["blocking_subset_costs"](spark, SF),
+        ),
+        (
             "blocking_recall — broadcast labeled-truth probe",
             "Look for: the clerical truth set on the BUILD side of a "
             "BroadcastHashJoin against the unioned candidate streams (no "

@@ -540,3 +540,78 @@ def test_boilerplate_profile_no_expand(spark):
     plan = physical(boilerplate_turns(events, "conv_id", "action"))
     assert "Expand" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stable_ids_argmaxes_without_window(spark):
+    """stable_entity_ids (operators/cluster.py): candidate and winner
+    selection must plan as min(struct) HashAggregates — a Window would
+    sort the contingency cells for the same answer — and nothing may go
+    cartesian."""
+    from postal_address_spark.operators.cluster import stable_entity_ids
+
+    old = spark.createDataFrame(
+        [("a", "E1"), ("b", "E1")], "rec_id string, entity_id string"
+    )
+    new = spark.createDataFrame(
+        [("a", "C1"), ("b", "C2")], "rec_id string, cluster_id string"
+    )
+    plan = physical(stable_entity_ids(old, new))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_triplets_argmins_without_window(spark):
+    """mine_triplets (operators/triplets.py): the per-anchor positive /
+    hard-negative picks must be min(struct) aggregations over the
+    doubled pair relation — no Window sort, no cartesian."""
+    from postal_address_spark.operators.triplets import mine_triplets
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 2)],
+        "rec_id_a string, rec_id_b string, dist int",
+    )
+    asg = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y")],
+        "rec_id string, cluster_id string",
+    )
+    plan = physical(mine_triplets(pairs, asg))
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_subset_costs_truth_probe_is_broadcast(spark):
+    """blocking_subset_costs (operators/blocking_analysis.py): the
+    labeled-truth reduction must BROADCAST into the tagged candidate
+    streams (blocking_rule_recall's discipline) — the only aggregation
+    that touches the full volume is the one bit_or mask fold."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking_analysis import (
+        blocking_subset_costs,
+    )
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("rec_id"),
+        F.col("c_nationkey").alias("k"),
+    )
+    pairs = (
+        cust.alias("a")
+        .join(cust.alias("b"), "k")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+    )
+    truth = spark.createDataFrame(
+        [("1", "2"), ("3", "4")], "rec_id_a string, rec_id_b string"
+    )
+    plan = physical(blocking_subset_costs([("r1", pairs)], truth))
+    # the truth intersection never sorts/shuffles on the pair key; the
+    # only SMJ allowed is the rule's own equi-join on k (the
+    # subsets x masks inclusion join is a BNLJ over constant frames —
+    # that one is intended).
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "rec_id_a" not in line, line
+    assert "BroadcastHashJoin" in plan, plan[:2000]
