@@ -123,8 +123,14 @@ def build_parser() -> argparse.ArgumentParser:
         "blocking_analysis.blocking_rule_recall: the fraction of known "
         "matches each rule co-blocks, first-rule-credited) and "
         "missed_truth/ (the labeled matches NO rule co-blocks — the "
-        "casualty list a new rule should be designed around).  The "
-        "truth set broadcasts; cost is one map-side reduction per rule",
+        "casualty list a new rule should be designed around), plus the "
+        "two decision tables: tradeoff/ (per-rule cost-per-recall, "
+        "blocking_rule_tradeoff) and subset_costs/ (every rule SUBSET's "
+        "union-deduplicated pair cost + labeled recall with the Pareto "
+        "frontier flagged, blocking_subset_costs — which combination "
+        "ships under a comparison budget).  The truth set broadcasts; "
+        "cost is one map-side reduction per rule plus one bitmask fold "
+        "over the unioned candidate volume",
     )
     p.add_argument(
         "--dup-estimate", action="store_true",
@@ -232,6 +238,17 @@ def main(argv=None, spark=None) -> dict:
         write_table(recall, f"{root}/blocking_recall")
         write_table(
             missed_truth_pairs(rules, truth), f"{root}/missed_truth"
+        )
+        from postal_address_spark.operators.blocking_analysis import (
+            blocking_rule_tradeoff,
+            blocking_subset_costs,
+        )
+
+        write_table(
+            blocking_rule_tradeoff(rules, truth), f"{root}/tradeoff"
+        )
+        write_table(
+            blocking_subset_costs(rules, truth), f"{root}/subset_costs"
         )
         recall_rows = {
             r["rule"]: {

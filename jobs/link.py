@@ -52,6 +52,49 @@ def build_parser() -> argparse.ArgumentParser:
         "(per resolved entity its conversation footprint — "
         "operators/entity_index.py); writes <dir>/by_entity + <dir>/by_conv",
     )
+    p.add_argument(
+        "--entities-output",
+        default=None,
+        help="optional destination for the PUBLISHABLE entity table "
+        "(operators/cluster.py stable_entity_ids): writes "
+        "<dir>/entities (per-cluster: durable entity_id, overlap, "
+        "inherited/contended/new status) and <dir>/by_record (rec_id -> "
+        "entity_id — feed THIS path to the next run's "
+        "--previous-entities to keep ids stable across relinks)",
+    )
+    p.add_argument(
+        "--previous-entities",
+        default=None,
+        help="the last run's <entities-output>/by_record table; omit on "
+        "the bootstrap run (every cluster then mints a fresh id)",
+    )
+    p.add_argument(
+        "--entity-prefix",
+        default=None,
+        help="prefix for freshly minted entity ids; default "
+        "'e<input-fingerprint[:8]>:' — unique per input snapshot, so "
+        "fresh ids can never collide with ids inherited from earlier "
+        "runs (same input re-run mints identical ids: idempotent)",
+    )
+    p.add_argument(
+        "--triplets-output",
+        default=None,
+        help="optional destination for matcher-training triplets "
+        "(operators/triplets.py mine_triplets): per anchor VALUE "
+        "representative its most-similar same-cluster candidate "
+        "(positive) and most-similar cross-cluster candidate (hard "
+        "negative), mined from a re-scored candidate pass at "
+        "--triplet-floor so near-misses below the match threshold are "
+        "visible",
+    )
+    p.add_argument(
+        "--triplet-floor",
+        type=float,
+        default=None,
+        help="score floor for the triplet-mining pass (default "
+        "max(0, threshold - 0.2)); lower = deeper negatives, more "
+        "kernel work",
+    )
     return p
 
 
@@ -128,6 +171,79 @@ def main(argv=None, spark=None) -> dict:
 
     from pyspark.sql import functions as F
 
+    entities_paths = None
+    if args.entities_output:
+        from postal_address_spark.operators.cluster import stable_entity_ids
+
+        prefix = args.entity_prefix or f"e{config.input_fingerprint[:8]}:"
+        if args.previous_entities:
+            old = read_table(spark, args.previous_entities).select(
+                "rec_id", "entity_id"
+            )
+        else:
+            old = spark.createDataFrame(
+                [], "rec_id string, entity_id string"
+            )
+        ents = stable_entity_ids(
+            old, result["clusters"], fresh_prefix=prefix
+        )
+        eroot = args.entities_output.rstrip("/")
+        write_table(ents, f"{eroot}/entities")
+        # the record-level assignment is what the NEXT run consumes
+        by_record = result["clusters"].join(
+            read_table(spark, f"{eroot}/entities").select(
+                "cluster_id", "entity_id"
+            ),
+            "cluster_id",
+        ).select("rec_id", "entity_id")
+        write_table(by_record, f"{eroot}/by_record")
+        entities_paths = {
+            "entities": f"{eroot}/entities",
+            "by_record": f"{eroot}/by_record",
+        }
+
+    n_triplets = None
+    if args.triplets_output:
+        from postal_address_spark.operators.pairs import candidate_pairs
+        from postal_address_spark.operators.scoring import score_pairs
+        from postal_address_spark.operators.triplets import mine_triplets
+
+        floor = (
+            args.triplet_floor
+            if args.triplet_floor is not None
+            else max(0.0, args.threshold - 0.2)
+        )
+        # re-scored pass at the mining floor: the pipeline's edge stage
+        # keeps only score >= threshold, but hard negatives are exactly
+        # the pairs just UNDER it.  Candidate generation at the floor
+        # keeps the (block, house-number) refinement recall-lossless at
+        # that depth; anchors are value representatives (rule 9 — score
+        # values, not mentions).
+        values = result["blocked"].where(F.col("rec_id") == F.col("val_id"))
+        cand = candidate_pairs(
+            values,
+            hot_threshold=args.hot_threshold,
+            n_salt=args.n_salt,
+            max_block_size=args.max_block_size,
+            threshold=floor,
+        )
+        scored = score_pairs(cand, threshold=floor)
+        triplets = mine_triplets(
+            scored.select(
+                "rec_id_a", "rec_id_b", (-F.col("score")).alias("dist")
+            ),
+            result["clusters"],
+        ).select(
+            "rec_id",
+            "cluster_id",
+            "pos_id",
+            (-F.col("pos_dist")).alias("pos_score"),
+            "neg_id",
+            (-F.col("neg_dist")).alias("neg_score"),
+        )
+        write_table(triplets, args.triplets_output)
+        n_triplets = read_table(spark, args.triplets_output).count()
+
     # Summarize from the just-written output: a plain parquet scan, never a
     # recompute of the cluster stage (and correct on fully-resumed runs).
     agg = read_table(spark, args.output).agg(
@@ -154,6 +270,11 @@ def main(argv=None, spark=None) -> dict:
         summary["n_golden"] = int(n_golden)
     if entity_index_paths is not None:
         summary["entity_index"] = entity_index_paths
+    if entities_paths is not None:
+        summary["entities"] = entities_paths
+    if n_triplets is not None:
+        summary["triplets_output"] = args.triplets_output
+        summary["n_triplets"] = int(n_triplets)
     print(json.dumps(summary))
     return summary
 

@@ -364,6 +364,30 @@ def test_er_report_truth_recall_and_dup_estimate(spark, tmp_path):
     assert summary["blocking_recall"]["exact_postal_hn"][
         "n_true_caught"] == n_truth - 1
 
+    # the two decision tables ride the same truth stage
+    trade = {r["rule"]: r for r in
+             spark.read.parquet(f"{root}/tradeoff").collect()}
+    assert set(trade) == set(rec)
+    assert all(
+        trade[k]["n_true_caught"] == rec[k]["n_true_caught"] for k in rec
+    )
+    subs = {r["subset_id"]: r for r in
+            spark.read.parquet(f"{root}/subset_costs").collect()}
+    assert set(subs) == set(range(1, 8))  # 3 rules -> 7 subsets
+    # single-rule subsets agree with the per-rule recall tallies
+    assert subs[1]["n_true_caught"] == rec["exact_postal_hn"]["n_true_caught"]
+    assert subs[2]["n_true_caught"] == rec["phonetic_city"]["n_true_caught"]
+    full = subs[7]
+    assert full["rules"] == "exact_postal_hn+phonetic_city+snm_window4"
+    # the all-rules union can't beat total truth, can't lose to any subset
+    assert all(
+        s["n_true_caught"] <= full["n_true_caught"] <= n_truth
+        for s in subs.values()
+    )
+    # union dedup: the full subset costs at most the per-rule sum
+    assert full["n_pairs"] <= sum(subs[b]["n_pairs"] for b in (1, 2, 4))
+    assert any(s["on_frontier"] for s in subs.values())
+
     est = summary["dup_estimate"]
     assert est["system_a"] == "exact_postal_hn"
     assert est["system_b"] == "phonetic_city"

@@ -181,3 +181,93 @@ def test_link_job_entity_index(spark, tmp_path):
     }
     got = {r["cluster_id"]: r["n_convs"] for r in by_entity}
     assert got == want
+
+
+def test_link_job_stable_entities_loop(spark, tmp_path):
+    """--entities-output / --previous-entities: the bootstrap run mints
+    fresh ids for every cluster; a relink of the SAME input fed the
+    bootstrap's by_record table must inherit EVERY id unchanged — the
+    loop invariant that makes the entity table publishable."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    synth_transcripts_spark(
+        spark, seed=7, n_convs=60, n_entities=25
+    ).write.parquet(inp)
+
+    e1 = str(tmp_path / "ent1")
+    s1 = link.main(
+        ["--input", inp, "--output", str(tmp_path / "c1"),
+         "--entities-output", e1],
+        spark=spark,
+    )
+    ents1 = spark.read.parquet(f"{e1}/entities").collect()
+    assert len(ents1) == s1["n_clusters"]
+    # bootstrap: no previous table -> every cluster mints a fresh id
+    assert all(r.status == "new" and r.n_overlap == 0 for r in ents1)
+    prefix = f"e{s1['input_fingerprint'][:8]}:"
+    assert all(r.entity_id == prefix + r.cluster_id for r in ents1)
+    by_rec1 = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{e1}/by_record").collect()
+    }
+    assert len(by_rec1) == s1["n_mentions"]
+
+    # relink the same input against the bootstrap's record table
+    e2 = str(tmp_path / "ent2")
+    link.main(
+        ["--input", inp, "--output", str(tmp_path / "c2"),
+         "--entities-output", e2, "--previous-entities", f"{e1}/by_record"],
+        spark=spark,
+    )
+    ents2 = spark.read.parquet(f"{e2}/entities").collect()
+    assert all(
+        r.status == "inherited" and r.n_overlap == r.n_members for r in ents2
+    )
+    by_rec2 = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{e2}/by_record").collect()
+    }
+    assert by_rec2 == by_rec1
+
+
+def test_link_job_triplets_output(spark, tmp_path):
+    """--triplets-output: every written triplet's positive shares the
+    anchor's cluster and its hard negative does not (checked against the
+    written cluster table), scores ride in similarity orientation."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    out = str(tmp_path / "clusters")
+    trip = str(tmp_path / "triplets")
+    # hot_share packs several entities into one postal block so
+    # cross-cluster near-misses (the hard negatives) actually exist
+    synth_transcripts_spark(
+        spark, seed=7, n_convs=80, n_entities=25, hot_share=0.3
+    ).write.parquet(inp)
+
+    summary = link.main(
+        ["--input", inp, "--output", out, "--triplets-output", trip],
+        spark=spark,
+    )
+    rows = spark.read.parquet(trip).collect()
+    assert summary["n_triplets"] == len(rows) > 0
+    clusters = {
+        r.rec_id: r.cluster_id for r in spark.read.parquet(out).collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.rec_id not in seen  # one triplet per anchor
+        seen.add(r.rec_id)
+        assert clusters[r.rec_id] == r.cluster_id
+        assert clusters[r.pos_id] == r.cluster_id
+        assert clusters[r.neg_id] != r.cluster_id
+        assert 0.0 <= r.neg_score <= 1.0 and 0.0 <= r.pos_score <= 1.0
