@@ -55,6 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-salt", type=int, default=16)
     p.add_argument("--postal-prefix-len", type=int, default=None)
     p.add_argument("--n-pb", type=int, default=64)
+    p.add_argument(
+        "--entities-state",
+        default=None,
+        help="optional durable entity-table dir (plans/incremental.py "
+        "publish_entities): after the fold/retraction, carry the last "
+        "published entity ids onto the new all-batch labels "
+        "(stable_entity_ids; per-publish unique fresh prefix) and "
+        "overwrite <dir>/entities + <dir>/by_record — the id surface "
+        "downstream consumers key on across folds",
+    )
     return p
 
 
@@ -111,6 +121,12 @@ def main(argv=None, spark=None) -> dict:
             "batch_clusters": int(batch_agg["k"]),
             "touched_blocks": result["touched_blocks"].count(),
         }
+    if args.entities_state:
+        from postal_address_spark.plans.incremental import publish_entities
+
+        summary["entities"] = publish_entities(
+            spark, mention_clusters(spark, args.state), args.entities_state
+        )
     if args.output:
         labels = mention_clusters(spark, args.state)
         write_table(labels, args.output)

@@ -789,3 +789,64 @@ def mention_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     return mmap.select("rec_id", "val_id").join(
         clusters.select("val_id", "cluster_id"), "val_id"
     ).select("rec_id", "cluster_id")
+
+
+def publish_entities(
+    spark: SparkSession, labels: DataFrame, entities_dir: str
+) -> Dict[str, int]:
+    """Maintain the durable PUBLISHED entity table next to a linkage
+    state: carry entity ids from the last published assignment onto the
+    given (rec_id, cluster_id) labels via
+    :func:`..operators.cluster.stable_entity_ids`, and persist both
+    views — ``<dir>/entities`` (per-cluster: entity_id, overlap, status)
+    and ``<dir>/by_record`` (rec_id -> entity_id, the old side of the
+    NEXT publish).
+
+    Fresh-id uniqueness is per-PUBLISH, not global-prefix: a fixed
+    prefix can collide across publishes (a later fold can mint
+    ``e:<label>`` for a fresh fragment while an earlier publish's
+    ``e:<label>`` still rides another cluster — min-id labels move).
+    Each publish therefore mints under ``e<seq>.`` with ``seq`` read
+    from and bumped in ``<dir>/_entities.json`` (same FS-metadata
+    discipline as the state manifest).
+
+    Rule-10 discipline: the carryover plan READS ``by_record`` and the
+    write OVERWRITES it, so the resolved entity table is eagerly
+    materialized (localCheckpoint) before the first write — a lazy plan
+    would re-list the directory mid-overwrite.
+    """
+    from ..operators.cluster import stable_entity_ids
+
+    root = entities_dir.rstrip("/")
+    meta_path = posixpath.join(root, "_entities.json")
+    by_record_path = posixpath.join(root, "by_record")
+    seq = 0
+    if fs_exists(spark, meta_path):
+        seq = int(json.loads(fs_read_text(spark, meta_path))["seq"])
+        old = spark.read.parquet(by_record_path).select(
+            "rec_id", "entity_id"
+        )
+    else:
+        old = spark.createDataFrame([], "rec_id string, entity_id string")
+    ents = stable_entity_ids(
+        old, labels, fresh_prefix=f"e{seq}."
+    ).localCheckpoint(eager=True)
+    by_record = labels.join(
+        ents.select("cluster_id", "entity_id"), "cluster_id"
+    ).select("rec_id", "entity_id")
+    ents.write.mode("overwrite").parquet(posixpath.join(root, "entities"))
+    by_record.write.mode("overwrite").parquet(by_record_path)
+    fs_write_text(spark, meta_path, json.dumps({"seq": seq + 1}))
+    counts = {
+        r["status"]: int(r["n"])
+        for r in ents.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    return {
+        "publish_seq": seq,
+        "n_entities": int(ents.count()),
+        "n_inherited": counts.get("inherited", 0),
+        "n_contended": counts.get("contended", 0),
+        "n_new": counts.get("new", 0),
+    }

@@ -197,3 +197,86 @@ def test_n_pb_is_pinned_by_state_manifest(spark, state_dir):
     assert _labels(mention_clusters(spark, state_dir)) == {
         ("m1", "m1"), ("m2", "m1"),
     }
+
+
+# ---- publish_entities (durable entity-id loop over the state) ----
+
+def test_publish_entities_across_folds(spark, state_dir, tmp_path):
+    """jobs/link_incremental.py --entities-state: fold 1 bootstraps every
+    id under the e0. prefix; fold 2's publish inherits ids for surviving
+    entities and mints e1.-prefixed ids for genuinely new ones; entity
+    ids stay injective per publish; a republish of unchanged labels is a
+    no-op on the record-level assignment."""
+    import os
+    import sys
+
+    from postal_address_spark.plans.incremental import publish_entities
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link_incremental
+
+    t = synth_transcripts_spark(
+        spark, seed=SEED, n_convs=80, n_entities=30, typo_prob=0.2
+    ).persist()
+    b1 = t.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    b2 = t.subtract(b1)
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(p1)
+    b2.write.parquet(p2)
+    edir = str(tmp_path / "entities")
+
+    s1 = link_incremental.main(
+        ["--input", p1, "--state", state_dir, "--n-pb", "4",
+         "--entities-state", edir],
+        spark=spark,
+    )
+    ent1 = s1["entities"]
+    assert ent1["publish_seq"] == 0
+    assert ent1["n_new"] == ent1["n_entities"] > 0
+    rec1 = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{edir}/by_record").collect()
+    }
+    assert all(e.startswith("e0.") for e in rec1.values())
+
+    s2 = link_incremental.main(
+        ["--input", p2, "--state", state_dir, "--n-pb", "4",
+         "--entities-state", edir],
+        spark=spark,
+    )
+    ent2 = s2["entities"]
+    assert ent2["publish_seq"] == 1
+    assert (
+        ent2["n_inherited"] + ent2["n_contended"] + ent2["n_new"]
+        == ent2["n_entities"]
+    )
+    assert ent2["n_inherited"] > 0  # batch-1 entities survive the fold
+    rows2 = spark.read.parquet(f"{edir}/entities").collect()
+    # injectivity: one entity id per cluster, one cluster per entity id
+    ids = [r.entity_id for r in rows2]
+    assert len(ids) == len(set(ids))
+    # inherited ids come from the previous publish; fresh ids from e1.
+    prev_ids = set(rec1.values())
+    for r in rows2:
+        if r.status == "inherited":
+            assert r.entity_id in prev_ids
+        else:
+            assert r.entity_id.startswith("e1.")
+    rec2 = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{edir}/by_record").collect()
+    }
+    assert set(rec1) <= set(rec2)  # batch-1 records still published
+
+    # republish of UNCHANGED labels: everything inherits, assignment fixed
+    labels = mention_clusters(spark, state_dir).localCheckpoint(eager=True)
+    ent3 = publish_entities(spark, labels, edir)
+    assert ent3["publish_seq"] == 2
+    assert ent3["n_inherited"] == ent3["n_entities"]
+    rec3 = {
+        r.rec_id: r.entity_id
+        for r in spark.read.parquet(f"{edir}/by_record").collect()
+    }
+    t.unpersist()
+    assert rec3 == rec2
