@@ -80,9 +80,27 @@ _REFERENCE_PINS: Dict[str, tuple] = {
 _DATA_PATH = os.path.join(os.path.dirname(__file__), "data", "iso_3166-2.json")
 
 
+def _read_raw_json() -> dict:
+    """Read the vendored JSON zip-safely.  Under ``spark-submit
+    --py-files engine.zip`` this package is imported via zipimport, where
+    a ``__file__``-relative ``open()`` fails (the path points inside the
+    archive); ``importlib.resources`` reads through both a filesystem
+    package and a zip package.  The plain-``open`` fallback keeps exotic
+    loaders (frozen/namespace) working."""
+    try:
+        from importlib import resources
+
+        text = (
+            resources.files(__package__) / "data" / "iso_3166-2.json"
+        ).read_text(encoding="utf-8")
+    except Exception:
+        with open(_DATA_PATH, encoding="utf-8") as fh:
+            text = fh.read()
+    return json.loads(text)
+
+
 def _load() -> Dict[str, Subdivision]:
-    with open(_DATA_PATH, encoding="utf-8") as fh:
-        raw = json.load(fh)["3166-2"]
+    raw = _read_raw_json()["3166-2"]
     out: Dict[str, Subdivision] = {}
     for entry in raw:
         code = entry["code"]
