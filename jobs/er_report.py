@@ -142,6 +142,18 @@ def build_parser() -> argparse.ArgumentParser:
         "rules' candidates",
     )
     p.add_argument(
+        "--drift-baseline",
+        default=None,
+        help="opt-in: the BASELINE transcripts table (the snapshot the "
+        "FS weights / blocking rules were tuned on).  Writes drift/ — "
+        "per-field binned frequency comparison of the baseline's "
+        "normalized mentions vs this run's (operators/drift.py: one "
+        "unpivot + one count per snapshot, deterministic top-N "
+        "'<other>' cap) — and puts the per-field PSI in the summary "
+        "(driver-side psi_from_counts; >0.25 = investigate before "
+        "trusting the fitted weights)",
+    )
+    p.add_argument(
         "--decisions",
         help="adjudicated decisions table (rec_id_a, rec_id_b, decision in "
         "{'confirm','reject'}) — typically the written review_queue plus a "
@@ -541,6 +553,36 @@ def main(argv=None, spark=None) -> dict:
             ),
         }
 
+    # ---- input drift vs the model-fit baseline snapshot (opt-in)
+    drift_psi = None
+    if args.drift_baseline:
+        from postal_address_spark.operators.drift import (
+            psi_from_counts,
+            snapshot_drift,
+        )
+
+        base_norm = normalize_mentions(
+            extract_mentions(read_table(spark, args.drift_baseline))
+        )
+        drift = snapshot_drift(
+            base_norm,
+            norm,
+            [
+                ("city_name", "cat"),
+                ("top_country", "cat"),
+                ("postal_code", "len"),
+                ("line1", "len"),
+            ],
+            top_n=20,
+        )
+        write_table(drift, f"{root}/drift")
+        drift_psi = psi_from_counts(
+            [
+                (r["field"], r["bin"], r["n_prev"], r["n_curr"])
+                for r in spark.read.parquet(f"{root}/drift").collect()
+            ]
+        )
+
     cov_rows = {
         r["rule"]: {
             "n_pairs": r["n_pairs"],
@@ -575,6 +617,7 @@ def main(argv=None, spark=None) -> dict:
         "review_impact": impact,
         "cluster_audit": audit,
         "blocking_recall": recall_rows,
+        "drift_psi": drift_psi,
         "dup_estimate": dup_est,
         "labeled_mu": labeled_mu,
         "column_profile": {

@@ -77,6 +77,25 @@ def build_parser() -> argparse.ArgumentParser:
         "runs (same input re-run mints identical ids: idempotent)",
     )
     p.add_argument(
+        "--cannot-links",
+        default=None,
+        help="optional table of clerical cannot-link pairs (rec ids in "
+        "the first two columns): hard 'NOT the same entity' constraints "
+        "enforced on the OUTPUT clustering (operators/constraints.py) — "
+        "violated clusters are repaired by greedy constrained "
+        "union-find; a cannot-link between two mentions that normalize "
+        "to the IDENTICAL value tuple is unsatisfiable under the "
+        "value-representative design and stays visible in the "
+        "violations report",
+    )
+    p.add_argument(
+        "--violations-output",
+        default=None,
+        help="optional destination for the pre-repair constraint-"
+        "violation report (src, dst, cluster_id); requires "
+        "--cannot-links",
+    )
+    p.add_argument(
         "--triplets-output",
         default=None,
         help="optional destination for matcher-training triplets "
@@ -133,14 +152,86 @@ def main(argv=None, spark=None) -> dict:
         input_fingerprint=input_snapshot_fingerprint(spark, args.input),
     )
     result = run_linkage(spark, transcripts, config)
-    write_table(result["clusters"], args.output)
+
+    clusters_out = result["clusters"]
+    n_violations = n_violations_left = None
+    if args.cannot_links:
+        from pyspark.sql import functions as F
+
+        from postal_address_spark.operators.constraints import (
+            constrained_clusters,
+            constraint_violations,
+        )
+
+        cl_pairs = read_table(spark, args.cannot_links)
+        viol = constraint_violations(clusters_out, cl_pairs)
+        if args.violations_output:
+            write_table(viol, args.violations_output)
+            n_violations = read_table(spark, args.violations_output).count()
+        else:
+            n_violations = viol.count()
+        if n_violations:
+            # repair at the VALUE level (rule 9: the graph the closure
+            # actually ran on), then fan labels back to mentions
+            blocked_ok = result["blocked"].where(
+                F.col("block_key").isNotNull()
+            )
+            values = blocked_ok.where(F.col("rec_id") == F.col("val_id"))
+            a, b = cl_pairs.columns[:2]
+            v_map = blocked_ok.select("rec_id", "val_id")
+            cl_vals = (
+                cl_pairs.select(F.col(a).alias("_ra"), F.col(b).alias("_rb"))
+                .join(
+                    v_map.select(
+                        F.col("rec_id").alias("_ra"),
+                        F.col("val_id").alias("src"),
+                    ),
+                    "_ra",
+                )
+                .join(
+                    v_map.select(
+                        F.col("rec_id").alias("_rb"),
+                        F.col("val_id").alias("dst"),
+                    ),
+                    "_rb",
+                )
+                .select("src", "dst")
+            )
+            val_asg = clusters_out.join(
+                values.select("rec_id"), "rec_id"
+            )
+            repaired_vals = constrained_clusters(
+                values.select("rec_id"),
+                result["edges"].select(
+                    F.col("rec_id_a").alias("src"),
+                    F.col("rec_id_b").alias("dst"),
+                    "score",
+                ),
+                cl_vals,
+                assignments=val_asg,
+                score="score",
+            )
+            clusters_out = v_map.join(
+                repaired_vals.select(
+                    F.col("rec_id").alias("val_id"),
+                    F.col("cluster_id").alias("_c"),
+                ),
+                "val_id",
+            ).select("rec_id", F.col("_c").alias("cluster_id"))
+            # what remains violated is unsatisfiable (identical-value
+            # pairs) or capped-out — honest in the summary
+            n_violations_left = constraint_violations(
+                clusters_out, cl_pairs
+            ).count()
+
+    write_table(clusters_out, args.output)
 
     n_golden = None
     if args.golden_output:
         from postal_address_spark.operators.survivorship import golden_records
 
         fields = ["line1", "line2", "postal_code", "city_name", "top_country"]
-        records = result["clusters"].join(
+        records = clusters_out.join(
             result["blocked"].select("rec_id", *fields), "rec_id"
         )
         goldens = golden_records(records, fields=fields)
@@ -157,11 +248,11 @@ def main(argv=None, spark=None) -> dict:
         mentions = result["mentions"]
         root = args.entity_index_output.rstrip("/")
         write_table(
-            entity_conversation_index(mentions, result["clusters"]),
+            entity_conversation_index(mentions, clusters_out),
             f"{root}/by_entity",
         )
         write_table(
-            conversation_entities(mentions, result["clusters"]),
+            conversation_entities(mentions, clusters_out),
             f"{root}/by_conv",
         )
         entity_index_paths = {
@@ -185,12 +276,12 @@ def main(argv=None, spark=None) -> dict:
                 [], "rec_id string, entity_id string"
             )
         ents = stable_entity_ids(
-            old, result["clusters"], fresh_prefix=prefix
+            old, clusters_out, fresh_prefix=prefix
         )
         eroot = args.entities_output.rstrip("/")
         write_table(ents, f"{eroot}/entities")
         # the record-level assignment is what the NEXT run consumes
-        by_record = result["clusters"].join(
+        by_record = clusters_out.join(
             read_table(spark, f"{eroot}/entities").select(
                 "cluster_id", "entity_id"
             ),
@@ -232,7 +323,7 @@ def main(argv=None, spark=None) -> dict:
             scored.select(
                 "rec_id_a", "rec_id_b", (-F.col("score")).alias("dist")
             ),
-            result["clusters"],
+            clusters_out,
         ).select(
             "rec_id",
             "cluster_id",
@@ -272,6 +363,12 @@ def main(argv=None, spark=None) -> dict:
         summary["entity_index"] = entity_index_paths
     if entities_paths is not None:
         summary["entities"] = entities_paths
+    if n_violations is not None:
+        summary["n_cannot_link_violations"] = int(n_violations)
+        if n_violations_left is not None:
+            summary["n_violations_unresolvable"] = int(n_violations_left)
+        if args.violations_output:
+            summary["violations_output"] = args.violations_output
     if n_triplets is not None:
         summary["triplets_output"] = args.triplets_output
         summary["n_triplets"] = int(n_triplets)

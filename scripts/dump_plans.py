@@ -411,6 +411,42 @@ def main() -> None:
             "linear pandas pass.",
             em.queries()["sequence_packing"](spark, SF),
         ),
+        (
+            "er_constrained_clusters — broadcast constraints, one repair boundary",
+            "Look for: the cannot-link table on the BUILD side of every "
+            "BroadcastHashJoin probe (violations, edge anti-join, repair "
+            "fan-in) — the edge/assignment volume never shuffles on a "
+            "constraint key; exactly ONE FlatMapGroupsInPandas (the "
+            "per-violated-cluster greedy repair), its input projected to "
+            "(cluster_id, kind, src, dst, score) — no payload columns; "
+            "no CartesianProduct.",
+            em.queries()["er_constrained_clusters"](spark, SF),
+        ),
+        (
+            "hll_distinct_sketch — one partial-agg shuffle, codegen only",
+            "Look for: ONE Exchange fed by partial_max (the map side "
+            "reduces to <= 2^p register rows per task before any "
+            "shuffle), the md5/rank arithmetic inside WholeStageCodegen, "
+            "no Expand/Window/Python nodes.",
+            em.queries()["hll_distinct_sketch"](spark, SF),
+        ),
+        (
+            "kmv_vocab_overlap — TakeOrdered sketches, no global sort",
+            "Look for: TakeOrderedAndProject for every bottom-k (map-side "
+            "partial top-k — a global Sort would materialize the full "
+            "distinct hash set), and the final overlap probe joining "
+            "k-row frames only.",
+            em.queries()["kmv_vocab_overlap"](spark, SF),
+        ),
+        (
+            "drift_report — counts reduce before the cap window",
+            "Look for: partial_count before each Exchange (the corpus "
+            "reduces map-side to (field, bin) cells), the full-outer "
+            "join of two already-tiny count tables, and exactly ONE "
+            "Window (the deterministic top-N cap) running over the "
+            "reduced table — never over raw rows.",
+            em.queries()["drift_report"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:

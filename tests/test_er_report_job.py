@@ -401,3 +401,48 @@ def test_er_report_truth_recall_and_dup_estimate(spark, tmp_path):
     )
     # the estimate can never fall below what was observed
     assert est["est_total_matches"] >= u
+
+
+def test_er_report_drift_baseline(spark, tmp_path):
+    """--drift-baseline: the drift/ table compares the baseline
+    snapshot's normalized mentions against the current run's, PSI lands
+    per field in the summary, and a same-snapshot run reads ~0 drift."""
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    base = str(tmp_path / "base")
+    curr = str(tmp_path / "curr")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=60, n_entities=25
+    ).write.parquet(base)
+    # a different seed shifts the entity/value mix: nonzero drift
+    synth_transcripts_spark(
+        spark, seed=99, n_convs=60, n_entities=25
+    ).write.parquet(curr)
+
+    root = str(tmp_path / "report")
+    summary = er_report.main(
+        ["--input", curr, "--output-root", root,
+         "--drift-baseline", base],
+        spark=spark,
+    )
+    psi = summary["drift_psi"]
+    assert set(psi) == {"city_name", "top_country", "postal_code", "line1"}
+    assert all(v >= 0.0 for v in psi.values())
+    rows = spark.read.parquet(f"{root}/drift").collect()
+    assert rows and all(r["n_prev"] >= 0 and r["n_curr"] >= 0 for r in rows)
+    # both snapshots actually contributed mentions
+    assert sum(r["n_prev"] for r in rows) > 0
+    assert sum(r["n_curr"] for r in rows) > 0
+
+    # identical snapshots -> PSI exactly 0 everywhere
+    root2 = str(tmp_path / "report_same")
+    same = er_report.main(
+        ["--input", base, "--output-root", root2,
+         "--drift-baseline", base],
+        spark=spark,
+    )
+    assert all(v == 0.0 for v in same["drift_psi"].values())

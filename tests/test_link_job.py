@@ -271,3 +271,61 @@ def test_link_job_triplets_output(spark, tmp_path):
         assert clusters[r.pos_id] == r.cluster_id
         assert clusters[r.neg_id] != r.cluster_id
         assert 0.0 <= r.neg_score <= 1.0 and 0.0 <= r.pos_score <= 1.0
+
+
+def test_link_job_cannot_links(spark, tmp_path):
+    """--cannot-links: a clerical 'NOT the same entity' pair inside a
+    multi-member cluster splits the published clustering (or, when both
+    mentions normalize to the identical value tuple, stays honestly
+    reported as unresolvable); untouched clusters keep their labels."""
+    from collections import Counter
+
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts")
+    base_out = str(tmp_path / "clusters_base")
+    synth_transcripts_spark(
+        spark, seed=11, n_convs=80, n_entities=25
+    ).write.parquet(inp)
+
+    link.main(["--input", inp, "--output", base_out], spark=spark)
+    base = {
+        r.rec_id: r.cluster_id
+        for r in spark.read.parquet(base_out).collect()
+    }
+    # pick the largest cluster and cannot-link its extreme members
+    biggest = Counter(base.values()).most_common(1)[0][0]
+    members = sorted(k for k, v in base.items() if v == biggest)
+    assert len(members) >= 2
+    pair = (members[0], members[-1])
+    cl_path = str(tmp_path / "cannot")
+    spark.createDataFrame([pair], "rec_id_a string, rec_id_b string") \
+        .write.parquet(cl_path)
+
+    out = str(tmp_path / "clusters_constrained")
+    viol_out = str(tmp_path / "violations")
+    summary = link.main(
+        [
+            "--input", inp, "--output", out,
+            "--cannot-links", cl_path,
+            "--violations-output", viol_out,
+        ],
+        spark=spark,
+    )
+    assert summary["n_cannot_link_violations"] == 1
+    viol = spark.read.parquet(viol_out).collect()
+    assert len(viol) == 1
+    assert {viol[0].src, viol[0].dst} == set(pair)
+
+    got = {r.rec_id: r.cluster_id for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(base)  # no mention lost or invented
+    if summary.get("n_violations_unresolvable", 0) == 0:
+        assert got[pair[0]] != got[pair[1]]  # the constraint now holds
+    # every cluster the constraint didn't touch is label-identical
+    for rec, c in base.items():
+        if c != biggest:
+            assert got[rec] == base[rec]

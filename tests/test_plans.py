@@ -615,3 +615,94 @@ def test_subset_costs_truth_probe_is_broadcast(spark):
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert "rec_id_a" not in line, line
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_constraint_probe_is_broadcast_and_repair_id_only(spark):
+    """constrained_clusters (operators/constraints.py): the (tiny,
+    human-produced) cannot-link table must BROADCAST into the violation
+    probe and the repair fan-in — the assignment/edge volume never
+    shuffles on a constraint key — and nothing may go cartesian.  The
+    repair group rows carry ids + one double only (no payload columns)."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.constraints import (
+        constrained_clusters,
+        constraint_violations,
+    )
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    rid = F.concat(F.lit("n"), F.lpad(F.col("c_custkey").cast("string"), 6, "0"))
+    vertices = cust.select(rid.alias("rec_id"))
+    edges = cust.where(F.pmod("c_custkey", F.lit(50)) != 0).select(
+        rid.alias("src"),
+        F.concat(
+            F.lit("n"),
+            F.lpad((F.col("c_custkey") - 1).cast("string"), 6, "0"),
+        ).alias("dst"),
+    )
+    cannot = cust.where(F.pmod("c_custkey", F.lit(50)) == 10).select(
+        rid.alias("src"),
+        F.concat(
+            F.lit("n"),
+            F.lpad((F.col("c_custkey") + 20).cast("string"), 6, "0"),
+        ).alias("dst"),
+    )
+    from postal_address_spark.operators.cluster import assign_clusters
+
+    asg = assign_clusters(vertices, edges)
+    viol_plan = physical(constraint_violations(asg, cannot))
+    assert "BroadcastHashJoin" in viol_plan
+    assert "CartesianProduct" not in viol_plan
+
+    out_plan = physical(constrained_clusters(vertices, edges, cannot))
+    assert "CartesianProduct" not in out_plan
+    # the Arrow repair boundary exists exactly once
+    assert out_plan.count("FlatMapGroupsInPandas") == 1, out_plan[:3000]
+
+
+def test_hll_registers_single_partial_agg_shuffle(spark):
+    """hll_registers (operators/sketches.py): ONE hash aggregation with a
+    map-side partial (the shuffle carries <= 2^p register rows per task,
+    never the input), no Expand, no Window, pure codegen (no Python)."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.sketches import hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(hll_registers(docs, "doc_id", p=10))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "Expand" not in plan and "Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_kmv_bottomk_is_take_ordered(spark):
+    """kmv_bottomk (operators/sketches.py): orderBy+limit must compile to
+    TakeOrderedAndProject (map-side partial top-k) — a global Sort would
+    materialize the full distinct hash set."""
+    from postal_address_spark.operators.sketches import kmv_bottomk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(kmv_bottomk(docs, "text", 64))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_drift_window_runs_on_reduced_counts(spark):
+    """snapshot_drift (operators/drift.py): the top-N cap's Window must
+    consume the already-aggregated (field, bin) count table — partial
+    aggregation happens map-side BEFORE any exchange, and the unpivot
+    never multiplies the corpus through a join."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.drift import snapshot_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    curr = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    plan = physical(
+        snapshot_drift(prev, curr, [("lang", "cat"), ("text", "len")])
+    )
+    assert "partial_count" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    # exactly one Window (the cap), fed by the joined count table
+    assert plan.count("Window") == 1, plan[:3000]
