@@ -118,6 +118,23 @@ def build_parser() -> argparse.ArgumentParser:
                    "near-dups whose token-set Jaccard sits below --tau")
     p.add_argument("--sem-tau-num", type=int, default=19)
     p.add_argument("--sem-tau-den", type=int, default=20)
+    p.add_argument("--decontaminate", default=None,
+                   help="optional benchmark/eval table: conversations "
+                   "whose rendered text shares w-gram spans with it "
+                   "beyond --max-contam-pct are dropped (GPT-3-style "
+                   "n-gram decontamination at CONVERSATION granularity; "
+                   "operators/spandup.py contamination_stats — the "
+                   "benchmark reduces to a broadcast gram-hash set, the "
+                   "corpus side never shuffles).  Probes the RAW turn "
+                   "text, never the boilerplate-masked dedup identity")
+    p.add_argument("--contam-text-col", default="text",
+                   help="text column of the --decontaminate table")
+    p.add_argument("--contam-w", type=int, default=8,
+                   help="span width in word tokens for the probe")
+    p.add_argument("--max-contam-pct", type=int, default=0,
+                   help="max contaminated token cover as integer percent "
+                   "of the conversation's tokens (cross-multiplied, no "
+                   "float threshold); 0 = drop on any overlap")
     p.add_argument("--sft-output", default=None,
                    help="also extract (context, response) SFT pairs from "
                    "the kept turns (operators/sft.py) and write them here, "
@@ -311,6 +328,60 @@ def main(argv=None, spark=None) -> dict:
         n_sem_dropped = sem_drop.count()
         turns = turns.join(sem_drop, conv, "left_anti")
 
+    # 3d. optional benchmark decontamination at CONVERSATION granularity:
+    # fold the survivors' RAW text (coalesce(text, action) — never the
+    # boilerplate-masked dedup identity, a masked turn is still
+    # contamination) into one rendered doc per conversation, probe it
+    # against the benchmark's broadcast w-gram set, and drop
+    # conversations whose contaminated token cover exceeds the integer
+    # percent threshold (cover*100 > pct*n_tokens, cross-multiplied).
+    n_contam_dropped = 0
+    if args.decontaminate:
+        from postal_address_spark.operators.conversations import (
+            conversation_docs,
+        )
+        from postal_address_spark.operators.spandup import (
+            contamination_stats,
+        )
+
+        raw_tok = "_contam_tok"
+        conv_docs = conversation_docs(
+            turns.withColumn(
+                raw_tok,
+                F.coalesce(F.col(text_col), F.col(act))
+                if text_col
+                else F.col(act),
+            ),
+            conv,
+            order_cols,
+            raw_tok,
+        )
+        bench = read_table(spark, args.decontaminate).select(
+            # the benchmark side reduces to DISTINCT gram hashes, so the
+            # id column only has to exist (grams are extracted per row)
+            F.lit(0).cast("long").alias("doc_id"),
+            F.col(args.contam_text_col).alias("text"),
+        )
+        stats = contamination_stats(
+            conv_docs.select(F.col(conv).alias("doc_id"),
+                             F.col("seq").alias("text")),
+            bench,
+            w=args.contam_w,
+        )
+        contam = stats.where(
+            (F.col("n_tokens") > 0)
+            & (
+                F.col("contam_token_cover") * 100
+                > F.lit(args.max_contam_pct) * F.col("n_tokens")
+            )
+        ).select(F.col("doc_id").alias(conv))
+        n_contam_dropped = contam.count()
+        rejected = rejected.unionByName(
+            contam.withColumn("reasons", F.lit("benchmark_contamination")),
+            allowMissingColumns=True,
+        )
+        turns = turns.join(contam, conv, "left_anti")
+
     # 4. leakage-safe split (pure function of conv id), write the turns
     # partitioned by split; rejected conversations with their reasons.
     kept_turns = with_conversation_split(
@@ -478,6 +549,7 @@ def main(argv=None, spark=None) -> dict:
         "n_prefix_dropped": int(n_prefix_dropped),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_semantic_dropped": int(n_sem_dropped),
+        "n_contam_dropped": int(n_contam_dropped),
         "n_turns_redacted": int(n_turns_redacted),
         "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),
         "n_turns_kept": int(sum(v["n_turns"] for v in split_counts.values())),

@@ -367,6 +367,54 @@ def main(argv=None, spark=None) -> dict:
             f"{root}/fs_params",
         )
 
+    # ---- threshold recommendation (opt-in, needs --truth-pairs and a
+    # successful EM fit): label the candidate comparison vectors with the
+    # clerical truth (broadcast — truth is human-sized), reduce to the
+    # pattern_truth table, and pick the F-beta-maximizing admission
+    # weight driver-side (fs_em.select_threshold over <= prod(levels)
+    # rows).  Recall here is vs the candidates' labeled matches —
+    # blocking recall is its own chart above.
+    recommended = None
+    if args.truth_pairs and params is not None:
+        from postal_address_spark.operators.fs_em import (
+            pattern_truth_counts,
+            select_threshold,
+        )
+
+        tdf = read_table(spark, args.truth_pairs)
+        ta, tb = tdf.columns[:2]
+        tt = (
+            tdf.select(
+                F.least(F.col(ta), F.col(tb)).alias("_ta"),
+                F.greatest(F.col(ta), F.col(tb)).alias("_tb"),
+            )
+            .distinct()
+            .withColumn("_is_true", F.lit(1))
+        )
+        lv = (
+            vectors.withColumn(
+                "_ta", F.least("rec_id_a", "rec_id_b")
+            )
+            .withColumn("_tb", F.greatest("rec_id_a", "rec_id_b"))
+            .join(F.broadcast(tt), ["_ta", "_tb"], "left")
+            .withColumn(
+                "truth_match", F.coalesce("_is_true", F.lit(0))
+            )
+        )
+        pt = pattern_truth_counts(lv)
+        write_table(pt, f"{root}/pattern_truth")
+        best = select_threshold(
+            spark.read.parquet(f"{root}/pattern_truth").collect(), params
+        )
+        recommended = {
+            "weight_cutoff": best["weight"],
+            "precision": best["precision"],
+            "recall": best["recall"],
+            "f_beta": best["f_beta"],
+            "cum_pairs": best["cum_pairs"],
+            "cum_true": best["cum_true"],
+        }
+
     # ---- labeled m/u (opt-in): clerical labels over the labeling queue
     # -> per-level match/non-match tallies, plus the labeled-vs-EM audit
     # when the EM fit ran.  The collect is the labeled sample itself
@@ -617,6 +665,7 @@ def main(argv=None, spark=None) -> dict:
         "review_impact": impact,
         "cluster_audit": audit,
         "blocking_recall": recall_rows,
+        "recommended_threshold": recommended,
         "drift_psi": drift_psi,
         "dup_estimate": dup_est,
         "labeled_mu": labeled_mu,

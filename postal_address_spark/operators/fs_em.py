@@ -271,6 +271,73 @@ def pattern_truth_counts(
     )
 
 
+def threshold_curve(
+    pattern_rows, params: "FSParams", beta: float = 1.0
+) -> List[dict]:
+    """Driver-side admission curve over the pattern_truth_counts table:
+    patterns sorted by their learned Fellegi–Sunter match weight
+    (prior log2-odds + sum of per-level log2 Bayes factors) and admitted
+    best-first; each curve point carries the cumulative pair/true
+    tallies and the precision / recall / F-beta a threshold AT that
+    pattern's weight would achieve.
+
+    Recall is against the candidate pairs' labeled matches — what
+    blocking surfaced; blocking recall is its own report
+    (blocking_rule_recall).  Pure function of a ≤ prod(levels)-row
+    table: no Spark work, deterministic (weight ties break by smaller
+    pair count, then pattern levels)."""
+    pats = []
+    for r in pattern_rows:
+        w = params.prior_log2_odds + sum(
+            params.log2_bf(name, r[f"gamma_{name}"])
+            for name, _, _ in COMPARISONS
+        )
+        levels = tuple(r[f"gamma_{name}"] for name, _, _ in COMPARISONS)
+        pats.append((w, int(r["n_pairs"]), int(r["n_true_pairs"]), levels))
+    pats.sort(key=lambda t: (-t[0], t[1], t[3]))
+    total_true = sum(t for _, _, t, _ in pats)
+    b2 = beta * beta
+    curve: List[dict] = []
+    cum_pairs = cum_true = 0
+    for w, n, t, levels in pats:
+        cum_pairs += n
+        cum_true += t
+        prec = cum_true / cum_pairs
+        rec = cum_true / total_true if total_true else 0.0
+        f = (
+            (1 + b2) * prec * rec / (b2 * prec + rec)
+            if prec + rec > 0
+            else 0.0
+        )
+        curve.append(
+            {
+                "weight": w,
+                "pattern": levels,
+                "n_pairs": n,
+                "n_true": t,
+                "cum_pairs": cum_pairs,
+                "cum_true": cum_true,
+                "precision": prec,
+                "recall": rec,
+                "f_beta": f,
+            }
+        )
+    return curve
+
+
+def select_threshold(
+    pattern_rows, params: "FSParams", beta: float = 1.0
+) -> dict:
+    """The threshold_curve point maximizing F-beta (ties -> the HIGHER
+    weight, i.e. the more conservative cut).  ``weight`` is the match
+    weight of the last ADMITTED pattern: use ``score >= weight`` with
+    fs_score_pairs / match_weight_expr."""
+    curve = threshold_curve(pattern_rows, params, beta)
+    if not curve:
+        raise ValueError("empty pattern table")
+    return max(curve, key=lambda c: (c["f_beta"], c["weight"]))
+
+
 def mu_from_labels(
     labeled_vectors: DataFrame, label_col: str = "is_match"
 ) -> DataFrame:

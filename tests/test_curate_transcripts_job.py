@@ -391,3 +391,52 @@ def test_curate_transcripts_redact_pii_stage(spark, tmp_path):
         (r["context"] or "") + " " + (r["response"] or "") for r in pairs
     )
     assert "bob@example.com" not in blob and "10.1.2.3" not in blob
+
+
+def test_curate_transcripts_decontaminate_stage(spark, tmp_path):
+    """--decontaminate: a conversation sharing a w-gram span with the
+    benchmark drops with reason benchmark_contamination; clean
+    conversations survive; --max-contam-pct loosens the rule; the probe
+    reads RAW text (a boilerplate-masked turn still contaminates)."""
+    import curate_transcripts
+
+    roles = ["user", "assistant"]
+    leak = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen bright violins hummed").split()
+    # conv 1: clean; conv 2: one turn contains the benchmark span verbatim
+    c1 = [(1, i, roles[i % 2], f"clean payload number {i} alpha beta {i}")
+          for i in range(8)]
+    c2 = [(2, i, roles[i % 2], f"noise words here {i} gamma delta {i}")
+          for i in range(8)]
+    c2[3] = (2, 3, roles[1], " ".join(leak))
+    inp = str(tmp_path / "turns_dc")
+    spark.createDataFrame(
+        c1 + c2, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1, "essay question: " + " ".join(leak) + " explain why")],
+        "qid long, text string",
+    ).write.parquet(bench)
+
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_dc"),
+         "--no-near-dup", "--decontaminate", bench, "--contam-w", "8"],
+        spark=spark,
+    )
+    assert summary["n_contam_dropped"] == 1
+    kept = spark.read.parquet(summary["turns"])
+    assert {r["conv_id"] for r in kept.select("conv_id").collect()} == {1}
+    rej = spark.read.parquet(summary["rejected_convs"])
+    reasons = {r["conv_id"]: r["reasons"] for r in rej.collect()}
+    assert reasons[2] == "benchmark_contamination"
+    assert summary["reject_reasons"].get("benchmark_contamination") == 1
+
+    # with a permissive threshold the overlap share is under the cap
+    summary2 = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_dc2"),
+         "--no-near-dup", "--decontaminate", bench, "--contam-w", "8",
+         "--max-contam-pct", "60"],
+        spark=spark,
+    )
+    assert summary2["n_contam_dropped"] == 0

@@ -446,3 +446,77 @@ def test_er_report_drift_baseline(spark, tmp_path):
         spark=spark,
     )
     assert all(v == 0.0 for v in same["drift_psi"].values())
+
+
+def test_er_report_recommended_threshold(spark, tmp_path):
+    """--truth-pairs also yields pattern_truth/ and a driver-side
+    recommended admission weight: the curve point tallies must be
+    internally consistent and the pick must maximize F1 over the written
+    table (re-derived independently here)."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.extract import extract_mentions
+    from postal_address_spark.operators.normalize_op import (
+        normalize_mentions,
+    )
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts_th")
+    root = str(tmp_path / "report_th")
+    synth_transcripts_spark(
+        spark, seed=7, n_convs=80, n_entities=30
+    ).write.parquet(inp)
+
+    # truth = the generator's latent entity: mentions of the same entity
+    # share custkey mod n_entities in the synth; approximate with the
+    # refined-key pairs (guaranteed candidates) labeled true
+    norm = with_block_key(normalize_mentions(
+        extract_mentions(spark.read.parquet(inp))
+    ))
+    keyed = norm.where(F.col("block_key").isNotNull()).select(
+        "rec_id",
+        F.concat_ws(
+            "#", "block_key", F.regexp_extract("line1", r"^(\d+)", 1)
+        ).alias("k"),
+    )
+    truth = (
+        keyed.alias("a").join(keyed.alias("b"), "k")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_id_a"),
+            F.col("b.rec_id").alias("rec_id_b"),
+        )
+        .limit(40)
+    )
+    truth_path = str(tmp_path / "truth_th")
+    truth.write.parquet(truth_path)
+
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root,
+         "--truth-pairs", truth_path],
+        spark=spark,
+    )
+    best = summary["recommended_threshold"]
+    assert best is not None
+    assert 0.0 <= best["precision"] <= 1.0
+    assert 0.0 <= best["recall"] <= 1.0
+    assert 0 < best["cum_true"] <= best["cum_pairs"]
+
+    # re-derive the F1-max over the written pattern_truth independently
+    from postal_address_spark.operators.fs_em import (
+        em_fit_df,
+        threshold_curve,
+    )
+
+    params = em_fit_df(spark.read.parquet(f"{root}/fs_patterns"))
+    curve = threshold_curve(
+        spark.read.parquet(f"{root}/pattern_truth").collect(), params
+    )
+    assert best["f_beta"] == max(c["f_beta"] for c in curve)
+    # tallies: the final curve point covers every candidate pair
+    assert curve[-1]["cum_pairs"] == sum(c["n_pairs"] for c in curve)

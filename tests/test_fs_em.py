@@ -541,3 +541,87 @@ def test_mu_audit_shape_and_delta():
 def test_labeled_params_empty_raises():
     with pytest.raises(ValueError):
         fs_em.labeled_params([])
+
+
+# ---------------------------------------------------------------------------
+# threshold_curve / select_threshold (pure driver-side functions)
+# ---------------------------------------------------------------------------
+
+def _toy_params():
+    # weights separate cleanly: higher gamma everywhere -> bigger log2 BF
+    from postal_address_spark.operators.fs_em import FSParams
+
+    return FSParams(
+        lam=0.2,
+        m={"line1_jw": [0.05, 0.15, 0.8], "line1_tsl": [0.1, 0.2, 0.7],
+           "city_jw": [0.2, 0.8]},
+        u={"line1_jw": [0.8, 0.15, 0.05], "line1_tsl": [0.7, 0.2, 0.1],
+           "city_jw": [0.8, 0.2]},
+    )
+
+
+def _row(g1, g2, g3, n_pairs, n_true):
+    return {
+        "gamma_line1_jw": g1, "gamma_line1_tsl": g2, "gamma_city_jw": g3,
+        "n_pairs": n_pairs, "n_true_pairs": n_true,
+    }
+
+
+def test_threshold_curve_monotone_and_exact():
+    from postal_address_spark.operators.fs_em import threshold_curve
+
+    rows = [
+        _row(2, 2, 1, 100, 98),   # strong pattern: nearly all true
+        _row(1, 1, 1, 50, 25),    # middling
+        _row(0, 0, 0, 1000, 2),   # junk
+    ]
+    curve = threshold_curve(rows, _toy_params())
+    assert [c["pattern"] for c in curve] == [
+        (2, 2, 1), (1, 1, 1), (0, 0, 0)
+    ]  # admitted best-first by weight
+    assert [c["cum_pairs"] for c in curve] == [100, 150, 1150]
+    assert [c["cum_true"] for c in curve] == [98, 123, 125]
+    # recall rises monotonically; precision falls as junk is admitted
+    assert curve[0]["precision"] == 98 / 100
+    assert curve[-1]["recall"] == 1.0
+    assert curve[0]["recall"] == 98 / 125
+    assert curve[-1]["precision"] < curve[0]["precision"]
+    # weights strictly decrease along the admission order
+    ws = [c["weight"] for c in curve]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_select_threshold_picks_f1_max():
+    from postal_address_spark.operators.fs_em import select_threshold
+
+    rows = [
+        _row(2, 2, 1, 100, 98),
+        _row(1, 1, 1, 50, 25),
+        _row(0, 0, 0, 1000, 2),
+    ]
+    best = select_threshold(rows, _toy_params())
+    # F1 at cut 1: p=.98, r=.784 -> .871; cut 2: p=.82, r=.984 -> .894;
+    # cut 3: p=.109 -> tiny.  The middle cut wins.
+    assert best["pattern"] == (1, 1, 1)
+    assert best["cum_pairs"] == 150
+    # beta >> 1 weights recall: admitting junk buys the last 2 matches
+    best_rec = select_threshold(rows, _toy_params(), beta=100.0)
+    assert best_rec["recall"] == 1.0
+
+
+def test_select_threshold_edge_cases():
+    import pytest as _pytest
+
+    from postal_address_spark.operators.fs_em import (
+        select_threshold,
+        threshold_curve,
+    )
+
+    # no labeled matches anywhere: recall is defined as 0, F stays 0,
+    # ties resolve to the most conservative (highest-weight) cut
+    rows = [_row(2, 2, 1, 10, 0), _row(0, 0, 0, 10, 0)]
+    best = select_threshold(rows, _toy_params())
+    assert best["f_beta"] == 0.0 and best["pattern"] == (2, 2, 1)
+    assert all(c["recall"] == 0.0 for c in threshold_curve(rows, _toy_params()))
+    with _pytest.raises(ValueError):
+        select_threshold([], _toy_params())
