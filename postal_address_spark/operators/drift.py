@@ -8,7 +8,7 @@ standard monitor is a per-field binned frequency comparison between the
 baseline snapshot (the one the model was fit on) and the current one,
 summarized as PSI (population stability index).
 
-Spark shape: ONE ``stack`` unpivot + ONE map-side-combinable
+Spark shape: ONE explode-unpivot scan + ONE map-side-combinable
 ``groupBy(field, bin).count()`` per snapshot (the full corpus reduces to a
 (field, bin) table bounded by the live vocabulary), a full-outer join of
 the two tiny count tables, and a per-field top-N cap that folds the long
@@ -56,15 +56,28 @@ def _bin_expr(col: str, kind: str, len_bucket: int):
 def _field_bin_counts(
     df: DataFrame, fields, len_bucket: int
 ) -> DataFrame:
-    parts = None
-    for col, kind in fields:
-        one = df.select(
-            F.lit(col).alias("field"),
-            _bin_expr(col, kind, len_bucket).alias("bin"),
+    # ONE scan: explode an array of (field, bin) structs per row — a
+    # union of per-field selects would re-scan the snapshot once per
+    # monitored field (4 fields = 4 parquet scans at corpus scale).
+    # explode_outer per engine rule 2: the array is never empty, and
+    # plain explode's inferred size>0 filter re-inlines the whole
+    # array expression (recomputing every bin twice).
+    fb = F.explode_outer(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("field"),
+                    _bin_expr(col, kind, len_bucket).alias("bin"),
+                )
+                for col, kind in fields
+            ]
         )
-        parts = one if parts is None else parts.unionByName(one)
-    return parts.groupBy("field", "bin").agg(
-        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        df.select(fb.alias("fb"))
+        .select("fb.field", "fb.bin")
+        .groupBy("field", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

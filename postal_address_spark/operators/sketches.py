@@ -90,12 +90,17 @@ def hll_registers(
     col: str,
     p: int = 12,
     hash_method: str = "xxhash64",
+    group_cols: tuple = (),
 ) -> DataFrame:
-    """HyperLogLog register table: (register, max_rank), ≤ 2**p rows.
+    """HyperLogLog register table: (*group_cols, register, max_rank),
+    ≤ 2**p rows per group.
 
     NULLs are skipped (a NULL is not a value; matches COUNT(DISTINCT)).
     One narrow projection + one map-side-combinable aggregation; the
-    shuffle carries at most 2**p rows per map task.
+    shuffle carries at most groups x 2**p rows per map task.
+    ``group_cols`` gives the production shape — one sketch per key
+    (distinct users per day, distinct values per blocking key) in the
+    same single pass, each group independently estimable and mergeable.
     """
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
@@ -106,16 +111,23 @@ def hll_registers(
     reg = F.shiftrightunsigned(h1, 32 - p)
     base = (
         df.where(F.col(col).isNotNull())
-        .select(reg.alias("register"), _rank_expr(h2).alias("rank"))
+        .select(
+            *group_cols, reg.alias("register"), _rank_expr(h2).alias("rank")
+        )
     )
-    return base.groupBy("register").agg(F.max("rank").alias("max_rank"))
+    return base.groupBy(*group_cols, "register").agg(
+        F.max("rank").alias("max_rank")
+    )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
     """Fold any number of register tables into one (associative,
-    idempotent: max is both)."""
+    idempotent: max is both).  Pass the same ``group_cols`` the sketches
+    were built with."""
     u = reduce(lambda a, b: a.unionByName(b), sketches)
-    return u.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+    return u.groupBy(*group_cols, "register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
 
 
 def hll_estimate(registers: list[tuple[int, int]], p: int = 12) -> float:

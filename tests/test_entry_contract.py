@@ -60,6 +60,10 @@ EXPECTED_QUERIES = {
     "meta_blocking_pairs",
     "unblocked_mentions", "er_unlinkables", "profile_customer",
     "link_best_matches", "streaming_link_datasets",
+    # round-4 additions: constraints, sketches, drift
+    "er_constraint_violations", "er_constrained_clusters",
+    "hll_distinct_sketch", "hll_group_sketch", "kmv_vocab_overlap",
+    "drift_report",
 }
 
 

@@ -706,3 +706,6 @@ def test_drift_window_runs_on_reduced_counts(spark):
     assert "CartesianProduct" not in plan
     # exactly one Window (the cap), fed by the joined count table
     assert plan.count("Window") == 1, plan[:3000]
+    # ONE scan per snapshot (the unpivot explodes (field, bin) structs —
+    # a per-field union would re-read the corpus once per field)
+    assert plan.count("Scan parquet") == 2, plan[:3000]

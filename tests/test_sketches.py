@@ -165,3 +165,49 @@ def test_kmv_overlap_disjoint_and_identical(spark):
     assert r0["n_common"] == 0
     r1 = kmv_overlap(mk(0, 1000), mk(0, 1000), "val", 128).collect()[0]
     assert r1["n_common"] == r1["k_union"] == 128
+
+
+def test_hll_grouped_registers(spark):
+    import pyspark.sql.functions as F
+
+    # one pass, two sketches.  g0: ids ≡ 0 (mod 5), val = a(id % 2500)
+    # -> multiples of 5 mod 2500 = 500 distinct.  g1: ids !≡ 0 (mod 5),
+    # val = b(id % 2000); id % 5 == (id % 2000) % 5, so residues that
+    # are multiples of 5 never occur -> 2000 - 400 = 1600 distinct.
+    df = (
+        spark.range(10000)
+        .select(
+            F.when(F.col("id") % 5 == 0, "g0").otherwise("g1").alias("g"),
+            F.when(
+                F.col("id") % 5 == 0,
+                F.concat(F.lit("a"), (F.col("id") % 2500).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("b"), (F.col("id") % 2000).cast("string"))
+            )
+            .alias("val"),
+        )
+    )
+    regs = hll_registers(df, "val", p=12, group_cols=("g",)).collect()
+    by_g = {}
+    for r in regs:
+        by_g.setdefault(r["g"], []).append((r["register"], r["max_rank"]))
+    est0 = hll_estimate(by_g["g0"], p=12)
+    est1 = hll_estimate(by_g["g1"], p=12)
+    assert abs(est0 - 500) / 500 < 0.07
+    assert abs(est1 - 1600) / 1600 < 0.07
+    # grouped merge algebra stays exact
+    half1 = df.where(F.col("id") < 5000)
+    half2 = df.where(F.col("id") >= 5000)
+    direct = sorted(map(tuple, hll_registers(df, "val", group_cols=("g",)).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            hll_merge(
+                hll_registers(half1, "val", group_cols=("g",)),
+                hll_registers(half2, "val", group_cols=("g",)),
+                group_cols=("g",),
+            ).collect(),
+        )
+    )
+    assert direct == merged
