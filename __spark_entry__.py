@@ -2318,6 +2318,70 @@ def _q_kmv_vocab_overlap(spark, sf_dir):
     return kmv_overlap(even, odd, "token", 256, hash_method="md5")
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/cms.py heavy_hitters):
+    the "which keys are hot" question the skew defenses need answered
+    BEFORE the expensive join — here the tokens appearing in >= 5% of
+    documents (stop/template tokens = the blocking-key heat map).  Pass
+    1 reduces the stream to a depth x width counter table (one map-side-
+    combinable aggregation, never a full-cardinality shuffle); pass 2
+    keeps rows whose min-over-depths cell estimate reaches the threshold
+    (a guaranteed SUPERSET — CMS never undercounts) and exact-counts
+    only those survivors.  The oracle is deliberately NON-mirrored brute
+    force (GROUP BY token HAVING count >= T, no sketch anywhere), so a
+    hash match proves the sketch path end-to-end EXACT with the
+    production xxhash64 — the edjoin recall-lossless grading pattern."""
+    from postal_address_spark.operators.cms import heavy_hitters
+    from postal_address_spark.operators.token_join import doc_tokens
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    toks = doc_tokens(docs, "text", "doc_id")
+    n_docs = docs.count()
+    return heavy_hitters(
+        toks, "token", (n_docs + 19) // 20, depth=4, width=2048
+    ).orderBy(F.col("cnt").desc(), "value")
+
+
+def _q_len_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (operators/qsketch.py): the document
+    length distribution as a (bucket, cnt) table — DDSketch-shaped
+    power-of-two bins (s=5 -> relative error <= 2^-6 ~ 1.6%) with every
+    boundary an INTEGER comparison, generated as one CASE chain emitted
+    identically to Spark (div) and DuckDB (//) by bucket_sql — the
+    rank_case_sql discipline; float log-gamma bins would sit boundaries
+    exactly on powers of two (the fs_pattern_truth trap).  One narrow
+    projection + one map-side-combinable count; per-day sketch tables
+    merge by union+SUM (merge == sketch-of-union asserted exactly in
+    tests/test_qsketch.py, quantile error pinned vs exact percentiles)."""
+    from postal_address_spark.operators.qsketch import qsketch
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    lens = docs.select(F.length("text").alias("text_len"))
+    return qsketch(lens, "text_len", s=5).orderBy("bucket")
+
+
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted-cosine similarity self-join (operators/wcos.py,
+    AllPairs/Bayardo WWW'07 family): ALL document pairs with idf-weighted
+    token cosine >= 19/20, found via the L2 prefix filter (index a token
+    only while the tail weight mass could still reach the threshold —
+    Cauchy-Schwarz makes dropping the rest provably lossless).  Weights
+    are integers (N div df, token_join.py's idf surrogate) and the
+    threshold test runs in DECIMAL(38,0) — no float ever decides
+    membership.  The oracle is deliberately NON-mirrored brute force
+    (all shared-token pairs, HUGEINT cross-multiplication), so a hash
+    match proves the prefix filter recall-lossless AND the verify stage
+    exact, not merely self-consistent (the edjoin grading pattern).
+    Emits integer evidence (dot, norm2_a, norm2_b); the float cosine is
+    the caller's division."""
+    from postal_address_spark.operators.wcos import weighted_cosine_pairs
+
+    docs = _read_spread(spark, sf_dir, "documents")
+    return weighted_cosine_pairs(
+        docs, "text", "doc_id", tau_num=19, tau_den=20
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_drift_report(spark, sf_dir):
     """Input-drift monitor (operators/drift.py snapshot_drift): per-field
     binned frequency comparison between the model-fit baseline snapshot
@@ -3290,6 +3354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_sketch": _q_hll_distinct_sketch,
         "hll_group_sketch": _q_hll_group_sketch,
         "kmv_vocab_overlap": _q_kmv_vocab_overlap,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "len_quantile_sketch": _q_len_quantile_sketch,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # --- LLM-data-pipeline dedup / ANN ---
         # NOTE on dict order: the driver's correctness artifact grades a
         # PREFIX of this registry (50 entries in r1-r3), so the first 50
@@ -4069,6 +4136,75 @@ def oracle_sql() -> dict[str, str]:
                           AND hval IN (SELECT hval FROM sb)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_common
     FROM uk
+    """
+
+    # -- cms_heavy_hitters: deliberately NON-mirrored brute force — the
+    # plain GROUP BY/HAVING truth, no sketch anywhere.  The engine runs
+    # the CMS two-pass path with production xxhash64; a hash match
+    # proves the candidate filter never drops a true heavy hitter and
+    # the final exact count removes every false positive.
+    sql["cms_heavy_hitters"] = """
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, u.tok AS token
+      FROM documents,
+           LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    n AS (SELECT (COUNT(*) + 19) // 20 AS t FROM documents)
+    SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    HAVING COUNT(*) >= (SELECT t FROM n)
+    ORDER BY cnt DESC, value
+    """
+
+    # -- len_quantile_sketch: mirrored bucket replay — the SAME generated
+    # integer CASE chain (operators/qsketch.py bucket_sql), DuckDB
+    # dialect differing only in the integer-division token.
+    from postal_address_spark.operators.qsketch import bucket_sql
+
+    sql["len_quantile_sketch"] = f"""
+    SELECT {bucket_sql('length(text)', 5, '//')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1 ORDER BY bucket
+    """
+
+    # -- tfidf_cosine_pairs: deliberately NON-mirrored brute force — the
+    # all-shared-token-pairs join with HUGEINT cross-multiplication
+    # (tau = 19/20: 400*dot^2 >= 361*na2*nb2), never the prefix filter.
+    # A hash match proves the engine's Cauchy-Schwarz prefix pruning
+    # recall-lossless and its DECIMAL(38,0) verify stage exact.
+    sql["tfidf_cosine_pairs"] = """
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, u.tok AS token
+      FROM documents,
+           LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT token, CAST((SELECT n_docs FROM n) // COUNT(*) AS BIGINT) AS w
+      FROM toks GROUP BY token
+    ),
+    tw AS MATERIALIZED (
+      SELECT t.doc_id, t.token, w.w FROM toks t JOIN w USING (token)
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS norm2
+              FROM tw GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM tw a JOIN tw b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.dot,
+           na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS HUGEINT) * d.dot * 400
+          >= CAST(na.norm2 AS HUGEINT) * nb.norm2 * 361
+    ORDER BY doc_a, doc_b
     """
 
     # -- drift_report: per-field binned counts of the two corpus halves

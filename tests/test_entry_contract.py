@@ -63,7 +63,8 @@ EXPECTED_QUERIES = {
     # round-4 additions: constraints, sketches, drift
     "er_constraint_violations", "er_constrained_clusters",
     "hll_distinct_sketch", "hll_group_sketch", "kmv_vocab_overlap",
-    "drift_report",
+    "drift_report", "cms_heavy_hitters", "len_quantile_sketch",
+    "tfidf_cosine_pairs",
 }
 
 

@@ -709,3 +709,77 @@ def test_drift_window_runs_on_reduced_counts(spark):
     # ONE scan per snapshot (the unpivot explodes (field, bin) structs —
     # a per-field union would re-read the corpus once per field)
     assert plan.count("Scan parquet") == 2, plan[:3000]
+
+
+def test_cms_table_single_partial_agg_shuffle(spark):
+    """cms_table (operators/cms.py): like hll_registers — ONE hash
+    aggregation with a map-side partial (the shuffle carries
+    <= depth*width cells per task), no Window, pure codegen."""
+    from postal_address_spark.operators.cms import cms_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(cms_table(docs, "doc_id", depth=4, width=256))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_heavy_hitters_filter_before_exact_agg(spark):
+    """heavy_hitters (operators/cms.py): the second pass must FILTER on
+    the literal-map CMS estimate BEFORE the exact aggregation — the
+    full-cardinality groupBy never happens — and the CMS table must ride
+    as one str_to_map literal (rule 6), not a join."""
+    from postal_address_spark.operators.cms import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical(heavy_hitters(docs, "doc_id", 10, depth=2, width=512))
+    # no join anywhere: the sketch rides as ONE folded map literal
+    # (rule 6's str_to_map is constant-folded before the physical plan,
+    # so the observable shape is `map(keys: ...)` with zero joins)
+    assert "Join" not in plan, plan[:3000]
+    assert "map(keys:" in plan, plan[:3000]
+    # the candidate filter (a least/element_at lookup) sits BELOW the
+    # partial aggregate — pushed at the scan, so the full-cardinality
+    # shuffle never happens
+    partial_pos = plan.find("partial_count")
+    assert partial_pos != -1, plan[:3000]
+    assert plan.find("element_at", partial_pos) != -1, plan[:5000]
+
+
+def test_qsketch_single_partial_agg_shuffle(spark):
+    """qsketch (operators/qsketch.py): one map-side-combinable count on
+    the generated integer CASE bucket — no Expand, no Python."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.qsketch import qsketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lens = docs.select(F.length("text").alias("text_len"))
+    plan = physical(qsketch(lens, "text_len", s=5))
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "partial_count" in plan
+    assert "Expand" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_wcos_candidates_carry_ids_only(spark):
+    """weighted_cosine_pairs (operators/wcos.py): rule-7 discipline — the
+    prefix self-join carries (token, doc_id) only; text and token arrays
+    never ride the candidate shuffle, and nothing is a cartesian."""
+    from postal_address_spark.operators.wcos import weighted_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = weighted_cosine_pairs(
+        docs, "text", "doc_id", tau_num=19, tau_den=20, n_docs=500
+    )
+    plan = physical(out)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # the join keys are tokens; the exploded text column itself must be
+    # projected away before any exchange (no `text` attribute survives
+    # past the tokenizer's generate node into a shuffle write)
+    for frag in plan.split("Exchange")[1:]:
+        head = frag[:200]
+        assert "text#" not in head, head
+    spark.catalog.clearCache()
