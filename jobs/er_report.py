@@ -39,6 +39,15 @@ and AFTER committing a full linkage run):
   ``--dup-estimate``): Chapman dual-system estimate of the matches BOTH
   keyed rules missed, label-free (``dup_estimate/``; correlated rules
   bias it downward — read as a lower bound);
+* **hot blocking keys** (opt-in, ``--hot-keys PPM``): the exact
+  heavy-hitter table of block keys holding >= PPM parts-per-million of
+  the mentions (``hot_keys/``) via the count-min two-pass path
+  (operators/cms.py) — the full key population never shuffles; this is
+  the measured input the salting threshold and df caps are sized from;
+* **field-length quantile sketch** (opt-in, ``--len-sketch S``): the
+  mergeable (bucket, cnt) length-distribution table (``len_sketch/``,
+  operators/qsketch.py) with p50/p95/p99 estimates in the summary —
+  per-day tables fold by union+SUM;
 * **review impact** (opt-in, ``--decisions``): fold adjudicated
   confirm/reject decisions back into the production match edges
   (operators/review.py) and report what the re-closure changes —
@@ -152,6 +161,25 @@ def build_parser() -> argparse.ArgumentParser:
         "'<other>' cap) — and puts the per-field PSI in the summary "
         "(driver-side psi_from_counts; >0.25 = investigate before "
         "trusting the fitted weights)",
+    )
+    p.add_argument(
+        "--hot-keys", type=int, default=0, metavar="PPM",
+        help="opt-in: write hot_keys/ — the EXACT heavy-hitter table of "
+        "block keys whose mention count >= PPM parts-per-million of the "
+        "corpus (operators/cms.py heavy_hitters: two-pass count-min "
+        "sketch — candidate filter from a folded literal sketch map, "
+        "exact count over survivors only — so the full key population "
+        "never shuffles).  This is the measured input the salting "
+        "defense (pairs.py hot-block threshold) and the df caps are "
+        "sized from; 0 = off",
+    )
+    p.add_argument(
+        "--len-sketch", type=int, default=0, metavar="S",
+        help="opt-in: write len_sketch/ — the mergeable quantile sketch "
+        "(operators/qsketch.py, S sub-bucket bits -> relative error <= "
+        "2^-(S+1)) of normalized line1 lengths, one (bucket, cnt) table "
+        "per run that folds across runs/days by union+SUM; the summary "
+        "gets p50/p95/p99 estimates.  0 = off",
     )
     p.add_argument(
         "--decisions",
@@ -631,6 +659,58 @@ def main(argv=None, spark=None) -> dict:
             ]
         )
 
+    # ---- hot blocking keys (opt-in): the exact heavy-hitter table the
+    # skew defenses are sized from, via the CMS two-pass path — the full
+    # key population never shuffles (cms.py end-to-end-exactness grade).
+    hot_keys = None
+    if args.hot_keys:
+        from postal_address_spark.operators.cms import heavy_hitters
+
+        min_count = max(
+            2, (int(n_mentions) * int(args.hot_keys)) // 1_000_000
+        )
+        hh = heavy_hitters(
+            norm.where(F.col("block_key").isNotNull()),
+            "block_key",
+            min_count,
+        )
+        write_table(hh.orderBy(F.col("cnt").desc(), "value"),
+                    f"{root}/hot_keys")
+        hot_rows = spark.read.parquet(f"{root}/hot_keys").collect()
+        hot_keys = {
+            "min_count": min_count,
+            "n_hot": len(hot_rows),
+            "max_block": max((int(r["cnt"]) for r in hot_rows), default=0),
+        }
+
+    # ---- field-length quantile sketch (opt-in): a mergeable
+    # (bucket, cnt) table per run; per-day tables fold by union+SUM.
+    len_quantiles = None
+    if args.len_sketch:
+        from postal_address_spark.operators.qsketch import (
+            qsketch,
+            quantile_estimate,
+        )
+
+        s_bits = int(args.len_sketch)
+        sk = qsketch(
+            norm.select(F.length("line1").alias("line1_len")),
+            "line1_len",
+            s=s_bits,
+        )
+        write_table(sk.orderBy("bucket"), f"{root}/len_sketch")
+        buckets = [
+            (int(r["bucket"]), int(r["cnt"]))
+            for r in spark.read.parquet(f"{root}/len_sketch").collect()
+        ]
+        len_quantiles = {
+            "s": s_bits,
+            **{
+                f"p{int(q * 100)}": quantile_estimate(buckets, q, s_bits)
+                for q in (0.5, 0.95, 0.99)
+            },
+        }
+
     cov_rows = {
         r["rule"]: {
             "n_pairs": r["n_pairs"],
@@ -667,6 +747,8 @@ def main(argv=None, spark=None) -> dict:
         "blocking_recall": recall_rows,
         "recommended_threshold": recommended,
         "drift_psi": drift_psi,
+        "hot_keys": hot_keys,
+        "len_quantiles": len_quantiles,
         "dup_estimate": dup_est,
         "labeled_mu": labeled_mu,
         "column_profile": {

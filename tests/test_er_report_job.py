@@ -520,3 +520,87 @@ def test_er_report_recommended_threshold(spark, tmp_path):
     assert best["f_beta"] == max(c["f_beta"] for c in curve)
     # tallies: the final curve point covers every candidate pair
     assert curve[-1]["cum_pairs"] == sum(c["n_pairs"] for c in curve)
+
+
+def test_er_report_hot_keys_and_len_sketch(spark, tmp_path):
+    """--hot-keys must equal the exact GROUP BY/HAVING truth over block
+    keys; --len-sketch buckets must re-count the corpus exactly and the
+    summary quantiles must bracket the true percentiles within the
+    2^-(s+1) bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts")
+    root = str(tmp_path / "report")
+    synth_transcripts_spark(
+        spark, seed=13, n_convs=80, n_entities=25
+    ).write.parquet(inp)
+
+    summary = er_report.main(
+        [
+            "--input", inp, "--output-root", root,
+            "--hot-keys", "20000",       # >= 2% of mentions
+            "--len-sketch", "5",
+        ],
+        spark=spark,
+    )
+
+    # recompute the truth from the same normalize chain
+    from postal_address_spark.operators.blocking import (
+        with_block_key,
+        with_phonetic_block_key,
+    )
+    from postal_address_spark.operators.extract import extract_mentions
+    from postal_address_spark.operators.normalize_op import (
+        normalize_mentions,
+    )
+
+    norm = with_phonetic_block_key(
+        with_block_key(
+            normalize_mentions(extract_mentions(spark.read.parquet(inp)))
+        )
+    ).persist()
+
+    hk = summary["hot_keys"]
+    t = hk["min_count"]
+    assert t == max(2, summary["n_mentions"] * 20000 // 1_000_000)
+    truth = {
+        (r["block_key"], r["n"])
+        for r in norm.where(F.col("block_key").isNotNull())
+        .groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= t).collect()
+    }
+    got = {
+        (r["value"], r["cnt"])
+        for r in spark.read.parquet(f"{root}/hot_keys").collect()
+    }
+    assert got == truth
+    assert hk["n_hot"] == len(truth)
+    if truth:
+        assert hk["max_block"] == max(n for _, n in truth)
+
+    # len sketch: bucket counts cover every non-null line1 exactly, and
+    # the p50/p95/p99 estimates respect the relative-error bound
+    lens = sorted(
+        r["l"]
+        for r in norm.select(F.length("line1").alias("l"))
+        .where(F.col("l").isNotNull()).collect()
+    )
+    sk_total = sum(
+        r["cnt"] for r in spark.read.parquet(f"{root}/len_sketch").collect()
+    )
+    assert sk_total == len(lens)
+    lq = summary["len_quantiles"]
+    assert lq["s"] == 5
+    for q in (0.5, 0.95, 0.99):
+        exact = lens[max(0, math.ceil(q * len(lens)) - 1)]
+        est = lq[f"p{int(q * 100)}"]
+        assert abs(est - exact) / max(exact, 1) <= 2 ** -6 + 1e-9, (q, est, exact)
+    norm.unpersist()
