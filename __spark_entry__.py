@@ -1623,6 +1623,25 @@ def _q_streaming_join(spark, sf_dir):
     return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
 
 
+def _q_streaming_hll(spark, sf_dir):
+    """Continuous distinct-count sketching executed by the STREAMING
+    runtime (streaming/ingest.py:streaming_hll_sketch): the HLL register
+    table maintained as COMPLETE-mode aggregation state — at most 2^p
+    state rows however long the stream runs, re-emitted per trigger for
+    a live distinct-users dashboard.  max is commutative/associative/
+    idempotent, so the drained table equals the batch hll_registers
+    regardless of micro-batch boundaries or file order (NO single-micro-
+    batch caveat — multi-batch shuffled-file equality pytest-pinned in
+    tests/test_streaming.py); the DuckDB oracle is the same mirrored md5
+    register replay as the batch sketch, grading the streaming execution
+    end-to-end."""
+    from postal_address_spark.streaming.ingest import streaming_hll_sketch
+
+    return streaming_hll_sketch(
+        spark, f"{sf_dir}/events.parquet", col="user_id", p=10
+    )
+
+
 def _q_json_props(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -3436,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_dedup_events": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_join,
+        "streaming_hll_sketch": _q_streaming_hll,
     }
 
 
@@ -3977,6 +3997,21 @@ def oracle_sql() -> dict[str, str]:
      AND a.event_type = 'view' AND b.event_type = 'purchase'
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
     ORDER BY user_id, l_event_id, r_event_id
+    """
+
+    # streaming_hll_sketch: the SAME mirrored md5 register replay as the
+    # batch hll_distinct_sketch (p=10 over events.user_id) — max is
+    # order-insensitive, so the streaming drain must reproduce it
+    # bit-for-bit whatever the micro-batch boundaries.
+    from postal_address_spark.operators.sketches import rank_case_sql as _rcs
+
+    _sw = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)"
+    sql["streaming_hll_sketch"] = f"""
+    SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                AS BIGINT) // {1 << 22} AS register,
+           max({_rcs(_sw)}) AS max_rank
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY register ORDER BY register
     """
 
     sql["events_range_join"] = """

