@@ -65,46 +65,47 @@ from postal_address_spark.operators.token_join import doc_tokens
 _DEC = "decimal(38,0)"
 
 
-def weighted_cosine_pairs(
+def weighted_token_relation(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    tau_num: int = 7,
-    tau_den: int = 10,
     max_df: int | None = None,
     n_docs: int | None = None,
 ) -> DataFrame:
-    """All document pairs with weighted cosine >= tau_num/tau_den.
-
-    Returns (doc_a, doc_b, dot, norm2_a, norm2_b), doc_a < doc_b —
-    integers only; ``dot / sqrt(norm2_a * norm2_b)`` is the caller's
-    float cosine (engine rule: no float in hash-graded columns).
-
-    ``n_docs`` keeps composition lazy exactly like rare_token_pairs.
-    The (doc, token, w) relation is persisted (memory-then-disk): it
-    feeds the df aggregate, the prefix window and both verify probes —
-    four otherwise-independent scans of the tokenization.
+    """The persisted (doc_id, token, w) relation the join is built on
+    (w = N div df).  Exposed so diagnostics (scripts/wcos_probe.py) can
+    measure candidate volumes on exactly the production relation.
+    CACHING CONTRACT: persisted MEMORY_AND_DISK (it feeds the df
+    aggregate, the prefix window and both verify probes); the cache
+    lives until clearCache()/unpersist — the jaccard_set_join contract.
     """
-    if not (0 < tau_num <= tau_den):
-        raise ValueError("require 0 < tau_num <= tau_den (tau in (0, 1])")
     tokens = doc_tokens(docs, text_col, id_col)
     if n_docs is None:
         n_docs = docs.count()  # one scalar, same contract as token_join
-
     dfc = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfc = dfc.where(F.col("df") <= F.lit(int(max_df)))
     weights = dfc.select(
         "token", F.expr(f"CAST({int(n_docs)} AS BIGINT) div df").alias("w")
     )
-    tw = (
+    return (
         tokens.join(weights, "token")
         .select("doc_id", "token", "w")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # one window pass: per-doc norm2 and the tail-from-here mass under
-    # the global (w DESC, token ASC) order.  w*w stays < 2^63 (w <= N).
+
+def prefix_candidates(
+    tw: DataFrame, tau_num: int, tau_den: int
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, per-doc norms) from the weighted token relation.
+
+    One window pass computes per-doc norm2 and the tail-from-here mass
+    under the global (w DESC, token ASC) order; a token is indexed only
+    while ``tail2 * tau_den^2 >= tau_num^2 * norm2`` (the Cauchy–Schwarz
+    losslessness argument in the module doc).  The candidate join
+    carries (token, doc_id) only.
+    """
     from pyspark.sql import Window
 
     order = [F.col("w").desc(), F.col("token").asc()]
@@ -141,6 +142,30 @@ def weighted_cosine_pairs(
         )
         .distinct()
     )
+    return cand, norms
+
+
+def weighted_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 7,
+    tau_den: int = 10,
+    max_df: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """All document pairs with weighted cosine >= tau_num/tau_den.
+
+    Returns (doc_a, doc_b, dot, norm2_a, norm2_b), doc_a < doc_b —
+    integers only; ``dot / sqrt(norm2_a * norm2_b)`` is the caller's
+    float cosine (engine rule: no float in hash-graded columns).
+
+    ``n_docs`` keeps composition lazy exactly like rare_token_pairs.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("require 0 < tau_num <= tau_den (tau in (0, 1])")
+    tw = weighted_token_relation(docs, text_col, id_col, max_df, n_docs)
+    cand, norms = prefix_candidates(tw, tau_num, tau_den)
 
     # exact dot: both docs' weighted token sets meet on the candidate
     # ids; shared-token weight product is w^2 (one global weight/token)
