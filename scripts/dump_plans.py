@@ -447,6 +447,36 @@ def main() -> None:
             "reduced table — never over raw rows.",
             em.queries()["drift_report"](spark, SF),
         ),
+        (
+            "cms_heavy_hitters — sketch filter pushed at the scan",
+            "Look for: NO join anywhere (the collected CMS rides as one "
+            "constant-folded `map(keys: ...)` literal); the least/"
+            "element_at candidate filter sitting in the scan's "
+            "DataFilters — BELOW the partial HashAggregate — so the "
+            "exact count only ever aggregates the heavy-hitter "
+            "candidate superset, never the full key population.",
+            em.queries()["cms_heavy_hitters"](spark, SF),
+        ),
+        (
+            "len_quantile_sketch — generated integer CASE, one shuffle",
+            "Look for: the 63-arm bucket CASE chain inside "
+            "WholeStageCodegen (integer comparisons and `div` only — no "
+            "log/pow floats), partial_count before the single Exchange "
+            "(<= 63*2^s + 1 bucket rows per task), no Expand, no "
+            "Python/Arrow nodes.",
+            em.queries()["len_quantile_sketch"](spark, SF),
+        ),
+        (
+            "tfidf_cosine_pairs — id-only prefix join, decimal verify",
+            "Look for: the prefix window (tail2/norm2 sums) partitioned "
+            "by doc_id over the cached token relation "
+            "(InMemoryTableScan at every reuse); the candidate "
+            "self-join keyed on `token` carrying doc ids only (no text, "
+            "no arrays in any Exchange); the verify joins keyed on the "
+            "DEDUPED candidate ids; the threshold comparison in "
+            "decimal(38,0) casts; no CartesianProduct/BNLJ anywhere.",
+            em.queries()["tfidf_cosine_pairs"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:
