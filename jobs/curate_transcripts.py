@@ -9,6 +9,7 @@ the way ``jobs/curate.py`` composes the document ones:
         prefixes of a longer conversation — dropped for their container]
     -> [near-dup dedup (exact prefix-filtered Jaccard) -> keep-one]
     -> [semantic dedup (hashed-gram cosine) -> keep-one]
+    -> [tfidf dedup (idf-weighted token cosine, order-free) -> keep-one]
     -> [PII redaction of the written text (dedup saw raw content)]
     -> leakage-safe split -> per-split parquet of the KEPT TURNS
     -> [SFT (context, response) pair extraction with pair-level
@@ -28,6 +29,7 @@ Package the engine and submit::
         [--tau-num 7 --tau-den 10] [--no-near-dup] [--prefix-dedup] \
         [--split-salt 2024] \
         [--semantic-dedup [--sem-tau-num 19 --sem-tau-den 20]] \
+        [--tfidf-dedup [--tfidf-tau-num 9 --tfidf-tau-den 10]] \
         [--sft-output <dir> [--sft-role assistant] [--sft-max-context 8] \
          [--sft-min-response-chars 1]] \
         [--pack-budget <tokens> [--pack-shards 256]]
@@ -118,6 +120,18 @@ def build_parser() -> argparse.ArgumentParser:
                    "near-dups whose token-set Jaccard sits below --tau")
     p.add_argument("--sem-tau-num", type=int, default=19)
     p.add_argument("--sem-tau-den", type=int, default=20)
+    p.add_argument("--tfidf-dedup", action="store_true",
+                   help="additionally drop RARE-TOKEN paraphrases: "
+                   "conversations whose rendered dedup identity clears "
+                   "idf-weighted token cosine --tfidf-tau "
+                   "(operators/wcos.py, recall-lossless L2 prefix "
+                   "filter).  Complements --semantic-dedup: the "
+                   "hashed-gram path is order-sensitive and weights all "
+                   "grams equally; this path ignores order and weights "
+                   "by corpus rarity, catching template-heavy near-dups "
+                   "that differ only in common filler")
+    p.add_argument("--tfidf-tau-num", type=int, default=9)
+    p.add_argument("--tfidf-tau-den", type=int, default=10)
     p.add_argument("--decontaminate", default=None,
                    help="optional benchmark/eval table: conversations "
                    "whose rendered text shares w-gram spans with it "
@@ -327,6 +341,38 @@ def main(argv=None, spark=None) -> dict:
         ).select(F.col("rec_id").alias(conv))
         n_sem_dropped = sem_drop.count()
         turns = turns.join(sem_drop, conv, "left_anti")
+
+    # 3c. optional TF-IDF paraphrase dedup: render each surviving
+    # conversation's dedup identity to one doc and run the weighted-
+    # cosine AllPairs join (operators/wcos.py) — order-free and
+    # rarity-weighted, the complement of the hashed-gram path above.
+    # Same closure + min-id survivor shape as stages 3/3b.
+    n_tfidf_dropped = 0
+    if args.tfidf_dedup:
+        from postal_address_spark.operators.conversations import (
+            conversation_docs,
+        )
+        from postal_address_spark.operators.wcos import (
+            weighted_cosine_pairs,
+        )
+
+        tfidf_docs = conversation_docs(turns, conv, order_cols, dedup_tok)
+        tfidf_pairs = weighted_cosine_pairs(
+            tfidf_docs,
+            text_col="seq",
+            id_col=conv,
+            tau_num=args.tfidf_tau_num,
+            tau_den=args.tfidf_tau_den,
+        )
+        tfidf_edges = tfidf_pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        tfidf_comp = connected_components(tfidf_edges)
+        tfidf_drop = tfidf_comp.where(
+            F.col("rec_id") != F.col("cluster_id")
+        ).select(F.col("rec_id").alias(conv))
+        n_tfidf_dropped = tfidf_drop.count()
+        turns = turns.join(tfidf_drop, conv, "left_anti")
 
     # 3d. optional benchmark decontamination at CONVERSATION granularity:
     # fold the survivors' RAW text (coalesce(text, action) — never the
@@ -549,6 +595,7 @@ def main(argv=None, spark=None) -> dict:
         "n_prefix_dropped": int(n_prefix_dropped),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_semantic_dropped": int(n_sem_dropped),
+        "n_tfidf_dropped": int(n_tfidf_dropped),
         "n_contam_dropped": int(n_contam_dropped),
         "n_turns_redacted": int(n_turns_redacted),
         "n_convs_kept": int(sum(v["n_convs"] for v in split_counts.values())),

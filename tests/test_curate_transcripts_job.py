@@ -440,3 +440,67 @@ def test_curate_transcripts_decontaminate_stage(spark, tmp_path):
         spark=spark,
     )
     assert summary2["n_contam_dropped"] == 0
+
+
+def test_curate_transcripts_tfidf_dedup_stage(spark, tmp_path):
+    """--tfidf-dedup drops the rare-token paraphrase the other stages
+    miss: two conversations sharing all their RARE payload tokens but
+    reordered and diluted with different common filler (token-set
+    Jaccard and order-sensitive gram cosine both sit below threshold;
+    idf-weighted cosine clears it), while an unrelated conversation
+    survives."""
+    import curate_transcripts
+
+    roles = ["user", "assistant"]
+    rare = [f"uniquepayload{i}" for i in range(12)]
+    filler_a = ["the", "a", "of", "ok", "yes", "fine"]
+    filler_b = ["well", "so", "then", "right", "sure", "done"]
+    # conv 1: rare tokens in order with filler_a between
+    c1 = [
+        (1, i, roles[i % 2], f"{rare[i % 12]} {filler_a[i % 6]}")
+        for i in range(24)
+    ]
+    # conv 2: same rare tokens REVERSED with filler_b — same rare SET,
+    # different order, different common filler
+    c2 = [
+        (2, i, roles[i % 2], f"{rare[11 - (i % 12)]} {filler_b[i % 6]}")
+        for i in range(24)
+    ]
+    # convs 3..14: background corpus — per-conv unique payloads plus BOTH
+    # filler vocabularies, so idf makes filler weight ~1 and the shared
+    # rare tokens dominate the c1/c2 cosine (a 3-doc corpus would
+    # quantize N div df into uselessness)
+    bg = [
+        (c, i, roles[i % 2],
+         f"bg{c}payload{i} {filler_a[i % 6]} {filler_b[i % 6]}")
+        for c in range(3, 15)
+        for i in range(24)
+    ]
+    inp = str(tmp_path / "turns_tfidf")
+    spark.createDataFrame(
+        c1 + c2 + bg, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "out_tfidf")
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", out,
+         "--no-near-dup", "--tfidf-dedup",
+         "--tfidf-tau-num", "8", "--tfidf-tau-den", "10",
+         "--max-run", "6"],
+        spark=spark,
+    )
+    assert summary["n_tfidf_dropped"] == 1
+    kept = spark.read.parquet(summary["turns"])
+    kept_ids = {r["conv_id"] for r in kept.select("conv_id").collect()}
+    assert kept_ids == {1} | set(range(3, 15))  # conv 2 dropped, min-id kept
+
+    # without the flag everything survives (the paraphrase IS invisible
+    # to the default stages — the stage adds real recall, not overlap)
+    summary2 = curate_transcripts.main(
+        ["--input", inp, "--output-root", str(tmp_path / "out_nodedup"),
+         "--no-near-dup", "--max-run", "6"],
+        spark=spark,
+    )
+    kept2 = spark.read.parquet(summary2["turns"])
+    ids2 = {r["conv_id"] for r in kept2.select("conv_id").collect()}
+    assert ids2 == set(range(1, 15))
