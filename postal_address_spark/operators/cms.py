@@ -79,13 +79,18 @@ def cms_table(
     depth: int = 4,
     width: int = 2048,
     hash_method: str = "xxhash64",
+    group_cols: tuple = (),
 ) -> DataFrame:
-    """The counter table (d, bucket, cnt), at most depth*width rows.
+    """The counter table (*group_cols, d, bucket, cnt), at most
+    depth*width rows per group.
 
     One projection exploding depth (d, bucket) structs per row
     (explode_outer per engine rule 2 — the array is never empty) + one
-    map-side-combinable count; the shuffle carries <= depth*width rows
-    per map task whatever the input size.  NULLs are skipped.
+    map-side-combinable count; the shuffle carries <= groups x
+    depth*width rows per map task whatever the input size.  NULLs are
+    skipped.  ``group_cols`` gives the production shape — one frequency
+    sketch per key (per day, per source) from the same single pass, the
+    hll_registers/qsketch convention.
     """
     _check(depth, width)
     c = F.col(col)
@@ -104,19 +109,22 @@ def cms_table(
     )
     return (
         df.where(c.isNotNull())
-        .select(cells.alias("cell"))
-        .select("cell.d", "cell.bucket")
-        .groupBy("d", "bucket")
+        .select(*group_cols, cells.alias("cell"))
+        .select(*group_cols, "cell.d", "cell.bucket")
+        .groupBy(*group_cols, "d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
     """Cell-wise sum: associative, commutative — per-partition/per-day
     sketches fold in any order (merge of sketches == sketch of union,
-    asserted exactly in tests/test_cms.py)."""
+    asserted exactly in tests/test_cms.py).  Pass the same
+    ``group_cols`` the sketches were built with."""
     u = reduce(lambda a, b: a.unionByName(b), sketches)
-    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return u.groupBy(*group_cols, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
 
 
 def cms_lookup(

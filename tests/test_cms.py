@@ -108,3 +108,37 @@ def test_nulls_skipped_and_params_checked(spark):
         heavy_hitters(df, "val", 0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "val", 1, depth=8, width=1 << 14)
+
+
+def test_cms_grouped_table_and_merge(spark):
+    # one pass, two per-group sketches: estimates and merge algebra must
+    # behave per group exactly as ungrouped sketches over each slice
+    rows_a, exact_a = zipf_rows(5, 1500)
+    rows_b, exact_b = zipf_rows(6, 1500, n_hot=3, hot_mass=90)
+    df = spark.createDataFrame(
+        [(i, "ga", v) for i, v in enumerate(rows_a)]
+        + [(i, "gb", v) for i, v in enumerate(rows_b)],
+        ["i", "g", "val"],
+    )
+    grouped = cms_table(df, "val", 4, 512, "md5", group_cols=("g",))
+    by_g: dict = {}
+    for r in grouped.collect():
+        by_g.setdefault(r["g"], []).append((r["d"], r["bucket"], r["cnt"]))
+    for g, exact in (("ga", exact_a), ("gb", exact_b)):
+        for v, c in list(exact.items())[:100]:
+            assert cms_lookup(by_g[g], v, 4, 512) >= c
+    # grouped merge == grouped sketch of union, exactly
+    h1 = df.where(F.col("i") % 2 == 0)
+    h2 = df.where(F.col("i") % 2 == 1)
+    direct = sorted(map(tuple, grouped.collect()))
+    merged = sorted(
+        map(
+            tuple,
+            cms_merge(
+                cms_table(h1, "val", 4, 512, "md5", group_cols=("g",)),
+                cms_table(h2, "val", 4, 512, "md5", group_cols=("g",)),
+                group_cols=("g",),
+            ).collect(),
+        )
+    )
+    assert direct == merged
