@@ -354,15 +354,20 @@ def main(argv=None, spark=None) -> dict:
         )
         from postal_address_spark.operators.wcos import (
             weighted_cosine_pairs,
+            weighted_token_relation,
         )
 
         tfidf_docs = conversation_docs(turns, conv, order_cols, dedup_tok)
+        # own the token-relation cache so it can be released after the
+        # stage's one action (the jaccard_set_join caching contract)
+        tfidf_tw = weighted_token_relation(tfidf_docs, "seq", conv)
         tfidf_pairs = weighted_cosine_pairs(
             tfidf_docs,
             text_col="seq",
             id_col=conv,
             tau_num=args.tfidf_tau_num,
             tau_den=args.tfidf_tau_den,
+            tw=tfidf_tw,
         )
         tfidf_edges = tfidf_pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -371,7 +376,11 @@ def main(argv=None, spark=None) -> dict:
         tfidf_drop = tfidf_comp.where(
             F.col("rec_id") != F.col("cluster_id")
         ).select(F.col("rec_id").alias(conv))
+        # materialize the drop set before releasing the token cache the
+        # lazy plan depends on (engine rule 10's eager-before-release)
+        tfidf_drop = tfidf_drop.localCheckpoint()
         n_tfidf_dropped = tfidf_drop.count()
+        tfidf_tw.unpersist()
         turns = turns.join(tfidf_drop, conv, "left_anti")
 
     # 3d. optional benchmark decontamination at CONVERSATION granularity:

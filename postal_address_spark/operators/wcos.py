@@ -153,6 +153,7 @@ def weighted_cosine_pairs(
     tau_den: int = 10,
     max_df: int | None = None,
     n_docs: int | None = None,
+    tw: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with weighted cosine >= tau_num/tau_den.
 
@@ -161,10 +162,15 @@ def weighted_cosine_pairs(
     float cosine (engine rule: no float in hash-graded columns).
 
     ``n_docs`` keeps composition lazy exactly like rare_token_pairs.
+    ``tw``: a pre-built :func:`weighted_token_relation` — long-lived
+    callers (jobs, notebooks) pass their own so they can ``unpersist``
+    it after the final action instead of leaking the internal cache
+    (the jaccard_set_join caching contract).
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("require 0 < tau_num <= tau_den (tau in (0, 1])")
-    tw = weighted_token_relation(docs, text_col, id_col, max_df, n_docs)
+    if tw is None:
+        tw = weighted_token_relation(docs, text_col, id_col, max_df, n_docs)
     cand, norms = prefix_candidates(tw, tau_num, tau_den)
 
     # exact dot: both docs' weighted token sets meet on the candidate
