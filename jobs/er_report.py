@@ -703,13 +703,18 @@ def main(argv=None, spark=None) -> dict:
             (int(r["bucket"]), int(r["cnt"]))
             for r in spark.read.parquet(f"{root}/len_sketch").collect()
         ]
-        len_quantiles = {
-            "s": s_bits,
-            **{
-                f"p{int(q * 100)}": quantile_estimate(buckets, q, s_bits)
-                for q in (0.5, 0.95, 0.99)
-            },
-        }
+        # an all-NULL column writes an empty sketch — a legitimate
+        # report outcome (like the zero-pair corpus above), not a crash
+        len_quantiles = {"s": s_bits}
+        if buckets:
+            len_quantiles.update(
+                {
+                    f"p{int(q * 100)}": quantile_estimate(
+                        buckets, q, s_bits
+                    )
+                    for q in (0.5, 0.95, 0.99)
+                }
+            )
 
     cov_rows = {
         r["rule"]: {

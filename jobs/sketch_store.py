@@ -169,12 +169,16 @@ def main(argv=None, spark=None) -> dict:
             "global_hll_estimate": round(
                 hll_estimate(g_regs, p=args.hll_p), 1
             ),
+            # empty sketch (all-NULL length column) is a report outcome,
+            # not a crash
             "global_len_quantiles": {
                 f"p{int(q * 100)}": quantile_estimate(
                     g_buckets, q, args.len_s
                 )
                 for q in (0.5, 0.95, 0.99)
-            },
+            }
+            if g_buckets
+            else None,
         }
 
     summary = {
