@@ -1147,6 +1147,32 @@ def _q_minhash_dup_clusters(spark, sf_dir):
     ).orderBy("rec_id")
 
 
+def _q_cross_corpus_dups(spark, sf_dir):
+    """Cross-corpus MinHash near-dup (dedup.cross_corpus_near_dups): a
+    fresh "crawl" (documents >= 200 plus 25 lightly edited copies of
+    reference docs) deduped AGAINST the reference corpus (documents
+    < 200) — A x B banding only, exact-Jaccard verified.  The oracle is
+    the brute-force ALL-CROSS-PAIRS exact Jaccard, so a hash match
+    proves LSH candidate recall 1.0 on this data plus verify-math
+    agreement (the minhash_near_dups grading pattern, two-dataset
+    form)."""
+    from postal_address_spark.operators.dedup import cross_corpus_near_dups
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.where(F.col("doc_id") < 200)
+    corpus = docs.where(F.col("doc_id") >= 200).union(
+        docs.where(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    return (
+        cross_corpus_near_dups(corpus, reference, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     from postal_address_spark.operators.dedup import simhash_dedup
 
@@ -3018,6 +3044,46 @@ def _q_er_edge_provenance(spark, sf_dir):
     return edge_provenance(rules, edges).orderBy("rec_id_a", "rec_id_b")
 
 
+def _expect_checks():
+    """The shared expectation-suite spec for data_expectations: one
+    source of truth feeding BOTH the Spark evaluation and the generated
+    DuckDB replay (the fs_em COMPARISONS discipline).  Mixed
+    pass/fail by design: c_custkey IS unique and c_name IS format-clean
+    (pass), c_nationkey is massively repeated and the in_set domain
+    deliberately omits FURNITURE (fail) so both report polarities are
+    exercised at the gate."""
+    from postal_address_spark.operators.expectations import Check
+
+    return [
+        Check("acctbal_nonneg", "c_acctbal", "between", lo=0.0, hi=10000.0,
+              min_pass_num=8, min_pass_den=10),
+        Check("acctbal_range", "c_acctbal", "between",
+              lo=-1000.0, hi=10000.0),
+        Check("custkey_unique", "c_custkey", "unique"),
+        Check("name_format", "c_name", "matches",
+              pattern="^Customer#[0-9]{9}$"),
+        Check("name_len", "c_name", "len_between", lo=18, hi=18),
+        Check("nationkey_unique", "c_nationkey", "unique"),
+        Check("segment_domain", "c_mktsegment", "in_set",
+              values=("AUTOMOBILE", "BUILDING", "HOUSEHOLD", "MACHINERY"),
+              min_pass_num=3, min_pass_den=4),
+    ]
+
+
+def _q_data_expectations(spark, sf_dir):
+    """Declarative data-quality suite (operators/expectations.py — the
+    Deequ VerificationSuite job shape): every row-level check evaluates
+    in ONE conditional-aggregation scan and every uniqueness check shares
+    ONE stack melt + (check, value) shuffle; pass/fail is integer
+    cross-multiplication against each check's rational threshold, so the
+    oracle — GENERATED from the same Check specs — replays the report
+    bit-for-bit."""
+    from postal_address_spark.operators.expectations import expect
+
+    customer = _read_spread(spark, sf_dir, "customer")
+    return expect(customer, _expect_checks()).orderBy("check_name")
+
+
 def _q_profile_customer(spark, sf_dir):
     """Column profiling (operators/profiling.py — Splink's
     profile_columns): per column the row/null/distinct tallies and the
@@ -3238,6 +3304,38 @@ def _q_link_best_matches(spark, sf_dir):
     return best.select("rec_id_a", "rec_id_b", "score").orderBy("rec_id_a")
 
 
+def _q_link_mutual_best(spark, sf_dir):
+    """ONE-TO-ONE linkage via reciprocal best match
+    (operators/link_datasets.py mutual_best_links): (a, b) survives iff b
+    is a's argmax AND a is b's argmax — an assignment, not an enrichment
+    (each rec_id appears at most once on its side, by construction).
+    Both argmaxes run on the ROUND-6 score with min-partner tie-breaks;
+    the b-side top-2 gap is guarded alongside the a-side in
+    tests/test_link_datasets.py::test_best_match_margins."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.link_datasets import (
+        link_datasets,
+        mutual_best_links,
+    )
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+
+    def side(table, key, tag):
+        m = _mentions_df(spark, sf_dir, table, key).select(
+            F.concat(
+                F.lit(tag), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        return with_block_key(normalize_mentions(m)).persist()
+
+    edges = link_datasets(
+        side("customer", "c_custkey", "m"), side("supplier", "s_suppkey", "s")
+    )
+    mutual = mutual_best_links(edges.withColumn("score", F.round("score", 6)))
+    return mutual.select("rec_id_a", "rec_id_b", "score").orderBy("rec_id_a")
+
+
 def _q_tf_city_evidence(spark, sf_dir):
     """Term-frequency adjustment evidence (operators/fs_em.py, Splink's
     tf_adjustment): for every refined candidate pair, the exactly-agreed
@@ -3359,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_two_datasets": _q_link_two_datasets,
         "link_and_dedupe": _q_link_and_dedupe,
         "link_best_matches": _q_link_best_matches,
+        "link_mutual_best": _q_link_mutual_best,
         "streaming_link_datasets": _q_streaming_link_datasets,
         "blocking_rule_coverage": _q_blocking_rule_coverage,
         "blocking_recall": _q_blocking_recall,
@@ -3369,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unblocked_mentions": _q_unblocked_mentions,
         "er_unlinkables": _q_er_unlinkables,
         "profile_customer": _q_profile_customer,
+        "data_expectations": _q_data_expectations,
         "drift_report": _q_drift_report,
         "hll_distinct_sketch": _q_hll_distinct_sketch,
         "hll_group_sketch": _q_hll_group_sketch,
@@ -3385,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and their dedicated pytest ground truth.
         "minhash_near_dups": _q_minhash_near_dups,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
+        "cross_corpus_dups": _q_cross_corpus_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "lsh_ann_topk": _q_lsh_ann,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -4813,6 +4914,41 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY rec_id
     """
 
+    # -- cross_corpus_dups: brute-force ALL-CROSS-PAIRS exact Jaccard
+    # between the "crawl" (>=200 plus 25 edited reference copies) and the
+    # reference corpus (<200) — the two-dataset form of the
+    # minhash_near_dups grade (recall-lossless proof, not a mirror).
+    # Same exact size-ratio prefilter: J <= min/max, so a cross pair
+    # whose smaller set is under tau times the larger can never qualify.
+    sql["cross_corpus_dups"] = f"""
+    WITH ref AS MATERIALIZED (
+      SELECT doc_id, sh, len(sh) AS n FROM (
+        SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id < 200
+      )
+    ),
+    crawl AS MATERIALIZED (
+      SELECT doc_id, sh, len(sh) AS n FROM (
+        SELECT doc_id, {shingles} AS sh FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 200
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' tail'
+          FROM documents WHERE doc_id < 25
+        )
+      )
+    ),
+    j AS (
+      SELECT id_a, id_b, CAST(li AS DOUBLE) / (na + nb - li) AS jaccard
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+               len(list_intersect(a.sh, b.sh)) AS li
+        FROM crawl a JOIN ref b
+          ON a.n * 2 >= b.n AND b.n * 2 >= a.n
+      )
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+    FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """
+
     def cos_sql(a: str, b: str) -> str:
         return (
             f"(list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"
@@ -5965,6 +6101,37 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY rec_id_a
     """
 
+    # -- link_mutual_best: reciprocal best match (one-to-one assignment).
+    # Both directions argmax on the round-6 score (a-side ties -> min d,
+    # b-side ties -> min s — the engine's min(struct) convention); a pair
+    # survives iff it is rank-1 in BOTH partitions.  Margins for both
+    # directions guarded by test_best_match_margins.
+    sql["link_mutual_best"] = f"""
+    WITH {_link_prefix},
+    scored AS (
+      SELECT s, d,
+             0.5 + (0.35 * (0.5 * {jw('x1', 'y1')} + 0.5 * {tsl('ta', 'tb')})
+                    + 0.15 * {jw('xc', 'yc')}) AS raw
+      FROM kern
+    ),
+    kept AS (
+      SELECT s, d, round(raw, 6) AS score FROM scored WHERE raw >= 0.82
+    ),
+    ranked AS (
+      SELECT s, d, score,
+             row_number() OVER (
+               PARTITION BY s ORDER BY score DESC, d
+             ) AS rn_a,
+             row_number() OVER (
+               PARTITION BY d ORDER BY score DESC, s
+             ) AS rn_b
+      FROM kept
+    )
+    SELECT s AS rec_id_a, d AS rec_id_b, score
+    FROM ranked WHERE rn_a = 1 AND rn_b = 1
+    ORDER BY rec_id_a
+    """
+
     # -- blocking_rule_coverage: the three rule pair sets re-derived
     # (refined exact join, soundex key join, row_number SNM window), then
     # the same first-rule assignment + integer tallies.
@@ -6283,6 +6450,21 @@ def oracle_sql() -> dict[str, str]:
 
     # -- profile_customer: full replay of the melt/count/window profiling
     # chain; rank ties break on (count desc, value asc) on both engines.
+    # -- data_expectations: the DuckDB replay is GENERATED from the same
+    # Check specs the Spark suite evaluates (expectations_oracle_sql),
+    # so the report — tallies AND the cross-multiplied pass bits —
+    # replays bit-for-bit; dialect equality of every kind is additionally
+    # pinned in-process by tests/test_expectations.py.
+    from postal_address_spark.operators.expectations import (
+        expectations_oracle_sql,
+    )
+
+    sql["data_expectations"] = f"""
+    SELECT * FROM (
+    {expectations_oracle_sql("customer", _expect_checks())}
+    ) ORDER BY check_name
+    """
+
     sql["profile_customer"] = """
     WITH melted AS (
       SELECT 'c_mktsegment' AS col_name, CAST(c_mktsegment AS VARCHAR) AS value

@@ -2,9 +2,11 @@
 the corpus side of the engine, composing the document operators the same
 way ``jobs/link.py`` composes the linkage ones:
 
-    exact dedup -> MinHash near-dedup -> quality gate
-    -> [benchmark decontamination] -> PII redaction
-    -> deterministic split -> per-split parquet
+    [input expectations (Deequ-style declarative checks, --expect)]
+    -> exact dedup -> MinHash near-dedup -> quality gate
+    -> [benchmark decontamination] -> [reference-corpus near-dedup:
+        A x B MinHash vs the previous dump / eval set, --dedup-against]
+    -> PII redaction -> deterministic split -> per-split parquet
     -> [token-budget sequence packing: per-split next-fit bin manifest
         for the training loader (operators/packing.py)]
 
@@ -17,6 +19,8 @@ Package the engine and submit::
         [--near-dup-threshold 0.7] [--no-near-dup] [--no-redact] \
         [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024] \
         [--decontaminate <benchmark table> [--contam-w 13] [--max-contam-pct 0]] \
+        [--dedup-against <reference table> [--dedup-against-threshold 0.7]] \
+        [--expect <checks.json> [--expect-fail-hard]] \
         [--pack-budget <tokens> [--pack-shards 256]]
 
 No ``master`` is set — the cluster manager provides it.  The kept corpus
@@ -71,6 +75,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop a doc when contaminated-token cover exceeds this percent "
         "of its tokens; 0 (default) drops on ANY overlapping span",
     )
+    p.add_argument(
+        "--dedup-against",
+        help="reference corpus table (doc_id, text): drop kept docs whose "
+        "MinHash-verified Jaccard against ANY reference doc reaches the "
+        "threshold (operators/dedup.cross_corpus_near_dups) — dedup a "
+        "fresh crawl against the previous dump, or fuzzy decontamination "
+        "where exact w-gram overlap misses edited copies",
+    )
+    p.add_argument(
+        "--dedup-against-threshold", type=float, default=None,
+        help="Jaccard threshold for --dedup-against "
+        "(default: --near-dup-threshold)",
+    )
+    p.add_argument(
+        "--expect",
+        help="JSON file with a list of expectation specs (Check kwargs: "
+        "name/column/kind plus values/pattern/lo/hi/min_pass_num/"
+        "min_pass_den) evaluated on the INPUT before any stage "
+        "(operators/expectations.py); report written to "
+        "<output-root>/expectations",
+    )
+    p.add_argument(
+        "--expect-fail-hard", action="store_true",
+        help="exit 3 when any expectation fails (orchestrator gate)",
+    )
     return p
 
 
@@ -100,6 +129,46 @@ def main(argv=None, spark=None) -> dict:
 
     docs = read_table(spark, args.input)
     n_input = docs.count()
+
+    # 0. declarative data-quality expectations on the raw input (Deequ
+    # VerificationSuite shape): the report is written for the
+    # orchestrator and, with --expect-fail-hard, a failing check aborts
+    # the run BEFORE any compute is spent on a bad feed.
+    expect_results = None
+    if args.expect:
+        from postal_address_spark.operators.expectations import Check
+        from postal_address_spark.operators.expectations import (
+            expect as run_expectations,
+        )
+
+        with open(args.expect) as fh:
+            spec = json.load(fh)
+        checks = [
+            Check(**{
+                k: tuple(v) if k == "values" else v for k, v in c.items()
+            })
+            for c in spec
+        ]
+        report = run_expectations(docs, checks)
+        write_table(report, f"{args.output_root.rstrip('/')}/expectations")
+        expect_results = {
+            r["check_name"]: {
+                "passed": bool(r["passed"]),
+                "n_rows": int(r["n_rows"]),
+                "n_violations": int(r["n_violations"]),
+            }
+            for r in spark.read.parquet(
+                f"{args.output_root.rstrip('/')}/expectations"
+            ).collect()
+        }
+        if args.expect_fail_hard and not all(
+            v["passed"] for v in expect_results.values()
+        ):
+            print(json.dumps({
+                "aborted": "expectation_failure",
+                "expectations": expect_results,
+            }))
+            raise SystemExit(3)
 
     # 1. exact dedup: one row per distinct text (min-id representative).
     reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
@@ -160,6 +229,32 @@ def main(argv=None, spark=None) -> dict:
         n_contam_dropped = contaminated.count()
         rejected = rejected.unionByName(contaminated)
         kept = kept.join(bad, "doc_id", "left_anti")
+
+    # 3c. reference-corpus near-dedup: drop kept docs that near-match the
+    # previous dump / external reference (A x B MinHash banding + exact
+    # Jaccard verify — never corpus x corpus here; ids only ride the LSH
+    # and anti-join streams, the text never reshuffles).
+    n_refdup_dropped = 0
+    if args.dedup_against:
+        from postal_address_spark.operators.dedup import cross_corpus_near_dups
+
+        ref = read_table(spark, args.dedup_against)
+        thr = (
+            args.dedup_against_threshold
+            if args.dedup_against_threshold is not None
+            else args.near_dup_threshold
+        )
+        matched = (
+            cross_corpus_near_dups(kept, ref, threshold=thr)
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+        )
+        refdup = kept.join(matched, "doc_id", "left_semi").withColumn(
+            "reasons", F.lit("reference_near_dup")
+        )
+        n_refdup_dropped = refdup.count()
+        rejected = rejected.unionByName(refdup)
+        kept = kept.join(matched, "doc_id", "left_anti")
 
     # 4. PII redaction (codegen regexp chain), in place on the text column.
     if not args.no_redact:
@@ -237,6 +332,7 @@ def main(argv=None, spark=None) -> dict:
         "n_input": int(n_input),
         "n_near_dup_dropped": int(n_near_dropped),
         "n_contam_dropped": int(n_contam_dropped),
+        "n_refdup_dropped": int(n_refdup_dropped),
         "n_kept": int(sum(split_counts.values())),
         "n_rejected": int(sum(reject_reasons.values())),
         "split_counts": split_counts,
@@ -246,6 +342,8 @@ def main(argv=None, spark=None) -> dict:
     }
     if pack_counts is not None:
         summary["packing"] = pack_counts
+    if expect_results is not None:
+        summary["expectations"] = expect_results
     print(json.dumps(summary))
     return summary
 

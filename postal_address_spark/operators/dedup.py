@@ -173,21 +173,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 8,
-    rows_per_band: int = 4,
+def _banded(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    shingle->minhash->band->bucket-join; the self-join key is
-    (band_idx, band_hash), so only same-bucket docs ever meet.
-    """
+    """(id, band_idx, band_hash) — one row per (doc, band)."""
     # explode_outer: the band array has fixed size >= 1, and plain explode
     # triggers an inferred size>0 filter that re-computes the band hashes
     # (see minhash_signatures).
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode_outer(
             F.transform(
@@ -211,6 +204,20 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    shingle->minhash->band->bucket-join; the self-join key is
+    (band_idx, band_hash), so only same-bucket docs ever meet.
+    """
+    banded = _banded(signatures, id_col, bands, rows_per_band)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -278,6 +285,94 @@ def minhash_dedup(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora: (id_a in corpus, id_b in
+    reference, jaccard >= threshold) — never corpus x corpus, never
+    reference x reference.
+
+    The two-dataset form of ``minhash_dedup`` (the link_only job shape,
+    link_datasets.py precedent): the standard training-data uses are
+    deduping a fresh crawl against the previous dump, and fuzzy
+    decontamination against an eval corpus where exact w-gram overlap
+    (spandup.contamination_stats) misses lightly edited copies.  Both
+    sides are banded with the SAME seeded hash family, so two documents
+    collide here exactly when they would collide inside one corpus;
+    candidates come from the (band_idx, band_hash) A x B equi-join — no
+    ``<`` dedup predicate (the sides are disjoint by construction, and
+    ids may overlap ACROSS corpora without harm since they never mix in
+    one column) — and the exact shingle-set Jaccard verify joins each
+    side's grams back on the deduped candidate ids only.
+    """
+    rows_per_band = num_hashes // bands
+    band_a = _banded(
+        minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_n, seed
+        ),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    band_b = _banded(
+        minhash_signatures(
+            reference, text_col, id_col, num_hashes, shingle_n, seed
+        ),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        band_a.join(band_b, ["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = with_shingle_hashes(corpus, text_col, shingle_n).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = with_shingle_hashes(reference, text_col, shingle_n).select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """The keep/drop form: corpus rows that near-match NO reference doc.
+
+    One LEFT ANTI join of the corpus against the matched id_a set — the
+    corpus text rides through untouched (only ids shuffle in the LSH and
+    anti-join streams)."""
+    matched = cross_corpus_near_dups(
+        corpus, reference, text_col, id_col, num_hashes, bands, shingle_n,
+        threshold, seed,
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(matched, id_col, "left_anti")
 
 
 def simhash_col(text: Column, bits: int = 64) -> Column:

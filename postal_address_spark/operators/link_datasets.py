@@ -178,3 +178,39 @@ def best_links(edges: DataFrame) -> DataFrame:
             (-F.col("p.ns")).alias("score"),
         )
     )
+
+
+def mutual_best_links(edges: DataFrame) -> DataFrame:
+    """ONE-TO-ONE match set via reciprocal best match: keep (a, b) iff b
+    is a's best match AND a is b's best match.
+
+    ``best_links`` answers "what is each A record's best candidate", but a
+    catalog record may be the best match of MANY feed records — fine for
+    enrichment, wrong when the link is supposed to be an assignment (two
+    snapshots of one customer base, invoice<->payment reconciliation).
+    The reciprocal-best rule is the standard distributed one-to-one
+    approximation (bioinformatics' reciprocal best hit; a 1/2-approximate
+    maximum-weight matching on each surviving edge's neighborhood): each
+    side's argmax is one map-side-combinable min(struct) aggregation (no
+    window, no iteration — unlike greedy global matching, which is
+    inherently sequential), and the intersection is one-to-one BY
+    CONSTRUCTION — a given a appears in at most its own best pair, a
+    given b likewise.
+
+    Determinism: ties on score break to the MIN partner rec_id on both
+    sides (the best_links convention), so the surviving set is a pure
+    function of the edge multiset.  Note mutual-best is deliberately NOT
+    maximum-weight matching: a chain a1-b1 (0.9), a2-b1 (0.95), a2-b2
+    (0.9) keeps only (a2, b1) — a1 stays unmatched rather than being
+    handed a partner that preferred someone else (precision over
+    coverage; the unmatched remainder is visible as
+    ``best_links(edges)`` minus this result).
+    """
+    best_a = best_links(edges)
+    pick_a = F.min(F.struct((-F.col("score")).alias("ns"), "rec_id_a")).alias("p")
+    best_b = (
+        edges.groupBy("rec_id_b")
+        .agg(pick_a)
+        .select(F.col("p.rec_id_a").alias("rec_id_a"), "rec_id_b")
+    )
+    return best_a.join(best_b, ["rec_id_a", "rec_id_b"])

@@ -160,3 +160,89 @@ def test_curate_job_pack_budget(spark, tmp_path):
             assert sum(x.n_tokens for x in rs) <= 40, key
         assert len({x.split for x in rs}) == 1
     assert sum(v["n_docs"] for v in pk["splits"].values()) == kept.count()
+
+
+def test_curate_job_dedup_against(spark, tmp_path):
+    """--dedup-against: kept docs near-matching the reference corpus drop
+    with reason reference_near_dup; unrelated docs survive."""
+    import curate
+
+    ref_rows = [(100, BASE)]
+    rows = [
+        (1, BASE.replace("fox", "wolf")),             # near dup of ref 100
+        (5, "a completely different note about the harvest season and "
+            "the long road that winds between the hills and the river "
+            "toward the old stone bridge near the market square"),
+    ]
+    inp = str(tmp_path / "docs_da")
+    ref = str(tmp_path / "ref_da")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    spark.createDataFrame(
+        ref_rows, "doc_id long, text string"
+    ).write.parquet(ref)
+
+    summary = curate.main(
+        [
+            "--input", inp,
+            "--output-root", str(tmp_path / "curated_da"),
+            "--dedup-against", ref,
+            "--dedup-against-threshold", "0.5",
+            "--no-redact",
+        ],
+        spark=spark,
+    )
+    assert summary["n_refdup_dropped"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(summary["corpus"]).collect()
+    }
+    assert kept == {5}
+    reasons = {
+        r["doc_id"]: r["reasons"]
+        for r in spark.read.parquet(summary["rejected"]).collect()
+    }
+    assert reasons[1] == "reference_near_dup"
+
+
+def test_curate_job_expectations_gate(spark, tmp_path):
+    """--expect: the report lands under output-root and in the summary;
+    --expect-fail-hard aborts with exit code 3 on a failing check."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import curate
+
+    rows = [(1, BASE), (1, BASE + " again"), (3, None)]
+    inp = str(tmp_path / "docs_ex")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    spec = [
+        {"name": "id_unique", "column": "doc_id", "kind": "unique"},
+        {"name": "text_set", "column": "text", "kind": "not_null",
+         "min_pass_num": 1, "min_pass_den": 2},
+    ]
+    spec_path = str(tmp_path / "checks.json")
+    with open(spec_path, "w") as fh:
+        _json.dump(spec, fh)
+
+    out_root = str(tmp_path / "curated_ex")
+    summary = curate.main(
+        ["--input", inp, "--output-root", out_root, "--expect", spec_path,
+         "--no-redact"],
+        spark=spark,
+    )
+    exp = summary["expectations"]
+    assert exp["id_unique"] == {
+        "passed": False, "n_rows": 3, "n_violations": 2
+    }
+    assert exp["text_set"]["passed"] is True
+    assert os.path.isdir(os.path.join(out_root, "expectations"))
+
+    # fail-hard: id_unique fails -> SystemExit(3) before any output stage
+    with _pytest.raises(SystemExit) as ei:
+        curate.main(
+            ["--input", inp, "--output-root", str(tmp_path / "curated_ex2"),
+             "--expect", spec_path, "--expect-fail-hard"],
+            spark=spark,
+        )
+    assert ei.value.code == 3

@@ -351,3 +351,76 @@ def test_ivf_recall_vs_nprobe_curve(spark, embeddings):
     assert all(
         curve[a] <= curve[b] for a, b in zip(probes, probes[1:])
     ), curve
+
+
+def test_cross_corpus_near_dups_recall_and_sides(spark, documents):
+    """A x B MinHash dedup (dedup.cross_corpus_near_dups): the pair set
+    must equal the brute-force all-cross-pairs exact Jaccard at the
+    threshold (LSH recall 1.0 on this data + exact verify), every pair
+    must be cross-corpus (id_a from corpus, id_b from reference), and
+    overlapping id SPACES across the two corpora must be harmless."""
+    from postal_address_spark.operators.dedup import (
+        cross_corpus_near_dups,
+        with_shingle_hashes,
+    )
+
+    reference = documents.limit(60).select("doc_id", "text")
+    # corpus: 40 unrelated docs (ids 100..139 re-keyed: same VALUES as
+    # reference ids would be fine — prove it by reusing small ints) plus
+    # lightly edited copies of 15 reference docs
+    base = documents.where(F.col("doc_id") >= 100).limit(40).select(
+        (F.col("doc_id") % 40).alias("doc_id"), "text"
+    )
+    edited = reference.limit(15).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+    )
+    corpus = base.union(edited)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cross_corpus_near_dups(
+            corpus, reference, threshold=0.5
+        ).collect()
+    }
+    # sides: id_a is a corpus id, id_b a reference id
+    corpus_ids = {r["doc_id"] for r in corpus.collect()}
+    ref_ids = {r["doc_id"] for r in reference.collect()}
+    assert all(a in corpus_ids and b in ref_ids for a, b in got)
+
+    # brute force over ALL cross pairs on the same hashed shingle sets
+    sh_a = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingle_hashes(corpus, "text", 3).collect()
+    }
+    sh_b = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingle_hashes(reference, "text", 3).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, sa in sh_a.items()
+        for ib, sb in sh_b.items()
+        if len(sa & sb) / len(sa | sb) >= 0.5
+    }
+    assert got == want
+    # the 15 edited copies are all found
+    assert len(want) >= 15
+
+
+def test_dedup_against_drops_matches_only(spark, documents):
+    from postal_address_spark.operators.dedup import dedup_against
+
+    reference = documents.limit(30).select("doc_id", "text")
+    clean = documents.where(F.col("doc_id") >= 200).limit(20).select(
+        "doc_id", "text"
+    )
+    dups = reference.limit(10).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus = clean.union(dups)
+    kept = {r["doc_id"] for r in dedup_against(
+        corpus, reference, threshold=0.5
+    ).collect()}
+    assert kept == {r["doc_id"] for r in clean.collect()}

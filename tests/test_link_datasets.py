@@ -231,6 +231,17 @@ def test_best_match_margins(spark):
             tops = sorted(set(grp["s"]), reverse=True)
             if len(tops) >= 2:
                 assert tops[0] - tops[1] > 1e-5, (sf, tops[:2])
+        # (3) per-B-record top-2 separation: the link_mutual_best oracle
+        # argmaxes in BOTH directions, so the b-side groups need the same
+        # distinct-round-6-score separation guard
+        df_b = pd.DataFrame(
+            {"b": pairs["rec_id_b"], "s": np.round(scores, 6)}
+        )
+        df_b = df_b[df_b["s"] >= 0.82]
+        for _, grp in df_b.groupby("b"):
+            tops = sorted(set(grp["s"]), reverse=True)
+            if len(tops) >= 2:
+                assert tops[0] - tops[1] > 1e-5, (sf, tops[:2])
 
 
 def test_cross_scores_clear_of_threshold(spark):
@@ -273,3 +284,69 @@ def test_cross_scores_clear_of_threshold(spark):
         )
         margin = np.abs(scores - 0.82).min()
         assert margin > 1e-6, (sf, margin)
+
+
+def test_mutual_best_links_reciprocal_chain(spark):
+    """The docstring chain: a1-b1 (0.9), a2-b1 (0.95), a2-b2 (0.9).
+    a1's best is b1, but b1's best is a2 -> only (a2, b1) survives; a1
+    and b2 stay unmatched (precision over coverage)."""
+    from postal_address_spark.operators.link_datasets import mutual_best_links
+
+    edges = spark.createDataFrame(
+        [("a1", "b1", 0.9), ("a2", "b1", 0.95), ("a2", "b2", 0.9)],
+        "rec_id_a string, rec_id_b string, score double",
+    )
+    got = [
+        (r["rec_id_a"], r["rec_id_b"], r["score"])
+        for r in mutual_best_links(edges).collect()
+    ]
+    assert got == [("a2", "b1", 0.95)]
+
+
+def test_mutual_best_links_one_to_one_on_random_bipartite(spark):
+    """Property pins on seeded random bipartite graphs with score ties:
+    (1) the result is one-to-one (each endpoint at most once), (2) it
+    equals a driver-side reciprocal-best reference with the min-partner
+    tie-break, (3) every surviving pair is an edge with its true score."""
+    import random
+
+    from postal_address_spark.operators.link_datasets import mutual_best_links
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = []
+        seen = set()
+        for _ in range(120):
+            a = f"a{rng.randrange(25)}"
+            b = f"b{rng.randrange(25)}"
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            edges.append((a, b, rng.choice([0.82, 0.85, 0.9, 0.95, 1.0])))
+        df = spark.createDataFrame(
+            edges, "rec_id_a string, rec_id_b string, score double"
+        )
+        got = {
+            (r["rec_id_a"], r["rec_id_b"]): r["score"]
+            for r in mutual_best_links(df).collect()
+        }
+        # reference: argmax per side, ties -> min partner id
+        def argmax(pairs):
+            best = {}
+            for k, p, s in pairs:
+                cur = best.get(k)
+                if cur is None or (-s, p) < (-cur[1], cur[0]):
+                    best[k] = (p, s)
+            return best
+
+        ba = argmax([(a, b, s) for a, b, s in edges])
+        bb = argmax([(b, a, s) for a, b, s in edges])
+        want = {
+            (a, p): s
+            for a, (p, s) in ba.items()
+            if bb.get(p, (None,))[0] == a
+        }
+        assert got == want, trial
+        # one-to-one by construction
+        assert len({a for a, _ in got}) == len(got)
+        assert len({b for _, b in got}) == len(got)
