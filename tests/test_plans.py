@@ -783,3 +783,91 @@ def test_wcos_candidates_carry_ids_only(spark):
         head = frag[:200]
         assert "text#" not in head, head
     spark.catalog.clearCache()
+
+
+def test_expectations_row_checks_no_shuffle_of_rows(spark):
+    """expect (operators/expectations.py): every row-level check rides
+    ONE conditional-aggregation pass — map-side partial before a single
+    1-row exchange, no Expand, no Window, no Python — and the uniqueness
+    melt adds exactly one more partial-agg shuffle for ALL unique checks
+    together (never one job per column)."""
+    from postal_address_spark.operators.expectations import Check, expect
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row_only = expect(docs, [
+        Check("a", "text", "not_null"),
+        Check("b", "lang", "in_set", values=("en", "de")),
+        Check("c", "n_chars", "between", lo=0.0, hi=1e9),
+    ])
+    plan = physical(row_only)
+    assert "partial_count" in plan, plan[:3000]
+    assert "Expand" not in plan and "Window" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+    with_unique = expect(docs, [
+        Check("a", "text", "not_null"),
+        Check("u1", "doc_id", "unique"),
+        Check("u2", "text", "unique"),
+    ])
+    uplan = physical(with_unique)
+    # melt -> (check, value) partial agg -> per-check agg -> tiny meta
+    # join; the two unique checks share the SAME melt (one stack
+    # generator, not one scan per column; the other Generate is the
+    # 1-row inline exploding the row-level report)
+    assert uplan.count("Generate stack") == 1, uplan[:3000]
+    assert "partial_count" in uplan
+    assert "Python" not in uplan and "Arrow" not in uplan
+
+
+def test_cross_corpus_candidates_carry_ids_only(spark):
+    """cross_corpus_near_dups (operators/dedup.py): the banded A x B
+    equi-join must carry (id, band_idx, band_hash) ONLY — shingle arrays
+    and text join back on the deduped candidate ids afterwards (rule 7),
+    and no cartesian appears anywhere."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") < 200)
+    crawl = docs.where(F.col("doc_id") >= 200)
+    band_a = _banded(
+        minhash_signatures(crawl), "doc_id", 8, 4
+    ).select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    band_b = _banded(
+        minhash_signatures(ref), "doc_id", 8, 4
+    ).select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    cands = band_a.join(band_b, ["band_idx", "band_hash"]).select(
+        "id_a", "id_b"
+    )
+    plan = physical(cands)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # text and shingle arrays must be pruned before every exchange: only
+    # ids and band keys ride the shuffles (the scan reads text to build
+    # signatures, but nothing wider than (id, band) ever moves)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line and "shingles" not in line, line
+
+
+def test_mutual_best_argmaxes_without_window(spark):
+    """mutual_best_links (operators/link_datasets.py): both direction
+    argmaxes are min(struct) aggregations with map-side partials — no
+    Window (a per-key sort of the full edge set), no Cartesian."""
+    from postal_address_spark.operators.link_datasets import (
+        mutual_best_links,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "b1", 0.9), ("a2", "b1", 0.95)],
+        "rec_id_a string, rec_id_b string, score double",
+    )
+    plan = physical(mutual_best_links(edges))
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
