@@ -477,6 +477,35 @@ def main() -> None:
             "decimal(38,0) casts; no CartesianProduct/BNLJ anywhere.",
             em.queries()["tfidf_cosine_pairs"](spark, SF),
         ),
+        (
+            "data_expectations — one scan + one shared melt, no Python",
+            "Look for: the row-level checks as conditional sums inside "
+            "ONE HashAggregate pair over the scan (1-row result exploded "
+            "to report rows by Generate inline — no driver collect); "
+            "exactly ONE `Generate stack` feeding the (check, value) "
+            "partial_count for ALL uniqueness checks together; the tiny "
+            "meta join broadcast; no Expand, no Python/Arrow nodes.",
+            em.queries()["data_expectations"](spark, SF),
+        ),
+        (
+            "cross_corpus_dups — id-only A x B banding, verify joins back",
+            "Look for: both sides' MinHash signature aggregations "
+            "(partial_min before each id-keyed Exchange), the "
+            "(band_idx, band_hash) equi-join whose exchanges carry ids "
+            "and band keys ONLY (no text, no shingle arrays), the "
+            "shingle sets joining back on the DEDUPED candidate ids for "
+            "the exact-Jaccard verify, and no CartesianProduct/BNLJ.",
+            em.queries()["cross_corpus_dups"](spark, SF),
+        ),
+        (
+            "link_mutual_best — two window-free argmaxes",
+            "Look for: both direction argmaxes as min(struct(-score, id)) "
+            "HashAggregates with partial_min map-side combine (never a "
+            "Window sort of the edge set), and the surviving one-to-one "
+            "pair set produced by a plain equi-join of the two "
+            "already-reduced best tables.",
+            em.queries()["link_mutual_best"](spark, SF),
+        ),
     ]
 
     with open(OUT, "w", encoding="utf-8") as fh:
