@@ -136,39 +136,15 @@ def main(argv=None, spark=None) -> dict:
     # the run BEFORE any compute is spent on a bad feed.
     expect_results = None
     if args.expect:
-        from postal_address_spark.operators.expectations import Check
         from postal_address_spark.operators.expectations import (
-            expect as run_expectations,
+            run_expectation_gate,
         )
 
-        with open(args.expect) as fh:
-            spec = json.load(fh)
-        checks = [
-            Check(**{
-                k: tuple(v) if k == "values" else v for k, v in c.items()
-            })
-            for c in spec
-        ]
-        report = run_expectations(docs, checks)
-        write_table(report, f"{args.output_root.rstrip('/')}/expectations")
-        expect_results = {
-            r["check_name"]: {
-                "passed": bool(r["passed"]),
-                "n_rows": int(r["n_rows"]),
-                "n_violations": int(r["n_violations"]),
-            }
-            for r in spark.read.parquet(
-                f"{args.output_root.rstrip('/')}/expectations"
-            ).collect()
-        }
-        if args.expect_fail_hard and not all(
-            v["passed"] for v in expect_results.values()
-        ):
-            print(json.dumps({
-                "aborted": "expectation_failure",
-                "expectations": expect_results,
-            }))
-            raise SystemExit(3)
+        expect_results = run_expectation_gate(
+            spark, docs, args.expect,
+            f"{args.output_root.rstrip('/')}/expectations",
+            fail_hard=args.expect_fail_hard,
+        )
 
     # 1. exact dedup: one row per distinct text (min-id representative).
     reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))

@@ -114,6 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
         "max(0, threshold - 0.2)); lower = deeper negatives, more "
         "kernel work",
     )
+    p.add_argument(
+        "--expect",
+        help="JSON file with a list of expectation specs "
+        "(operators/expectations.py Check kwargs) evaluated on the INPUT "
+        "transcript table before any linkage stage; report written to "
+        "<output>_expectations",
+    )
+    p.add_argument(
+        "--expect-fail-hard", action="store_true",
+        help="exit 3 when any expectation fails (orchestrator gate; "
+        "no linkage compute is spent on a bad feed)",
+    )
     return p
 
 
@@ -139,6 +151,22 @@ def main(argv=None, spark=None) -> dict:
     )
 
     transcripts = read_table(spark, args.input)
+
+    # 0. declarative input expectations: catch a silently degraded feed
+    # (dropped column, garbage codes, duplicated keys) BEFORE spending
+    # blocking/scoring/closure compute on it.
+    expect_results = None
+    if args.expect:
+        from postal_address_spark.operators.expectations import (
+            run_expectation_gate,
+        )
+
+        expect_results = run_expectation_gate(
+            spark, transcripts, args.expect,
+            f"{args.output.rstrip('/')}_expectations",
+            fail_hard=args.expect_fail_hard,
+        )
+
     config = LinkageConfig(
         strict=args.strict,
         threshold=args.threshold,
@@ -372,6 +400,8 @@ def main(argv=None, spark=None) -> dict:
     if n_triplets is not None:
         summary["triplets_output"] = args.triplets_output
         summary["n_triplets"] = int(n_triplets)
+    if expect_results is not None:
+        summary["expectations"] = expect_results
     print(json.dumps(summary))
     return summary
 

@@ -227,6 +227,52 @@ def expect(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     return out
 
 
+def checks_from_spec(spec: Sequence[dict]) -> list:
+    """Parse a JSON-loaded list of Check kwargs dicts (the jobs' --expect
+    file format) into Check objects; ``values`` lists become tuples."""
+    return [
+        Check(**{k: tuple(v) if k == "values" else v for k, v in c.items()})
+        for c in spec
+    ]
+
+
+def run_expectation_gate(
+    spark,
+    df: DataFrame,
+    spec_path: str,
+    report_path: str,
+    fail_hard: bool = False,
+) -> dict:
+    """The deploy-job gate (jobs/curate.py --expect, jobs/link.py
+    --expect): evaluate the JSON check suite on ``df``, write the report
+    table, and return {check_name: {passed, n_rows, n_violations}}.
+    With ``fail_hard`` a failing check raises SystemExit(3) — the
+    orchestrator contract — after printing the report JSON."""
+    import json
+
+    from ..sources.io import write_table
+
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    report = expect(df, checks_from_spec(spec))
+    write_table(report, report_path)
+    results = {
+        r["check_name"]: {
+            "passed": bool(r["passed"]),
+            "n_rows": int(r["n_rows"]),
+            "n_violations": int(r["n_violations"]),
+        }
+        for r in spark.read.parquet(report_path).collect()
+    }
+    if fail_hard and not all(v["passed"] for v in results.values()):
+        print(json.dumps({
+            "aborted": "expectation_failure",
+            "expectations": results,
+        }))
+        raise SystemExit(3)
+    return results
+
+
 def expectations_oracle_sql(table: str, checks: Sequence[Check]) -> str:
     """DuckDB replay of ``expect`` GENERATED from the same Check specs
     (the fs_em COMPARISONS discipline: one source of truth, two

@@ -329,3 +329,54 @@ def test_link_job_cannot_links(spark, tmp_path):
     for rec, c in base.items():
         if c != biggest:
             assert got[rec] == base[rec]
+
+
+def test_link_job_expectation_gate(spark, tmp_path):
+    """--expect on the linkage job: the report rides the summary, and
+    --expect-fail-hard aborts with exit 3 BEFORE any linkage stage runs
+    (no cluster output is written)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import link
+
+    inp = str(tmp_path / "transcripts_ex")
+    synth_transcripts_spark(
+        spark, seed=7, n_convs=20, n_entities=10
+    ).write.parquet(inp)
+
+    spec_ok = [
+        {"name": "conv_set", "column": "conv_id", "kind": "not_null"},
+        {"name": "role_domain", "column": "role", "kind": "in_set",
+         "values": ["user", "assistant", "system", "tool"]},
+    ]
+    ok_path = str(tmp_path / "ok.json")
+    with open(ok_path, "w") as fh:
+        _json.dump(spec_ok, fh)
+    out = str(tmp_path / "clusters_ex")
+    summary = link.main(
+        ["--input", inp, "--output", out, "--expect", ok_path], spark=spark
+    )
+    assert all(v["passed"] for v in summary["expectations"].values())
+    assert os.path.isdir(f"{out}_expectations")
+
+    # an impossible check + fail-hard: abort before any linkage output
+    spec_bad = [{"name": "conv_unique", "column": "conv_id",
+                 "kind": "unique"}]
+    bad_path = str(tmp_path / "bad.json")
+    with open(bad_path, "w") as fh:
+        _json.dump(spec_bad, fh)
+    out2 = str(tmp_path / "clusters_ex2")
+    with _pytest.raises(SystemExit) as ei:
+        link.main(
+            ["--input", inp, "--output", out2, "--expect", bad_path,
+             "--expect-fail-hard"],
+            spark=spark,
+        )
+    assert ei.value.code == 3
+    assert not os.path.exists(out2)
