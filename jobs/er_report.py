@@ -190,6 +190,14 @@ def build_parser() -> argparse.ArgumentParser:
         "closure and writes review_impact/ (the records whose cluster "
         "label changes) with before/after cluster counts in the summary",
     )
+    p.add_argument(
+        "--model-json",
+        help="also export the fitted Fellegi-Sunter model to this "
+        "driver-local JSON path (fs_em.save_params — bit-exact m/u/"
+        "lambda round trip, the Splink save_model_to_json shape); a "
+        "later run or scorer reloads it with fs_em.load_params and "
+        "scores identically without re-fitting",
+    )
     return p
 
 
@@ -385,6 +393,10 @@ def main(argv=None, spark=None) -> dict:
     if written_patterns.limit(1).count() > 0:
         params = em_fit_df(written_patterns)
         write_table(params_df(spark, params), f"{root}/fs_params")
+        if args.model_json:
+            from postal_address_spark.operators.fs_em import save_params
+
+            save_params(params, args.model_json)
     else:
         write_table(
             spark.createDataFrame(
@@ -731,6 +743,7 @@ def main(argv=None, spark=None) -> dict:
         "n_unblocked": int(spark.read.parquet(f"{root}/unblocked").count()),
         "fs_lambda": params.lam if params else None,
         "fs_prior_log2_odds": params.prior_log2_odds if params else None,
+        "model_json": args.model_json if params and args.model_json else None,
         "city_tf": {
             "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),
             "n_total": n_total,

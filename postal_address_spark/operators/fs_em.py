@@ -585,6 +585,56 @@ def params_df(spark, params: FSParams) -> DataFrame:
     )
 
 
+def params_to_json(params: FSParams) -> str:
+    """Serialize learned parameters to JSON (Splink's
+    save_model_to_json shape): deterministic key order, doubles via
+    Python's repr-exact float serialization, so
+    ``params_from_json(params_to_json(p))`` reproduces every m/u/lambda
+    BIT-FOR-BIT and a model fitted once scores identically forever
+    (pytest-pinned in tests/test_fs_em.py)."""
+    import json
+
+    return json.dumps(
+        {
+            "model": "fellegi_sunter",
+            "comparisons": [name for name, _, _ in COMPARISONS],
+            "lam": params.lam,
+            "m": {c: list(map(float, v)) for c, v in sorted(params.m.items())},
+            "u": {c: list(map(float, v)) for c, v in sorted(params.u.items())},
+        },
+        sort_keys=True,
+        indent=2,
+    )
+
+
+def params_from_json(payload: str) -> FSParams:
+    """Inverse of ``params_to_json``; validates the comparison names
+    against this build's COMPARISONS spec so a model fitted on a
+    different comparison schema fails loudly instead of mis-scoring."""
+    import json
+
+    d = json.loads(payload)
+    expected = [name for name, _, _ in COMPARISONS]
+    if d.get("comparisons") != expected:
+        raise ValueError(
+            f"model comparisons {d.get('comparisons')} do not match this "
+            f"build's spec {expected}"
+        )
+    return FSParams(lam=float(d["lam"]), m=dict(d["m"]), u=dict(d["u"]))
+
+
+def save_params(params: FSParams, path: str) -> None:
+    """Write the JSON model to a driver-local path (deploys that need
+    shared storage write the string through their own filesystem layer)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(params_to_json(params))
+
+
+def load_params(path: str) -> FSParams:
+    with open(path, encoding="utf-8") as fh:
+        return params_from_json(fh.read())
+
+
 def match_weight_expr(params: FSParams) -> Column:
     """Learned log2 match weight as a literal ``when``-chain over the
     gamma columns — broadcast model state, zero joins, pure codegen."""

@@ -19,7 +19,11 @@ def test_er_report_job_end_to_end(spark, tmp_path):
     root = str(tmp_path / "report")
     synth_transcripts_spark(spark, seed=11, n_convs=80, n_entities=30).write.parquet(inp)
 
-    summary = er_report.main(["--input", inp, "--output-root", root], spark=spark)
+    model_path = str(tmp_path / "model.json")
+    summary = er_report.main(
+        ["--input", inp, "--output-root", root, "--model-json", model_path],
+        spark=spark,
+    )
 
     assert summary["n_mentions"] > 0
     cov = summary["coverage"]
@@ -37,6 +41,17 @@ def test_er_report_job_end_to_end(spark, tmp_path):
     params = spark.read.parquet(f"{root}/fs_params").collect()
     assert len(params) == 8
     assert all(abs(r["log2_bf"]) < 60 for r in params)
+
+    # --model-json: the exported model reloads and agrees with both the
+    # summary prior and the written (round-6) params table
+    from postal_address_spark.operators import fs_em as _fs
+
+    assert summary["model_json"] == model_path
+    model = _fs.load_params(model_path)
+    assert model.lam == summary["fs_lambda"]
+    for r in params:
+        assert abs(model.m[r["comparison"]][r["gamma"]] - r["m"]) < 5e-7
+        assert abs(model.u[r["comparison"]][r["gamma"]] - r["u"]) < 5e-7
 
     # TF profile consistency: totals re-derivable from the written table
     tf = spark.read.parquet(f"{root}/city_tf").collect()

@@ -625,3 +625,54 @@ def test_select_threshold_edge_cases():
     assert all(c["recall"] == 0.0 for c in threshold_curve(rows, _toy_params()))
     with _pytest.raises(ValueError):
         select_threshold([], _toy_params())
+
+
+def test_params_json_round_trip_bit_exact(tmp_path):
+    """save_params/load_params (the Splink save_model_to_json shape):
+    every m/u/lambda survives the JSON round trip BIT-FOR-BIT (repr-exact
+    float serialization), so a model fitted once scores identically
+    forever; a model with a different comparison schema fails loudly."""
+    pats, cnts = _planted_counts()
+    params = fs_em.em_fit(pats, cnts)
+    path = str(tmp_path / "model.json")
+    fs_em.save_params(params, path)
+    loaded = fs_em.load_params(path)
+    assert loaded == params  # dataclass equality: bit-identical floats
+
+    # serialization is deterministic (stable key order, stable text)
+    assert fs_em.params_to_json(loaded) == fs_em.params_to_json(params)
+
+    # schema validation: a foreign comparison list is rejected
+    import json as _json
+
+    d = _json.loads(fs_em.params_to_json(params))
+    d["comparisons"] = ["something_else"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fs_em.params_from_json(_json.dumps(d))
+
+
+def test_loaded_params_score_identically(spark):
+    """match_weight_expr over reloaded params must emit the identical
+    literal when-chain result for every gamma pattern."""
+    import itertools as _it
+
+    pats = [
+        list(g)
+        for g in _it.product(
+            *[range(len(t) + 1) for _, _, t in fs_em.COMPARISONS]
+        )
+    ]
+    params = fs_em.em_fit(*_planted_counts())
+    loaded = fs_em.params_from_json(fs_em.params_to_json(params))
+    names = [n_ for n_, _, _ in fs_em.COMPARISONS]
+    df = spark.createDataFrame(
+        [tuple(g) for g in pats],
+        ", ".join(f"gamma_{n} int" for n in names),
+    )
+    a = [r[0] for r in df.select(
+        fs_em.match_weight_expr(params)).collect()]
+    b = [r[0] for r in df.select(
+        fs_em.match_weight_expr(loaded)).collect()]
+    assert a == b
