@@ -165,6 +165,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-shards", type=int, default=256,
                    help="parallel packing shards (bins never span shards)")
     p.add_argument("--split-salt", type=int, default=2024)
+    p.add_argument("--expect", default=None,
+                   help="JSON expectation specs (operators/expectations.py "
+                   "Check kwargs) evaluated on the raw TURN table before "
+                   "any stage; report written to <output-root>/expectations")
+    p.add_argument("--expect-fail-hard", action="store_true",
+                   help="exit 3 when any expectation fails")
     return p
 
 
@@ -196,6 +202,20 @@ def main(argv=None, spark=None) -> dict:
 
     conv, act = args.conv_col, args.action_col
     turns_raw = read_table(spark, args.input)
+
+    # 0. declarative input expectations (shared gate with curate.py /
+    # link.py): refuse a degraded turn feed before any curation compute.
+    expect_results = None
+    if args.expect:
+        from postal_address_spark.operators.expectations import (
+            run_expectation_gate,
+        )
+
+        expect_results = run_expectation_gate(
+            spark, turns_raw, args.expect,
+            f"{args.output_root.rstrip('/')}/expectations",
+            fail_hard=args.expect_fail_hard,
+        )
     # NULL conversation ids can neither be gated, deduped, nor split
     # (every join/groupBy key misses them) — count and exclude them
     # explicitly rather than letting them double-count or vanish.
@@ -619,6 +639,8 @@ def main(argv=None, spark=None) -> dict:
         summary["sft"] = sft_counts
     if pack_counts is not None:
         summary["packing"] = pack_counts
+    if expect_results is not None:
+        summary["expectations"] = expect_results
     print(json.dumps(summary))
     return summary
 

@@ -504,3 +504,52 @@ def test_curate_transcripts_tfidf_dedup_stage(spark, tmp_path):
     kept2 = spark.read.parquet(summary2["turns"])
     ids2 = {r["conv_id"] for r in kept2.select("conv_id").collect()}
     assert ids2 == set(range(1, 15))
+
+
+def test_curate_transcripts_expectation_gate(spark, tmp_path):
+    """--expect on the transcript curation job: report in summary +
+    written table; --expect-fail-hard aborts with exit 3."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import curate_transcripts as ct
+
+    rows = [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "hi"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "user", None),
+    ]
+    inp = str(tmp_path / "turns_ex")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+    spec = [
+        {"name": "conv_set", "column": "conv_id", "kind": "not_null"},
+        {"name": "text_set", "column": "text", "kind": "not_null"},
+    ]
+    spec_path = str(tmp_path / "checks.json")
+    with open(spec_path, "w") as fh:
+        _json.dump(spec, fh)
+
+    out_root = str(tmp_path / "cur_ex")
+    summary = ct.main(
+        ["--input", inp, "--output-root", out_root,
+         "--min-turns", "1", "--min-distinct", "1",
+         "--expect", spec_path],
+        spark=spark,
+    )
+    assert summary["expectations"]["conv_set"]["passed"] is True
+    assert summary["expectations"]["text_set"] == {
+        "passed": False, "n_rows": 4, "n_violations": 1
+    }
+    assert os.path.isdir(os.path.join(out_root, "expectations"))
+
+    with _pytest.raises(SystemExit) as ei:
+        ct.main(
+            ["--input", inp, "--output-root", str(tmp_path / "cur_ex2"),
+             "--expect", spec_path, "--expect-fail-hard"],
+            spark=spark,
+        )
+    assert ei.value.code == 3
