@@ -1064,6 +1064,20 @@ def _q_vocab_topk(spark, sf_dir):
     return vocab_topk(docs, k=50)
 
 
+def _q_doc_rarity(spark, sf_dir):
+    """Unigram-rarity curation stats (operators/rarity.py — the
+    distributable proxy for a perplexity filter): per doc the integer
+    sufficient statistics (n_tokens, sum_df, min_df, n_hapax) over the
+    corpus document-frequency table.  Engine tokens ride as xxhash64
+    ONLY (rule 4/7); the oracle is deliberately keyed on the token
+    STRINGS (sft_pairs pattern), so a hash collision merging two tokens'
+    df counts would fail the gate."""
+    from postal_address_spark.operators.rarity import doc_rarity_stats
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_rarity_stats(docs).orderBy("doc_id")
+
+
 def _q_length_dispersion(spark, sf_dir):
     """Grouped-aggregate (UDAF) surface: per-language robust length profile
     — count / exact median / median absolute deviation, all three as
@@ -3535,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "sequence_packing": _q_sequence_packing,
         "vocab_topk": _q_vocab_topk,
+        "doc_rarity": _q_doc_rarity,
         "length_dispersion": _q_length_dispersion,
         # --- generic relational / streaming (graded green rounds 1-3) ---
         "q1_pricing_summary": _q_q1_pricing,
@@ -4811,6 +4826,36 @@ def oracle_sql() -> dict[str, str]:
            n_tokens, n_tokens > 64 AS oversize
     FROM pack
     ORDER BY shard, bin_in_shard, pos_in_bin
+    """
+
+    # -- doc_rarity: the DuckDB replay joins document frequency on the
+    # token STRING (the engine joins on xxhash64 — a collision merging
+    # two tokens would change sum_df/min_df/n_hapax and fail the hash).
+    sql["doc_rarity"] = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, t AS tok
+      FROM (SELECT doc_id, unnest({ctoks}) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(df) AS sum_df,
+             MIN(df) AS min_df,
+             SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_hapax
+      FROM (SELECT t.doc_id, f.df FROM toks t JOIN dfreq f USING (tok))
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(s.sum_df AS BIGINT) AS sum_df,
+           CAST(s.min_df AS BIGINT) AS min_df,
+           CAST(s.n_hapax AS BIGINT) AS n_hapax
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    ORDER BY doc_id
     """
 
     sql["vocab_topk"] = f"""

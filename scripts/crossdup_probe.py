@@ -8,9 +8,13 @@ failure mode that claim could hide is a band-bucket collision storm
 making the verify join quadratic in disguise.  This probe measures:
 
 * **input-size linearity**: 4x documents (both sides) -> ~4x wall;
-* **detection sanity at scale**: every planted edited copy (reference
-  doc + 3 appended words, Jaccard ~0.85 at 30-word docs) must be
-  flagged at every size — counts are deterministic and reported.
+* **detection at scale**: planted edited copies (reference doc + 3
+  appended words -> word-trigram Jaccard 28/31 ~ 0.90) are found at
+  the 8x4-banding theoretical recall — per-pair miss probability
+  (1 - 0.903^4)^8 ~ 1.6e-4, so the probe asserts recall >= 0.999 and
+  REPORTS the exact found/planted counts (deterministic at the fixed
+  seed; the driver gate's exact-equality grade lives at fixture scale
+  where planted Jaccard is ~0.96 and the miss mass is ~1e-7/pair).
 
 Synthetic input: 30 deterministic hash-derived words per doc over a
 5000-word vocabulary — word-trigram shingles are then effectively
@@ -143,9 +147,12 @@ def main() -> None:
             "planted_found": n_found,
             "wall_sec": round(best, 3),
             "docs_per_sec": round(n_rows / best),
+            "recall_permille": round(1000 * n_found / planted, 2),
             "loadavg": loads,
         }
-        assert n_found >= planted, (n_found, planted)
+        # banding is probabilistic: assert the theoretical floor (miss
+        # ~1.6e-4/pair at J~0.903 under 8x4 banding), not perfection
+        assert n_found * 1000 >= planted * 999, (n_found, planted)
     lin = results[4 * N_BASE]["wall_sec"] / max(
         results[N_BASE]["wall_sec"], 1e-9
     )
@@ -160,7 +167,8 @@ def main() -> None:
             "planted in the crawl; best-of-2, loadavg-gated per "
             "CLAUDE.md).\n\n"
             "| docs/side | doc rows | pairs found | planted found / "
-            "planted | wall sec | docs/sec |\n|---|---|---|---|---|---|\n"
+            "planted | recall | wall sec | docs/sec |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for n in (N_BASE, 4 * N_BASE):
             r = results[n]
@@ -168,13 +176,15 @@ def main() -> None:
                 f"| {r['docs_per_side']} | {r['total_doc_rows']} "
                 f"| {r['pairs_found']} "
                 f"| {r['planted_found']} / {r['planted']} "
+                f"| {r['recall_permille'] / 10:.2f}% "
                 f"| {r['wall_sec']} | {r['docs_per_sec']} |\n"
             )
         fh.write(
             f"\n**4x input -> {lin:.2f}x wall** (linear-regime claim: the "
             "banded A x B join's candidate volume tracks genuine "
-            "near-dups, never all-pairs; every planted edited copy found "
-            "at both sizes, pair counts identical across trials).\n\n"
+            "near-dups, never all-pairs; planted recall at the 8x4 "
+            "banding theory line — miss ~1.6e-4/pair at J~0.903 — and "
+            "pair counts identical across trials).\n\n"
             "Per-trial 1-min loadavg at trial start: "
             f"{results[N_BASE]['loadavg']} / "
             f"{results[4 * N_BASE]['loadavg']}.\n"
