@@ -67,6 +67,36 @@ def _loadavg_1m() -> float:
         return -1.0
 
 
+def _cpu_jiffies() -> tuple:
+    """(steal, total) jiffies from /proc/stat — co-tenant CPU steal does
+    NOT appear in loadavg (loadavg counts OUR runnable tasks), so a trial
+    can read quiet while the hypervisor gives the VM a fraction of its
+    cores; the per-trial steal share makes that poisoning diagnosable in
+    the emitted JSON.  (-1, -1) when unreadable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return -1, -1
+
+
+class _StealMeter:
+    """Steal share of total cpu time between start() and stop(), in %."""
+
+    def start(self):
+        self._s0, self._t0 = _cpu_jiffies()
+        return self
+
+    def stop(self) -> float:
+        s1, t1 = _cpu_jiffies()
+        if self._t0 < 0 or t1 <= self._t0:
+            return -1.0
+        return round(100.0 * (s1 - self._s0) / (t1 - self._t0), 2)
+
+
 def _wait_for_quiet() -> float:
     """Blocks until the 1-min loadavg is below MAX_START_LOAD or the
     deadline passes; returns the loadavg the caller proceeds under."""
@@ -169,27 +199,32 @@ def main() -> None:
     # tail) and carries most of the headline weight, and measured idle-VM
     # spread (8.8-11.7 s at sf0.1) is wide enough that best-of-3 can still
     # land ~30% above the engine's actual cost.
-    er_trials, er_loads = [], []
+    er_trials, er_loads, er_steal = [], [], []
     for _ in range(reps + 1):
         er_loads.append(_loadavg_1m())
+        meter = _StealMeter().start()
         er_trials.append(run_er_pipeline(spark, n_convs))
+        er_steal.append(meter.stop())
     er_sec, n_turns, n_mentions, n_clusters = min(er_trials)
     queries["er_pipeline"] = round(er_sec, 3)
     extras["er_pipeline_trials"] = [round(t[0], 3) for t in er_trials]
     extras["er_pipeline_loadavg"] = [round(x, 2) for x in er_loads]
+    extras["er_pipeline_steal_pct"] = er_steal
     extras["er_turns"] = n_turns
     extras["er_mentions"] = n_mentions
     extras["er_clusters"] = n_clusters
     extras["er_turns_per_sec"] = round(n_turns / er_sec, 1)
 
     def timed(name: str, fn, n_reps: int = reps):
-        trials, loads, n = [], [], None
+        trials, loads, steals, n = [], [], [], None
         for _ in range(n_reps):
             loads.append(_loadavg_1m())
+            meter = _StealMeter().start()
             started = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
             trials.append(time.time() - started)
+            steals.append(meter.stop())
             # CacheManager matches by canonicalized plan: without this a
             # repeat trial of a query that persists anything internally
             # reads the previous trial's cache and measures nothing.
@@ -197,6 +232,7 @@ def main() -> None:
         queries[name] = round(min(trials), 3)
         extras[f"{name}_trials"] = [round(t, 3) for t in trials]
         extras[f"{name}_loadavg"] = [round(x, 2) for x in loads]
+        extras[f"{name}_steal_pct"] = steals
         extras[f"{name}_rows"] = n
 
     qmap = entrymod.queries()
