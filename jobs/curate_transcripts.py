@@ -155,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "split-partitioned, with pair-level gate + dedup flags")
     p.add_argument("--sft-role", default="assistant",
                    help="role whose turns become responses")
+    p.add_argument("--sft-chat-output", default=None,
+                   help="also write the KEPT SFT pairs as chat-format "
+                   "JSONL (one object per line: conv_id, position, split, "
+                   "messages=[{role, content}...] ending in the assistant "
+                   "response) — the structured form training loaders "
+                   "ingest directly; requires --sft-output")
     p.add_argument("--sft-max-context", type=int, default=8)
     p.add_argument("--sft-min-response-chars", type=int, default=1)
     p.add_argument("--pack-budget", type=int, default=0,
@@ -504,6 +510,7 @@ def main(argv=None, spark=None) -> dict:
             assistant_role=args.sft_role,
             max_context_turns=args.sft_max_context,
             min_response_chars=args.sft_min_response_chars,
+            include_messages=bool(args.sft_chat_output),
         )
         pairs = with_conversation_split(pairs, "conv", salt=args.split_salt)
         n_pairs_total = pairs.count()
@@ -511,6 +518,21 @@ def main(argv=None, spark=None) -> dict:
         n_pairs_dup_dropped = (
             pairs.where(F.col("keep") & ~F.col("is_kept")).count()
         )
+        if args.sft_chat_output:
+            # chat-format JSONL of the kept pairs only — the loader-ready
+            # artifact; the parquet table below stays the audit surface
+            # (schema unchanged: messages is dropped from it)
+            (
+                pairs.where(F.col("is_kept"))
+                .select(
+                    F.col("conv").alias("conv_id"), "position", "split",
+                    "messages",
+                )
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .json(args.sft_chat_output)
+            )
+            pairs = pairs.drop("messages")
         write_table(pairs, args.sft_output, partition_by=["split"])
         sft_counts = {
             "n_pairs_total": int(n_pairs_total),
@@ -521,6 +543,8 @@ def main(argv=None, spark=None) -> dict:
             ),
             "path": args.sft_output,
         }
+        if args.sft_chat_output:
+            sft_counts["chat_path"] = args.sft_chat_output
 
     # 6. optional sequence packing: the kept conversations (token count =
     # whitespace tokens of the text identity, falling back to the action)

@@ -61,12 +61,20 @@ def sft_pairs(
     max_context_turns: Optional[int] = None,
     min_context_turns: int = 1,
     min_response_chars: int = 1,
+    include_messages: bool = False,
 ) -> DataFrame:
     """(conv, position, n_context_turns, context, response, reasons, keep,
     is_kept) — one row per assistant turn; see module docstring.
 
     ``position`` is the 1-based rank of the response turn within its
     conversation under ``order_cols`` order.
+
+    ``include_messages`` additionally emits a ``messages``
+    ``array<struct<role, content>>`` column — the context turns followed
+    by the response as a final ``assistant_role`` message: the structured
+    chat-template form training loaders ingest directly (the rendered
+    ``context`` string stays the dedup/gate identity either way, so the
+    flag changes the OUTPUT SHAPE only, never a decision).
     """
     if max_context_turns is not None and max_context_turns < 1:
         raise ValueError("max_context_turns must be >= 1 (or None)")
@@ -101,6 +109,24 @@ def sft_pairs(
         F.col("t")["text"].alias("response"),
         F.slice("kts", start, length).alias("_ctx"),
     )
+    message_cols = []
+    if include_messages:
+        message_cols.append(
+            F.concat(
+                F.transform(
+                    "_ctx",
+                    lambda s: F.struct(
+                        s["role"].alias("role"), s["text"].alias("content")
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(assistant_role).alias("role"),
+                        F.col("response").alias("content"),
+                    )
+                ),
+            ).alias("messages")
+        )
     rendered = sliced.select(
         "conv",
         "position",
@@ -116,6 +142,7 @@ def sft_pairs(
             ),
             "\n",
         ).alias("context"),
+        *message_cols,
     )
     flags = F.array(
         F.when(

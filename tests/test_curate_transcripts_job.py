@@ -123,10 +123,12 @@ def test_curate_transcripts_semantic_dedup_and_sft(spark, tmp_path):
     ).write.parquet(inp)
 
     sft_out = str(tmp_path / "sft_pairs")
+    chat_out = str(tmp_path / "sft_chat")
     summary = curate_transcripts.main(
         ["--input", inp, "--output-root", str(tmp_path / "out_sem"),
          "--no-near-dup", "--semantic-dedup",
          "--sft-output", sft_out, "--sft-max-context", "1",
+         "--sft-chat-output", chat_out,
          "--max-run", "6"],
         spark=spark,
     )
@@ -152,6 +154,17 @@ def test_curate_transcripts_semantic_dedup_and_sft(spark, tmp_path):
     assert sft["n_pairs_kept"] + sft["n_pairs_dup_dropped"] + sft[
         "n_pairs_gated"
     ] == sft["n_pairs_total"]
+
+    # --sft-chat-output: loader-ready JSONL of KEPT pairs only — one
+    # messages array per line ending in the assistant response; the
+    # parquet audit table's schema is unchanged (no messages column)
+    assert sft["chat_path"] == chat_out
+    chat = spark.read.json(chat_out)
+    assert chat.count() == sft["n_pairs_kept"]
+    row = chat.where("conv_id = 1 AND position = 2").collect()[0]
+    msgs = [(m["role"], m["content"]) for m in row["messages"]]
+    assert msgs[-1][0] == "assistant" and len(msgs) == 2
+    assert "messages" not in pairs.columns
 
 
 def test_curate_transcripts_text_identity_and_empty_output(spark, tmp_path):

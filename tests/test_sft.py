@@ -161,3 +161,32 @@ def test_max_context_turns_validation(spark):
 
     with pytest.raises(ValueError):
         sft_pairs(turns, max_context_turns=0)
+
+
+def test_include_messages_structured_form(spark):
+    """include_messages: the structured chat-template column — context
+    turns as (role, content) structs followed by the response as a final
+    assistant message — alongside the unchanged rendered columns."""
+    turns = spark.createDataFrame(
+        [
+            (1, 10, "user", "u1"),
+            (1, 20, "assistant", "a1"),
+            (1, 30, "user", "u2"),
+            (1, 40, "assistant", "a2"),
+        ],
+        SCHEMA,
+    )
+    got = _rows(sft_pairs(turns, min_response_chars=1, include_messages=True))
+    first = got[(1, 2)]
+    assert [(m["role"], m["content"]) for m in first["messages"]] == [
+        ("user", "u1"), ("assistant", "a1"),
+    ]
+    # rendered identity unchanged by the flag
+    assert first["context"] == "user: u1" and first["response"] == "a1"
+    second = got[(1, 4)]
+    assert [(m["role"], m["content"]) for m in second["messages"]] == [
+        ("user", "u1"), ("assistant", "a1"), ("user", "u2"),
+        ("assistant", "a2"),
+    ]
+    # default: no messages column
+    assert "messages" not in sft_pairs(turns).columns
