@@ -1188,6 +1188,15 @@ def _q_cross_corpus_dups(spark, sf_dir):
 
 
 def _q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup, oracle-verified end-to-end as of round 4: the
+    gate runs the full pipeline (fingerprints -> multi-index banding ->
+    bit_count verify) on the PORTABLE md5-composed token hash
+    (hash_mode="md5" — the dataset_split dual-path discipline; xxhash64
+    stays the production path, pinned equal-behavior by pytest), and the
+    DuckDB oracle independently recomputes every fingerprint (64-bit
+    majority votes over the same token hashes) and grades ALL-PAIRS
+    bit_count(xor) <= 6 — so a hash match proves the fingerprint math,
+    the pigeonhole banding recall AND the hamming verify at once."""
     from postal_address_spark.operators.dedup import simhash_dedup
 
     docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1197,9 +1206,9 @@ def _q_simhash_near_dups(spark, sf_dir):
     )
     # chunks=8 so recall at Hamming<=6 is exact by pigeonhole (chunks-1=7);
     # the old default chunks=4 silently lost Hamming 4-6 pairs.
-    return simhash_dedup(docs.union(planted), max_hamming=6, chunks=8).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_dedup(
+        docs.union(planted), max_hamming=6, chunks=8, hash_mode="md5"
+    ).orderBy("id_a", "id_b")
 
 
 def _q_lsh_ann(spark, sf_dir):
@@ -4992,6 +5001,68 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
     FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """
+
+    # -- simhash_near_dups: the oracle recomputes every 64-bit SimHash
+    # fingerprint from scratch (per-doc per-bit majority votes over the
+    # md5-composed portable token hashes — bit j of hi||lo read from the
+    # 32-bit halves, tie -> 0 exactly like the engine's 2*b > n rule,
+    # HUGEINT weight CASE generated below with the top bit mapped to the
+    # signed-long wraparound) and grades ALL-PAIRS bit_count(xor) <= 6.
+    # Equality proves fingerprint math + pigeonhole banding recall +
+    # verify in one grade; the engine side runs hash_mode="md5" (the
+    # dataset_split portable/production dual-path discipline).
+    _sh_weight_case = (
+        "CASE v.j "
+        + " ".join(
+            f"WHEN {j} THEN {1 << j}::HUGEINT" for j in range(64)
+        )
+        + " END"
+    )
+    sql["simhash_near_dups"] = f"""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id < 20
+    ),
+    th AS MATERIALIZED (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM doubled
+      )
+    ),
+    ntok AS (SELECT doc_id, COUNT(*) AS n FROM th GROUP BY doc_id),
+    votes AS (
+      SELECT t.doc_id, j.j,
+             SUM(CASE WHEN j.j < 32 THEN (t.lo >> j.j) & 1
+                      ELSE (t.hi >> (j.j - 32)) & 1 END) AS b
+      FROM th t
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+      GROUP BY t.doc_id, j.j
+    ),
+    fpu AS (
+      SELECT v.doc_id,
+             SUM(CASE WHEN 2 * v.b > nt.n THEN {_sh_weight_case}
+                      ELSE 0::HUGEINT END) AS u
+      FROM votes v JOIN ntok nt USING (doc_id)
+      GROUP BY v.doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - 18446744073709551616::HUGEINT
+                  ELSE u END AS BIGINT) AS simhash
+      FROM fpu
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ORDER BY id_a, id_b
     """
 
     def cos_sql(a: str, b: str) -> str:

@@ -406,8 +406,24 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return fingerprint
 
 
+def _portable_token_hash(tok: Column) -> Column:
+    """64-bit token hash replayable in any engine with md5: the first
+    16 hex chars as two 32-bit halves composed hi||lo (doc_fingerprints'
+    portable-hash discipline widened to 64 bits — ``conv`` on 8 hex
+    chars stays within signed-long range, and ``shiftleft`` wraps the
+    top bit without ANSI overflow).  GATE PATH ONLY: production hashing
+    stays xxhash64 (engine rule 4 — MessageDigest hashes serialize at
+    high thread counts)."""
+    hi = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(tok), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(id, simhash) via explode + 64 codegen'd bit-sum aggregates.
 
@@ -417,11 +433,24 @@ def simhash_fingerprints(
     ``zip_with`` lambdas are evaluated interpreted, row-at-a-time, and
     cost ~10x on this shape.  One shuffle (the groupBy), with map-side
     partial aggregation shrinking it to one row per (partition, doc).
+
+    ``hash_mode``: ``"xxhash"`` (production) or ``"md5"`` — the portable
+    token hash the `simhash_near_dups` oracle replays in DuckDB (the
+    dataset_split lcg/xxhash dual-path discipline; everything downstream
+    of the token hash is hash-agnostic).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    ).select(id_col, F.xxhash64("tok").alias("h"))
+    if hash_mode not in ("xxhash", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    hash_col = (
+        F.xxhash64("tok") if hash_mode == "xxhash"
+        else _portable_token_hash(F.col("tok"))
+    )
+    toks = df.select(F.col(id_col), tok).select(
+        id_col, hash_col.alias("h")
+    )
     aggs = [F.count(F.lit(1)).alias("n_tok")]
     for i in range(64):
         aggs.append(
@@ -519,6 +548,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """SimHash near-dup: band 64-bit fingerprints into ``chunks`` equal
     pieces, bucket-join, verify with bit_count(xor).
@@ -548,7 +578,7 @@ def simhash_dedup(
     if 64 % chunks != 0:
         raise ValueError("chunks must divide 64")
     index_order = 2 if max_hamming <= chunks - 2 else 1
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, hash_mode)
     cands = simhash_candidates(fp, id_col, chunks, index_order)
     return (
         cands.select(

@@ -424,3 +424,66 @@ def test_dedup_against_drops_matches_only(spark, documents):
         corpus, reference, threshold=0.5
     ).collect()}
     assert kept == {r["doc_id"] for r in clean.collect()}
+
+
+def test_simhash_portable_hash_matches_python_reference(spark):
+    """The md5 hash_mode (the simhash_near_dups oracle's portable path):
+    engine fingerprints must equal a from-scratch python SimHash over
+    int(md5[:8],16)<<32 | int(md5[8:16],16) token hashes, and the
+    md5-mode pipeline must find exactly the pairs xxhash mode finds on a
+    planted fixture (everything downstream of the token hash is
+    hash-agnostic)."""
+    import hashlib
+
+    from postal_address_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_fingerprints,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zz"),
+        (3, "totally different words here now"),
+        (4, "Alpha  BETA gamma   delta epsilon"),  # case/space folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_fp(text):
+        toks = text.strip().lower().split()
+        hs = []
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            hs.append((int(h[:8], 16) << 32) | int(h[8:16], 16))
+        fp = 0
+        for j in range(64):
+            votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if votes > 0:
+                fp |= 1 << j
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, hash_mode="md5").collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == py_fp(text), doc_id
+    # folding: doc 4 tokenizes identically to doc 1
+    assert got[4] == got[1]
+
+    # same pair decisions under either hash on a planted fixture
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup(df, max_hamming=6, chunks=8).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dedup(
+            df, max_hamming=6, chunks=8, hash_mode="md5"
+        ).collect()
+    }
+    assert (1, 4) in a and (1, 4) in b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_fingerprints(df, hash_mode="nope")
