@@ -498,6 +498,16 @@ def main() -> None:
             em.queries()["cross_corpus_dups"](spark, SF),
         ),
         (
+            "doc_rarity — id-hash token stream, Expand-free df",
+            "Look for: the (doc, token-hash) stream carrying 8-byte "
+            "hashes (never token strings) into both aggregations; "
+            "document frequency via the (hash, doc) collapse + "
+            "vocabulary roll-up (no Expand node — the countDistinct "
+            "trap); the df table joining back on the hash; partial "
+            "aggregation before every Exchange.",
+            em.queries()["doc_rarity"](spark, SF),
+        ),
+        (
             "link_mutual_best — two window-free argmaxes",
             "Look for: both direction argmaxes as min(struct(-score, id)) "
             "HashAggregates with partial_min map-side combine (never a "
