@@ -37,7 +37,7 @@ at any corpus size.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame

@@ -65,6 +65,10 @@ EXPECTED_QUERIES = {
     "hll_distinct_sketch", "hll_group_sketch", "kmv_vocab_overlap",
     "drift_report", "cms_heavy_hitters", "len_quantile_sketch",
     "tfidf_cosine_pairs", "streaming_hll_sketch",
+    # round-4 session additions: assignment linkage, data-quality suite,
+    # cross-corpus dedup, rarity curation stats
+    "link_mutual_best", "data_expectations", "cross_corpus_dups",
+    "doc_rarity",
 }
 
 
