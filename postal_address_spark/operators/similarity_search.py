@@ -226,6 +226,46 @@ def _train_ivf_centroids(
     return centroids
 
 
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Optional[np.ndarray]:
+    """Public quantizer-training step (the 'build the index once' half of
+    the production train-once/probe-many split; see
+    :func:`ivf_centroids_df` for the persistable form)."""
+    return _train_ivf_centroids(
+        corpus, n_centroids, seed, sample, iters, id_col, vec_col
+    )
+
+
+def ivf_centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    """Trained quantizer as a tiny (cell, centroid) table — write it with
+    sources.io.write_table and every later probe job reloads it instead
+    of re-sampling/re-fitting (an index rebuild would silently reassign
+    cells, making incremental probes incomparable across runs)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell long, centroid array<double>",
+    )
+
+
+def ivf_centroids_from_df(df: DataFrame) -> Optional[np.ndarray]:
+    """Inverse of :func:`ivf_centroids_df` (row order restored from the
+    cell ids — parquet read order is not meaningful)."""
+    rows = df.select("cell", "centroid").collect()
+    if not rows:
+        return None
+    out = np.zeros((len(rows), len(rows[0]["centroid"])), dtype=np.float64)
+    for r in rows:
+        out[int(r["cell"])] = np.asarray(r["centroid"], dtype=np.float64)
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -238,6 +278,7 @@ def ivf_topk(
     iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus rows land in their nearest-centroid
     cell (one numpy matmul per Arrow batch); each query probes its
@@ -252,10 +293,16 @@ def ivf_topk(
     tests/test_dataops.py::test_ivf_recall_vs_nprobe_curve):
     n_probe 1 -> 0.300, 2 -> 0.425, 4 -> 0.675, 8 -> 0.825,
     16 (=n_centroids, i.e. exhaustive) -> 1.000.
+
+    Pass ``centroids`` (from :func:`ivf_train` /
+    :func:`ivf_centroids_from_df`) to probe against a PERSISTED
+    quantizer instead of re-training — results are identical to training
+    in-line with the same parameters (pytest-pinned).
     """
-    centroids = _train_ivf_centroids(
-        corpus, n_centroids, seed, sample, iters, id_col, vec_col
-    )
+    if centroids is None:
+        centroids = _train_ivf_centroids(
+            corpus, n_centroids, seed, sample, iters, id_col, vec_col
+        )
     if centroids is None:
         from pyspark.sql.types import (
             DoubleType,

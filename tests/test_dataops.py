@@ -487,3 +487,40 @@ def test_simhash_portable_hash_matches_python_reference(spark):
 
     with _pytest.raises(ValueError):
         simhash_fingerprints(df, hash_mode="nope")
+
+
+def test_ivf_persisted_quantizer_probe_equals_inline(spark, embeddings, tmp_path):
+    """Train-once/probe-many (similarity_search.ivf_train /
+    ivf_centroids_df round trip through parquet): probing against the
+    RELOADED quantizer must return exactly the one-shot ivf_topk result
+    — an index rebuild between runs would silently reassign cells."""
+    from postal_address_spark.operators.similarity_search import (
+        ivf_centroids_df,
+        ivf_centroids_from_df,
+        ivf_topk,
+        ivf_train,
+    )
+
+    corpus = embeddings.limit(120)
+    queries = embeddings.limit(8)
+    dim = len(corpus.first()["embedding"])
+
+    cent = ivf_train(corpus, n_centroids=8, seed=7)
+    path = str(tmp_path / "ivf_index")
+    ivf_centroids_df(spark, cent).write.parquet(path)
+    reloaded = ivf_centroids_from_df(spark.read.parquet(path))
+    assert (reloaded == cent).all()
+
+    one_shot = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_topk(
+            corpus, queries, dim, k=3, n_centroids=8, seed=7
+        ).collect()
+    }
+    probed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_topk(
+            corpus, queries, dim, k=3, centroids=reloaded
+        ).collect()
+    }
+    assert probed == one_shot and probed
