@@ -191,6 +191,16 @@ def build_parser() -> argparse.ArgumentParser:
         "label changes) with before/after cluster counts in the summary",
     )
     p.add_argument(
+        "--expect",
+        help="JSON expectation specs (operators/expectations.py Check "
+        "kwargs) evaluated on the INPUT transcript table before any "
+        "report stage; report table written to <output-root>/expectations",
+    )
+    p.add_argument(
+        "--expect-fail-hard", action="store_true",
+        help="exit 3 when any expectation fails",
+    )
+    p.add_argument(
         "--model-json",
         help="also export the fitted Fellegi-Sunter model to this "
         "driver-local JSON path (fs_em.save_params — bit-exact m/u/"
@@ -246,6 +256,21 @@ def main(argv=None, spark=None) -> dict:
     from postal_address_spark.sources.io import read_table, write_table
 
     transcripts = read_table(spark, args.input)
+
+    # 0. declarative input expectations (shared gate with the other
+    # jobs): refuse a degraded feed before the report spends compute.
+    expect_results = None
+    if args.expect:
+        from postal_address_spark.operators.expectations import (
+            run_expectation_gate,
+        )
+
+        expect_results = run_expectation_gate(
+            spark, transcripts, args.expect,
+            f"{args.output_root.rstrip('/')}/expectations",
+            fail_hard=args.expect_fail_hard,
+        )
+
     mentions = extract_mentions(transcripts)
     # one normalize pass feeds every report surface (pipeline.py:186)
     norm = with_phonetic_block_key(
@@ -744,6 +769,7 @@ def main(argv=None, spark=None) -> dict:
         "fs_lambda": params.lam if params else None,
         "fs_prior_log2_odds": params.prior_log2_odds if params else None,
         "model_json": args.model_json if params and args.model_json else None,
+        "expectations": expect_results,
         "city_tf": {
             "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),
             "n_total": n_total,

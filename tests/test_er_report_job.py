@@ -20,12 +20,24 @@ def test_er_report_job_end_to_end(spark, tmp_path):
     synth_transcripts_spark(spark, seed=11, n_convs=80, n_entities=30).write.parquet(inp)
 
     model_path = str(tmp_path / "model.json")
+    spec_path = str(tmp_path / "checks.json")
+    with open(spec_path, "w") as fh:
+        import json as _json
+
+        _json.dump(
+            [{"name": "conv_set", "column": "conv_id", "kind": "not_null"}],
+            fh,
+        )
     summary = er_report.main(
-        ["--input", inp, "--output-root", root, "--model-json", model_path],
+        ["--input", inp, "--output-root", root, "--model-json", model_path,
+         "--expect", spec_path],
         spark=spark,
     )
 
     assert summary["n_mentions"] > 0
+    # --expect: the shared input gate reports through the summary
+    assert summary["expectations"]["conv_set"]["passed"] is True
+    assert os.path.isdir(os.path.join(root, "expectations"))
     cov = summary["coverage"]
     assert set(cov) == {"exact_postal_hn", "phonetic_city", "snm_window4"}
     # first rule's new == its pair count; cumulative is monotone and ends
