@@ -74,6 +74,14 @@ class Check:
             raise ValueError(f"unknown check kind {self.kind!r}")
         if self.kind == "in_set" and not self.values:
             raise ValueError(f"{self.name}: in_set needs values")
+        if self.kind == "in_set" and not all(
+            isinstance(v, str) for v in self.values
+        ):
+            # fail loud: a numeric value set would ride as quoted strings
+            # in the generated oracle and lean on engine-specific
+            # coercion in Spark — compare numeric domains via `between`,
+            # or pass the values as strings against a string column
+            raise ValueError(f"{self.name}: in_set values must be strings")
         if self.kind == "matches" and not self.pattern:
             raise ValueError(f"{self.name}: matches needs a pattern")
         if self.kind in ("len_between", "between") and (

@@ -120,3 +120,10 @@ def test_oracle_dialect_equality(spark):
         for r in con.execute(expectations_oracle_sql("t", CHECKS)).fetchall()
     }
     assert got == want
+
+
+def test_in_set_requires_string_values():
+    # numeric sets would ride as quoted strings in the generated oracle
+    # and lean on engine-specific coercion Spark-side — rejected loudly
+    with pytest.raises(ValueError):
+        Check("x", "c", "in_set", values=(1, 2))
