@@ -201,6 +201,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 3 when any expectation fails",
     )
     p.add_argument(
+        "--model",
+        help="previously exported model JSON (fs_em.load_params): SKIP "
+        "the EM fit and run every downstream stage — threshold "
+        "recommendation, mu_audit, fs_params table — against this "
+        "FROZEN model (the fit-once/monitor-later workflow; the "
+        "comparison schema is validated on load)",
+    )
+    p.add_argument(
         "--model-json",
         help="also export the fitted Fellegi-Sunter model to this "
         "driver-local JSON path (fs_em.save_params — bit-exact m/u/"
@@ -415,7 +423,14 @@ def main(argv=None, spark=None) -> dict:
 
     params = None
     written_patterns = spark.read.parquet(f"{root}/fs_patterns")
-    if written_patterns.limit(1).count() > 0:
+    if args.model:
+        # frozen-model mode: every downstream stage audits THIS model
+        # against the fresh corpus instead of refitting
+        from postal_address_spark.operators.fs_em import load_params
+
+        params = load_params(args.model)
+        write_table(params_df(spark, params), f"{root}/fs_params")
+    elif written_patterns.limit(1).count() > 0:
         params = em_fit_df(written_patterns)
         write_table(params_df(spark, params), f"{root}/fs_params")
         if args.model_json:

@@ -631,3 +631,44 @@ def test_er_report_hot_keys_and_len_sketch(spark, tmp_path):
         est = lq[f"p{int(q * 100)}"]
         assert abs(est - exact) / max(exact, 1) <= 2 ** -6 + 1e-9, (q, est, exact)
     norm.unpersist()
+
+
+def test_er_report_frozen_model_mode(spark, tmp_path):
+    """--model: a previously exported model is reloaded (no EM refit)
+    and every downstream surface reports against it — the written
+    fs_params table must replay the frozen model's values exactly."""
+    from postal_address_spark.operators import fs_em as _fs
+    from postal_address_spark.synth import synth_transcripts_spark
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    import er_report
+
+    inp = str(tmp_path / "transcripts_fm")
+    synth_transcripts_spark(
+        spark, seed=13, n_convs=40, n_entities=16
+    ).write.parquet(inp)
+
+    # run 1: fit and export
+    root1 = str(tmp_path / "rep1")
+    model_path = str(tmp_path / "model.json")
+    s1 = er_report.main(
+        ["--input", inp, "--output-root", root1, "--model-json", model_path],
+        spark=spark,
+    )
+    # run 2: frozen-model mode on the same corpus
+    root2 = str(tmp_path / "rep2")
+    s2 = er_report.main(
+        ["--input", inp, "--output-root", root2, "--model", model_path],
+        spark=spark,
+    )
+    assert s2["fs_lambda"] == s1["fs_lambda"]
+    p1 = sorted(
+        (r["comparison"], r["gamma"], r["m"], r["u"], r["log2_bf"])
+        for r in spark.read.parquet(f"{root1}/fs_params").collect()
+    )
+    p2 = sorted(
+        (r["comparison"], r["gamma"], r["m"], r["u"], r["log2_bf"])
+        for r in spark.read.parquet(f"{root2}/fs_params").collect()
+    )
+    assert p1 == p2
