@@ -871,3 +871,21 @@ def test_mutual_best_argmaxes_without_window(spark):
     assert "Window" not in plan, plan[:3000]
     assert "partial_min" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_doc_rarity_no_expand_and_hash_only_shuffles(spark):
+    """doc_rarity_stats (operators/rarity.py): document frequency without
+    a countDistinct Expand (the (hash, doc) collapse + roll-up), token
+    STRINGS projected to 64-bit hashes before every exchange, pure
+    codegen (no Python)."""
+    from postal_address_spark.operators.rarity import doc_rarity_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = physical(doc_rarity_stats(docs))
+    assert "Expand" not in plan, plan[:3000]
+    assert "Python" not in plan and "Arrow" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "__tok" not in line and "text" not in line, line
