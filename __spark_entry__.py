@@ -2656,6 +2656,38 @@ def _q_er_explain_pairs(spark, sf_dir):
     ).orderBy("rec_id_a", "rec_id_b")
 
 
+def _q_er_monge_elkan(spark, sf_dir):
+    """Monge-Elkan hybrid similarity over the refined candidate pairs
+    (operators/scoring.py monge_elkan_pairs): per pair both directed
+    mean-best-token Jaro-Winkler scores and the symmetric max — the
+    classic comparator for token-count-mismatched fields, as an extra
+    review/comparison level beside the blended cascade.  The mirrored
+    DuckDB oracle recomputes the nested mean-of-max with its builtin
+    jaro_winkler_similarity over the SAME whitespace tokenization
+    (sequential sum order both sides); round-6 agreement is
+    margin-guarded in tests/test_similarity.py."""
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+    from postal_address_spark.operators.scoring import monge_elkan_pairs
+
+    m = _mentions_df(spark, sf_dir).select(
+        F.concat(
+            F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+        ).alias("rec_id"),
+        "line1", "line2", "postal_code", "city_name",
+        "country_code", "subdivision_code",
+    )
+    blocked = with_block_key(normalize_mentions(m))
+    me = monge_elkan_pairs(candidate_pairs(blocked))
+    return me.select(
+        "rec_id_a", "rec_id_b",
+        F.round("me_ab", 6).alias("me_ab"),
+        F.round("me_ba", 6).alias("me_ba"),
+        F.round("me_sym", 6).alias("me_sym"),
+    ).orderBy("rec_id_a", "rec_id_b")
+
+
 def _fs_explained(spark, sf_dir):
     """Shared prefix: mentions -> normalize -> block -> refined candidate
     pairs -> full comparison vector (same chain as er_explain_pairs)."""
@@ -3452,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_edge_provenance": _q_er_edge_provenance,
         "er_entity_split": _q_er_entity_split,
         "er_explain_pairs": _q_er_explain_pairs,
+        "er_monge_elkan": _q_er_monge_elkan,
         "er_eval_metrics": _q_er_eval_metrics,
         "er_bcubed_stats": _q_er_bcubed_stats,
         "er_merge_distance": _q_er_merge_distance,
@@ -5961,6 +5994,57 @@ def oracle_sql() -> dict[str, str]:
                  + 0.15 * {jw('xc', 'yc')}, 6) AS score
     FROM kern
     ORDER BY rec_id_a, rec_id_b
+    """
+
+    # -- er_monge_elkan: mean-best-token Jaro-Winkler, both directions.
+    # The oracle recomputes the nested mean-of-max with DuckDB's builtin
+    # JW over the identical whitespace tokenization (raw normalized
+    # line1 — token strings are far below the 64-codepoint kernel cap,
+    # asserted by the margin test); the outer mean sums sequentially in
+    # token order on both engines, so round-6 agreement reduces to the
+    # ~1-ulp JW compatibility + the boundary-margin guard
+    # (tests/test_similarity.py::test_monge_elkan_margins).  NULL line1
+    # on either side is NULL (errors are data); empty token lists follow
+    # the kernel's both-empty=1.0 / one-empty=0.0 rule.
+    def _me_sql(ta: str, tb: str, la: str, lb: str) -> str:
+        inner = (
+            f"list_avg([list_max([jaro_winkler_similarity(x_, y_) "
+            f"for y_ in {tb}]) for x_ in {ta}])"
+        )
+        return (
+            f"CASE WHEN {la} IS NULL OR {lb} IS NULL THEN NULL "
+            f"WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+            f"WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0 "
+            f"ELSE {inner} END"
+        )
+
+    sql["er_monge_elkan"] = f"""
+    WITH {er_kern_prefix},
+    p AS (
+      SELECT a.rec_id AS s, b.rec_id AS d, a.line1 AS la, b.line1 AS lb
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.hn = b.hn
+           AND a.rec_id < b.rec_id
+    ),
+    t AS (
+      SELECT s, d, la, lb,
+             list_filter(string_split_regex(coalesce(la, ''), '\\s+'),
+                         t_ -> t_ <> '') AS tka,
+             list_filter(string_split_regex(coalesce(lb, ''), '\\s+'),
+                         t_ -> t_ <> '') AS tkb
+      FROM p
+    ),
+    m AS (
+      SELECT s, d,
+             {_me_sql('tka', 'tkb', 'la', 'lb')} AS me_ab,
+             {_me_sql('tkb', 'tka', 'lb', 'la')} AS me_ba
+      FROM t
+    )
+    SELECT s AS rec_id_a, d AS rec_id_b,
+           round(me_ab, 6) AS me_ab,
+           round(me_ba, 6) AS me_ba,
+           round(greatest(me_ab, me_ba), 6) AS me_sym
+    FROM m ORDER BY rec_id_a, rec_id_b
     """
 
     # -- fs_pattern_counts: the Fellegi-Sunter sufficient statistics.

@@ -246,3 +246,70 @@ def jaro_winkler_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def levenshtein_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Cache-chunked Levenshtein distance (see _KERNEL_CHUNK)."""
     return _chunked(_levenshtein_batch_impl, a, b)
+
+
+def monge_elkan_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Directed Monge-Elkan hybrid similarity per pair:
+    mean over a's whitespace tokens of the best Jaro-Winkler match among
+    b's tokens (Monge & Elkan 1996 — the classic comparator for
+    multi-token fields where token order and count differ, e.g.
+    '12 MAIN ST APT 4' vs 'MAIN STREET 12').
+
+    Semantics (mirrors the scoring kernels' NULL discipline):
+
+    * either side None -> NaN (errors are data; callers map NaN -> NULL)
+    * both token lists empty -> 1.0; exactly one empty -> 0.0
+    * DIRECTED: mean is over ``a``'s tokens — callers wanting symmetry
+      take max(me(a,b), me(b,a)) (the common symmetric form)
+
+    Shape: token-pair JW is ONE vectorized kernel call over the
+    flattened cross-product axis (the python loop only builds index
+    offsets and takes tiny per-pair max/mean reductions — same division
+    of labor as token_set_levenshtein_batch's key building).  The mean
+    is computed SEQUENTIALLY over a's token order so the float sum
+    order is deterministic and engine-replayable.
+    """
+    n = len(a)
+    out = np.full(n, np.nan)
+    ta_lists, tb_lists = [], []
+    flat_a, flat_b = [], []
+    spans = []  # (start, len_ta, len_tb) into the flattened axis
+    pos = 0
+    for sa, sb in zip(a, b):
+        if sa is None or sb is None:
+            ta_lists.append(None)
+            tb_lists.append(None)
+            spans.append((pos, 0, 0))
+            continue
+        ta = [t for t in str(sa).split() if t]
+        tb = [t for t in str(sb).split() if t]
+        ta_lists.append(ta)
+        tb_lists.append(tb)
+        spans.append((pos, len(ta), len(tb)))
+        for x in ta:
+            for y in tb:
+                flat_a.append(x)
+                flat_b.append(y)
+        pos += len(ta) * len(tb)
+    sims = (
+        jaro_winkler_batch(
+            np.array(flat_a, dtype=object), np.array(flat_b, dtype=object)
+        )
+        if flat_a
+        else np.empty(0)
+    )
+    for i, (start, la, lb) in enumerate(spans):
+        if ta_lists[i] is None:
+            continue  # NULL side stays NaN
+        if la == 0 and lb == 0:
+            out[i] = 1.0
+        elif la == 0 or lb == 0:
+            out[i] = 0.0
+        else:
+            block = sims[start : start + la * lb].reshape(la, lb)
+            # sequential sum in token order: deterministic float order
+            acc = 0.0
+            for r in range(la):
+                acc += float(block[r].max())
+            out[i] = acc / la
+    return out

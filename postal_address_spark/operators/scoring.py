@@ -309,3 +309,59 @@ def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataF
     return scored.where(F.col("score") >= threshold).select(
         "rec_id_a", "rec_id_b", "block_key", "score"
     )
+
+
+def _monge_elkan_udf():
+    """Struct-returning Monge-Elkan pass: both directions in ONE Arrow
+    round trip (the _explain_udf single-boundary budget)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..core.similarity import monge_elkan_batch
+
+    @pandas_udf(
+        returnType=StructType(
+            [
+                StructField("me_ab", DoubleType()),
+                StructField("me_ba", DoubleType()),
+            ]
+        )
+    )
+    def me_kernels(l1a: pd.Series, l1b: pd.Series) -> pd.DataFrame:
+        a = l1a.to_numpy(dtype=object)
+        b = l1b.to_numpy(dtype=object)
+        # nullable Float64: the kernel's NaN (NULL input side) must reach
+        # Spark as NULL, not double-NaN (errors are data; the oracle's
+        # NULL semantics match)
+        return pd.DataFrame(
+            {
+                "me_ab": pd.array(monge_elkan_batch(a, b), dtype="Float64"),
+                "me_ba": pd.array(monge_elkan_batch(b, a), dtype="Float64"),
+            }
+        )
+
+    return me_kernels.asNondeterministic()
+
+
+def monge_elkan_pairs(pairs: DataFrame) -> DataFrame:
+    """Monge-Elkan hybrid similarity over candidate pairs — the classic
+    multi-token comparator (mean best-token Jaro-Winkler, Monge & Elkan
+    1996) the blended cascade does not include: robust where token COUNT
+    differs ('12 MAIN ST APT 4' vs 'MAIN STREET 12'), which token-set
+    Levenshtein penalizes and whole-string JW garbles.
+
+    Output per pair: the two directed means (``me_ab``: over a's tokens;
+    ``me_ba``: over b's) and the symmetric ``me_sym = max`` — a review
+    surface / extra comparison level, evaluated in ONE Arrow node (both
+    directions ride one struct column; rule-3 nondeterministic marker).
+    NULL line1 on either side yields NULL scores (errors are data).
+    """
+    me = F.col("_me")
+    return pairs.select(
+        "rec_id_a", "rec_id_b",
+        _monge_elkan_udf()(F.col("line1_a"), F.col("line1_b")).alias("_me"),
+    ).select(
+        "rec_id_a", "rec_id_b",
+        me["me_ab"].alias("me_ab"),
+        me["me_ba"].alias("me_ba"),
+        F.greatest(me["me_ab"], me["me_ba"]).alias("me_sym"),
+    )

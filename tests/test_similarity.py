@@ -255,3 +255,101 @@ def test_explain_features_match_duckdb(spark):
             )
             # and the raw disagreement really is at the ~1-ulp scale
             assert np.abs(g - w).max() < 1e-9, (sf, feat, np.abs(g - w).max())
+
+
+def test_monge_elkan_kernel_semantics():
+    """Hand-pinned Monge-Elkan (core/similarity.py monge_elkan_batch):
+    composition over the module's own JW kernel, direction asymmetry,
+    and the NULL/empty discipline."""
+    import numpy as np
+
+    from postal_address_spark.core.similarity import (
+        jaro_winkler_batch,
+        monge_elkan_batch,
+    )
+
+    def ref(sa, sb):
+        ta = [t for t in sa.split() if t]
+        tb = [t for t in sb.split() if t]
+        if not ta and not tb:
+            return 1.0
+        if not ta or not tb:
+            return 0.0
+        acc = 0.0
+        for x in ta:
+            sims = jaro_winkler_batch(
+                np.array([x] * len(tb), dtype=object),
+                np.array(tb, dtype=object),
+            )
+            acc += float(sims.max())
+        return acc / len(ta)
+
+    cases = [
+        ("12 MAIN ST", "MAIN STREET 12"),
+        ("12 MAIN ST APT 4", "MAIN STREET 12"),
+        ("PLATZ DER REPUBLIK 1", "1 PLATZ REPUBLIK"),
+        ("BP 438", "BP 438"),
+        ("A", "ZZZZZ"),
+    ]
+    a = np.array([c[0] for c in cases], dtype=object)
+    b = np.array([c[1] for c in cases], dtype=object)
+    got = monge_elkan_batch(a, b)
+    for i, (sa, sb) in enumerate(cases):
+        assert got[i] == ref(sa, sb), (sa, sb)
+    assert got[3] == 1.0
+    # directed: token-count mismatch makes the two directions differ
+    rev = monge_elkan_batch(b, a)
+    assert rev[1] != got[1]
+    # NULL/empty discipline
+    import math
+
+    edge = monge_elkan_batch(
+        np.array(["", "a b", None], dtype=object),
+        np.array(["", "", "x"], dtype=object),
+    )
+    assert edge[0] == 1.0 and edge[1] == 0.0 and math.isnan(edge[2])
+
+
+def test_monge_elkan_margins(spark):
+    """Guards the mirrored er_monge_elkan oracle at both gate scales:
+    (1) every raw directed mean sits far from a 0.5e-6 rounding boundary
+    (the explain-features pattern — cross-engine JW noise is ~1 ulp per
+    token, summed over <= ~8 tokens), and (2) no line1 approaches the
+    64-codepoint kernel cap (the oracle tokenizes the raw string; a
+    longer line1 would make trunc-vs-raw tokenization diverge)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.core.similarity import monge_elkan_batch
+    from postal_address_spark.operators.blocking import with_block_key
+    from postal_address_spark.operators.normalize_op import normalize_mentions
+    from postal_address_spark.operators.pairs import candidate_pairs
+
+    for sf in ("sf0.001", "sf0.01"):
+        m = em._mentions_df(spark, f"/root/testdata/{sf}").select(
+            F.concat(
+                F.lit("m"), F.lpad(F.col("mention_id").cast("string"), 8, "0")
+            ).alias("rec_id"),
+            "line1", "line2", "postal_code", "city_name",
+            "country_code", "subdivision_code",
+        )
+        pairs = candidate_pairs(
+            with_block_key(normalize_mentions(m))
+        ).select("line1_a", "line1_b").toPandas()
+        la = pairs["line1_a"].to_numpy(dtype=object)
+        lb = pairs["line1_b"].to_numpy(dtype=object)
+        # (2) far below the 64-codepoint kernel cap
+        max_len = max(
+            (len(s) for s in np.concatenate([la, lb]) if s is not None),
+            default=0,
+        )
+        assert max_len < 56, (sf, max_len)
+        for scores in (monge_elkan_batch(la, lb), monge_elkan_batch(lb, la)):
+            vals = scores[~np.isnan(scores)]
+            frac = np.abs((vals * 1e6) % 1.0 - 0.5)
+            assert frac.min() > 1e-3, (sf, frac.min())
