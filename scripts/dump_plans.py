@@ -508,6 +508,15 @@ def main() -> None:
             em.queries()["doc_rarity"](spark, SF),
         ),
         (
+            "er_monge_elkan — one Arrow node for both directions",
+            "Look for: exactly ONE ArrowEvalPython node (both directed "
+            "means ride one struct column; the rule-3 nondeterministic "
+            "marker stops projection rewrites from duplicating it), the "
+            "refined candidate equi-join with no Cartesian, and the "
+            "symmetric max as plain JVM greatest over the struct fields.",
+            em.queries()["er_monge_elkan"](spark, SF),
+        ),
+        (
             "link_mutual_best — two window-free argmaxes",
             "Look for: both direction argmaxes as min(struct(-score, id)) "
             "HashAggregates with partial_min map-side combine (never a "
