@@ -2678,7 +2678,10 @@ def _q_er_monge_elkan(spark, sf_dir):
         "line1", "line2", "postal_code", "city_name",
         "country_code", "subdivision_code",
     )
-    blocked = with_block_key(normalize_mentions(m))
+    # persist: candidate_pairs references blocked from the histogram and
+    # both join branches — unmaterialized, the normalize UDF re-runs per
+    # reference (the pipeline.py:186 discipline; 714d14c gate speedup)
+    blocked = with_block_key(normalize_mentions(m)).persist()
     me = monge_elkan_pairs(candidate_pairs(blocked))
     return me.select(
         "rec_id_a", "rec_id_b",

@@ -889,3 +889,20 @@ def test_doc_rarity_no_expand_and_hash_only_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "__tok" not in line and "text" not in line, line
+
+
+def test_monge_elkan_single_arrow_node(spark):
+    """monge_elkan_pairs evaluates both directed means in exactly ONE
+    me_kernels ArrowEvalPython node (struct column + rule-3
+    nondeterministic marker — without it the per-field projections
+    re-inline the UDF), and the gate query's persisted blocked frame
+    keeps the normalize UDF out of the pair-join branches (every
+    reference reads the cache)."""
+    import __spark_entry__ as em
+
+    plan = physical(em.queries()["er_monge_elkan"](spark, SF))
+    assert plan.count("me_kernels") == 1, plan[:3000]
+    # the cached blocked frame serves every pair-join reference (the
+    # InMemoryRelation's stored definition still PRINTS the norm_udf
+    # subtree, but execution reads the cache)
+    assert "InMemoryTableScan" in plan
