@@ -52,8 +52,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def list_file_bytes(spark, path: str):
-    """(n_files, total_bytes) from one driver-side recursive listing —
-    the same metadata Spark's scan planning reads, no data IO."""
+    """(n_files, total_bytes) from one driver-side metadata read — the
+    same statistics Spark's scan planning uses, no data IO.
+
+    Iceberg catalog refs read the table's own ``.files`` metadata table
+    (file count + file_size_in_bytes); parquet paths do a recursive
+    Hadoop filesystem listing."""
+    from postal_address_spark.sources.io import _iceberg_catalog
+
+    if _iceberg_catalog(spark, path):
+        row = spark.sql(
+            f"SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM(file_size_in_bytes), 0) AS total "
+            f"FROM {path}.files"
+        ).collect()[0]
+        return int(row["n"]), int(row["total"])
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)

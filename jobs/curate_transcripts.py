@@ -181,7 +181,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None, spark=None) -> dict:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.sft_chat_output and not args.sft_output:
+        # the chat JSONL is derived from the SFT pair table — without
+        # --sft-output it would be silently skipped; fail loud instead
+        parser.error("--sft-chat-output requires --sft-output")
     order_cols = tuple(c.strip() for c in args.order_cols.split(",") if c.strip())
 
     owns_session = spark is None

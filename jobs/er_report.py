@@ -422,6 +422,7 @@ def main(argv=None, spark=None) -> dict:
         )
 
     params = None
+    model_json_written = None
     written_patterns = spark.read.parquet(f"{root}/fs_patterns")
     if args.model:
         # frozen-model mode: every downstream stage audits THIS model
@@ -437,6 +438,7 @@ def main(argv=None, spark=None) -> dict:
             from postal_address_spark.operators.fs_em import save_params
 
             save_params(params, args.model_json)
+            model_json_written = args.model_json
     else:
         write_table(
             spark.createDataFrame(
@@ -783,7 +785,10 @@ def main(argv=None, spark=None) -> dict:
         "n_unblocked": int(spark.read.parquet(f"{root}/unblocked").count()),
         "fs_lambda": params.lam if params else None,
         "fs_prior_log2_odds": params.prior_log2_odds if params else None,
-        "model_json": args.model_json if params and args.model_json else None,
+        # only set when save_params actually ran this run (fresh-fit mode)
+        # — in --model mode the export is skipped, so the summary must not
+        # point an orchestrator at a stale/absent file
+        "model_json": model_json_written,
         "expectations": expect_results,
         "city_tf": {
             "n_values": int(spark.read.parquet(f"{root}/city_tf").count()),

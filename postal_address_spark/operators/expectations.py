@@ -68,10 +68,25 @@ class Check:
     min_pass_den: int = 1
 
     def __post_init__(self):
+        import re
+
         kinds = ("not_null", "in_set", "matches", "len_between", "between",
                  "unique")
         if self.kind not in kinds:
             raise ValueError(f"unknown check kind {self.kind!r}")
+        # name/column are interpolated into selectExpr(stack(...)) and the
+        # generated oracle SQL — reject anything that would need quoting
+        # AT CONSTRUCTION, not at run time deep inside a plan
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", self.column):
+            raise ValueError(
+                f"{self.name}: column {self.column!r} must be a plain "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*)"
+            )
+        if "'" in self.name or "\n" in self.name or "\r" in self.name:
+            raise ValueError(
+                f"check name {self.name!r} must not contain quotes or "
+                "newlines"
+            )
         if self.kind == "in_set" and not self.values:
             raise ValueError(f"{self.name}: in_set needs values")
         if self.kind == "in_set" and not all(
@@ -258,19 +273,22 @@ def run_expectation_gate(
     orchestrator contract — after printing the report JSON."""
     import json
 
-    from ..sources.io import write_table
+    from ..sources.io import read_table, write_table
 
     with open(spec_path) as fh:
         spec = json.load(fh)
     report = expect(df, checks_from_spec(spec))
     write_table(report, report_path)
+    # read back through the same ref-aware router as the write — a report
+    # ref that resolves to an iceberg catalog table would otherwise crash
+    # the gate on read-back instead of gating
     results = {
         r["check_name"]: {
             "passed": bool(r["passed"]),
             "n_rows": int(r["n_rows"]),
             "n_violations": int(r["n_violations"]),
         }
-        for r in spark.read.parquet(report_path).collect()
+        for r in read_table(spark, report_path).collect()
     }
     if fail_hard and not all(v["passed"] for v in results.values()):
         print(json.dumps({

@@ -100,6 +100,14 @@ def test_bad_specs_raise():
         Check("x", "c", "not_null", min_pass_num=2, min_pass_den=1)
     with pytest.raises(ValueError):
         expect(None, [])
+    # name/column feed selectExpr(stack(...)) + generated SQL unquoted:
+    # anything needing quoting is rejected at construction
+    with pytest.raises(ValueError):
+        Check("x", "my col", "not_null")
+    with pytest.raises(ValueError):
+        Check("x", "c; DROP TABLE t", "not_null")
+    with pytest.raises(ValueError):
+        Check("bad'name", "c", "not_null")
 
 
 def test_oracle_dialect_equality(spark):
