@@ -183,6 +183,31 @@ def lsh_topk(
     )
 
 
+def kmeans_unit_sphere(
+    mat: np.ndarray, n_centroids: int, seed: int, iters: int
+) -> np.ndarray:
+    """The deterministic spherical-k-means core shared by the Spark
+    training path and the oracle generator (__spark_entry__ renders the
+    result as SQL literals — one numpy routine, two consumers, so the
+    quantizer is bit-identical on both sides).  ``mat`` is the raw
+    (n, dim) sample in row order; normalization happens here."""
+    mat = mat.astype(np.float64, copy=True)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T  # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.sum(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
+        )
+    return centroids
+
+
 def _train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -210,20 +235,7 @@ def _train_ivf_centroids(
     if not rows:
         return None
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    rng = np.random.default_rng(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
-    for _ in range(iters):
-        sims = mat @ centroids.T  # cosine on unit vectors
-        assign = sims.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.sum(axis=0)
-        centroids /= np.maximum(
-            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30
-        )
-    return centroids
+    return kmeans_unit_sphere(mat, n_centroids, seed, iters)
 
 
 def ivf_train(

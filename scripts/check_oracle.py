@@ -14,6 +14,12 @@ sys.path.insert(0, "/root/repo")
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+# data-dependent mirrored oracles (ivf_ann_topk's trained quantizer)
+# derive their literals from the gate's sf dir
+import os  # noqa: E402
+
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

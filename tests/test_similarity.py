@@ -128,6 +128,54 @@ def test_lsh_fixture_dots_clear_of_zero(spark):
         assert np.abs(dots).min() > 1e-9, (sf, np.abs(dots).min())
 
 
+def test_ivf_fixture_margins_clear_of_rounding(spark):
+    """Guards the mirrored ivf_ann_topk oracle's rounding-boundary
+    assumptions (the LSH dots-clear-of-zero pattern): Spark's cell
+    assignment/probing comes from a numpy BLAS matmul, DuckDB's from a
+    sequential list_sum — any sim or cosine within accumulated rounding
+    error of an ordering boundary could argmax/rank differently on one
+    side only.  Assert, at both gate scales, that (a) every corpus
+    vector's top-1 vs top-2 cell-sim gap, (b) every query's probe
+    boundary (rank-4 vs rank-5 cell sim) gap, and (c) every query's
+    adjacent all-pairs-cosine gaps are all vastly above float64 rounding
+    at dim=64, so a future testdata regen can't silently introduce a
+    flaky oracle gate."""
+    import numpy as np
+
+    from postal_address_spark.operators.similarity_search import (
+        kmeans_unit_sphere,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        emb = (
+            spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+        )
+        cents = kmeans_unit_sphere(vecs[:4096], 16, seed=42, iters=8)
+        un = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30
+        )
+        sims = np.sort(un @ cents.T, axis=1)[:, ::-1]
+        # (a) cell-assignment margin, every corpus vector
+        assert (sims[:, 0] - sims[:, 1]).min() > 1e-9, sf
+        # (b) probe boundary margin (n_probe=4), query vectors only
+        qmask = emb["vec_id"].to_numpy() < 8
+        assert (sims[qmask, 3] - sims[qmask, 4]).min() > 1e-9, sf
+        # (c) re-rank ordering margins: per query, adjacent gaps of the
+        # full cosine column (any candidate subset's ordering gap is a
+        # sum of adjacent full-set gaps, so this bounds them all)
+        cos = (un[qmask] @ un.T)
+        for qi, qrow in zip(np.where(qmask)[0], cos):
+            others = np.sort(np.delete(qrow, qi))[::-1]
+            gaps = others[:-1] - others[1:]
+            assert gaps.min() > 1e-9, (sf, qi, gaps.min())
+
+
 def test_er_link_scores_clear_of_threshold(spark):
     """Guards the mirrored er_link_mentions oracle's rounding-boundary
     assumption: Spark scores come from the numpy JW/token-set-Levenshtein
