@@ -2319,13 +2319,15 @@ def _q_er_constrained_clusters(spark, sf_dir):
     constraints enforced on the OUTPUT — each violated component is
     repaired by deterministic greedy constrained union-find (best-first
     edge replay inside one groupBy(cluster).applyInPandas); clean
-    components keep their closure labels exactly.  Greedy repair is
-    iterative (the sanctioned rows-only category, like er_bridge_edges);
-    correctness is pinned by tests/test_constraints.py against an
-    independent brute-force constrained-union-find oracle on planted and
-    seeded-random graphs, plus partitioning-independence and
-    no-violation guarantees.  On this fixture each 50-run splits at the
-    greedy boundary between its constrained 10th and 30th members."""
+    components keep their closure labels exactly.  HASH-GRADED since
+    round 5: on this unscored chain fixture the greedy replay is
+    lexicographic and provably rejects exactly the last path edge
+    (base+29, base+30) of each violated run, so the oracle replays the
+    split in closed form (see the oracle comment).  The general scored
+    repair is iterative and stays pinned by the brute-force
+    constrained-union-find pytest oracle on planted and seeded-random
+    graphs (tests/test_constraints.py), plus partitioning-independence
+    and no-violation guarantees."""
     from postal_address_spark.operators.constraints import (
         constrained_clusters,
     )
@@ -4261,8 +4263,7 @@ def oracle_sql() -> dict[str, str]:
     # closed-form (the cc_clusters arithmetic), so the violated
     # cannot-links are exactly the in-run (k, k+20) pairs whose dst
     # exists; the cross-run (k, k+60) decoys land in different runs and
-    # never appear.  er_constrained_clusters (greedy repair) is the
-    # sanctioned rows-only category — pytest brute-force pinned.
+    # never appear.
     sql["er_constraint_violations"] = """
     WITH mn AS (SELECT MIN(c_custkey) AS mn FROM customer)
     SELECT 'n' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS src,
@@ -4274,6 +4275,40 @@ def oracle_sql() -> dict[str, str]:
       AND EXISTS (SELECT 1 FROM customer c2
                   WHERE c2.c_custkey = customer.c_custkey + 20)
     ORDER BY src, dst
+    """
+
+    # -- er_constrained_clusters: closed-form oracle for the greedy
+    # repair ON THIS FIXTURE (round-5 graduation from rows-only, VERDICT
+    # r4 next-round #6).  The chain edges carry NO score, so
+    # constrained_clusters replays them in (src, dst) lexicographic
+    # order (= numeric order under zero-padding); within a violated run
+    # the cannot-link path is edges (base+10, base+11) .. (base+29,
+    # base+30), and greedy constrained union-find rejects EXACTLY the
+    # last-replayed path edge (base+29, base+30): every earlier path
+    # edge merges without connecting the constrained pair (a chain
+    # connects its endpoints only when ALL path edges are applied), and
+    # no off-path edge can complete the path.  So a violated run splits
+    # at position 30 — left keeps the run label, right is labeled by
+    # its min member base+30 — and clean runs keep the cc_clusters
+    # closed form.  The GENERAL scored repair stays non-SQL (iterative
+    # best-first replay); its semantics are pinned by the brute-force
+    # constrained-union-find pytest oracle on seeded-random graphs
+    # (tests/test_constraints.py).
+    sql["er_constrained_clusters"] = """
+    WITH mn AS (SELECT MIN(c_custkey) AS mn FROM customer)
+    SELECT 'n' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS rec_id,
+           'n' || lpad(CAST(
+             CASE WHEN c_custkey % 50 >= 30
+                       AND EXISTS (SELECT 1 FROM customer s
+                                   WHERE s.c_custkey = customer.c_custkey
+                                         - (customer.c_custkey % 50) + 10)
+                       AND EXISTS (SELECT 1 FROM customer d
+                                   WHERE d.c_custkey = customer.c_custkey
+                                         - (customer.c_custkey % 50) + 30)
+                  THEN customer.c_custkey - (customer.c_custkey % 50) + 30
+                  ELSE greatest(c_custkey - (c_custkey % 50), mn.mn)
+             END AS VARCHAR), 6, '0') AS cluster_id
+    FROM customer, mn ORDER BY rec_id
     """
 
     # -- hll_distinct_sketch: the register table replayed from the
@@ -7468,13 +7503,11 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass  # embeddings parquet unreadable -> ivf stays rows-only
 
-    # multimodal_features / fs_em_weights / er_bridge_edges /
-    # er_constrained_clusters: intentionally no oracle
-    # (Spark-synthesized media payloads, the iterative EM fit, the Tarjan
-    # bridge audit and the greedy constrained repair are not expressible
+    # multimodal_features / fs_em_weights / er_bridge_edges:
+    # intentionally no oracle (Spark-synthesized media payloads, the
+    # iterative EM fit and the Tarjan bridge audit are not expressible
     # in ANSI SQL) -> driver records rows-only checks; each has dedicated
     # pytest coverage (multimodal batch-shape, planted-parameter EM
     # recovery — and fs_em_weights' INPUT is the hash-matched
-    # fs_pattern_counts table —, remove-and-BFS bridge ground truth,
-    # brute-force constrained-union-find).
+    # fs_pattern_counts table —, remove-and-BFS bridge ground truth).
     return sql

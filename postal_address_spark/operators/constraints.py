@@ -44,14 +44,18 @@ like ``bridge_edges``: an oversized violated cluster is left unrepaired
 :func:`constraint_violations` — at that size the over-merge itself is the
 pathology to fix upstream, not something to silently grind through.
 
-Greedy repair is iterative and not SQL-expressible, so the driver query
-``er_constrained_clusters`` is rows-only; correctness is pinned by
-tests/test_constraints.py against an independent brute-force
-constrained-union-find oracle on planted and seeded-random graphs (plus
-no-violation, partitioning-independence and empty-constraint equivalence
-properties).  The companion diagnostic ``er_constraint_violations`` —
-which cannot-links the unconstrained closure violates — IS oracle-backed
-(it reuses the recursive-CTE closure mirror).
+Greedy SCORED repair is iterative and not SQL-expressible in general;
+correctness is pinned by tests/test_constraints.py against an
+independent brute-force constrained-union-find oracle on planted and
+seeded-random graphs (plus no-violation, partitioning-independence and
+empty-constraint equivalence properties).  The driver query
+``er_constrained_clusters`` IS hash-graded (round 5): on its unscored
+chain fixture the replay order is lexicographic and the rejected edge
+has a provable closed form (the last path edge of each violated run),
+which the DuckDB oracle replays exactly.  The companion diagnostic
+``er_constraint_violations`` — which cannot-links the unconstrained
+closure violates — is likewise oracle-backed (it reuses the
+recursive-CTE closure mirror).
 """
 from __future__ import annotations
 
