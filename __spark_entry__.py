@@ -1187,6 +1187,40 @@ def _q_cross_corpus_dups(spark, sf_dir):
     )
 
 
+def _q_dedup_state_dups(spark, sf_dir):
+    """The INCREMENTAL dedup-index dataflow (operators/dedup_state.py):
+    the same crawl-vs-reference fixture as cross_corpus_dups, but the
+    reference side goes through the persisted-state path —
+    minhash_state_frames builds the (bands, shingles) index frames and
+    cross_dups_against_state_frames probes them, exactly the plan
+    jobs/curate.py --dedup-state executes against a reloaded index.  The
+    oracle is the identical brute-force all-cross-pairs Jaccard, so a
+    hash match proves the state-backed path is result-identical to the
+    from-scratch two-corpus operator (the disk round-trip itself is
+    pinned by tests/test_dedup_state.py)."""
+    from postal_address_spark.operators.dedup import (
+        cross_dups_against_state_frames,
+        minhash_state_frames,
+    )
+
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = docs.where(F.col("doc_id") < 200)
+    corpus = docs.where(F.col("doc_id") >= 200).union(
+        docs.where(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    bands_df, shingles_df = minhash_state_frames(reference)
+    return (
+        cross_dups_against_state_frames(
+            corpus, bands_df, shingles_df, threshold=0.5
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup, oracle-verified end-to-end as of round 4: the
     gate runs the full pipeline (fingerprints -> multi-index banding ->
@@ -3504,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quantile_sketch": _q_len_quantile_sketch,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "cross_corpus_dups": _q_cross_corpus_dups,
+        "dedup_state_dups": _q_dedup_state_dups,
         "sft_pairs": _q_sft_pairs,
         "conv_semantic_dups": _q_conv_semantic_dups,
         "conv_prefix_dups": _q_conv_prefix_dups,
@@ -3545,8 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
         "text_analysis": _q_text_analysis,
-        "pii_redaction": _q_pii_redaction,
         # ---- 50-entry driver-window boundary (r5) ----
+        "pii_redaction": _q_pii_redaction,
         "doc_repetition": _q_doc_repetition,
         "quality_filter_stats": _q_quality_filter,
         "dataset_split": _q_dataset_split,
@@ -5080,6 +5115,11 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
     FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
     """
+
+    # -- dedup_state_dups: the state-backed incremental path must produce
+    # EXACTLY the from-scratch cross-corpus result, so it shares the
+    # brute-force all-cross-pairs oracle verbatim.
+    sql["dedup_state_dups"] = sql["cross_corpus_dups"]
 
     # -- simhash_near_dups: the oracle recomputes every 64-bit SimHash
     # fingerprint from scratch (per-doc per-bit majority votes over the

@@ -20,8 +20,16 @@ Package the engine and submit::
         [--min-tokens 5] [--max-tokens 5000] [--split-salt 2024] \
         [--decontaminate <benchmark table> [--contam-w 13] [--max-contam-pct 0]] \
         [--dedup-against <reference table> [--dedup-against-threshold 0.7]] \
+        [--dedup-state <index root> [--dedup-state-append]] \
         [--expect <checks.json> [--expect-fail-hard]] \
         [--pack-budget <tokens> [--pack-shards 256]]
+
+``--dedup-state`` is the incremental form of ``--dedup-against``: the
+reference side is a persisted MinHash band index (init it once with
+``jobs/dedup_state.py --build``), so each daily increment sketches only
+itself, and ``--dedup-state-append`` folds the kept docs back into the
+index for the next run — increment cost stays O(increment), never
+O(reference corpus re-sketch).
 
 No ``master`` is set — the cluster manager provides it.  The kept corpus
 is written partitioned by ``split`` so downstream training readers prune
@@ -85,8 +93,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--dedup-against-threshold", type=float, default=None,
-        help="Jaccard threshold for --dedup-against "
+        help="Jaccard threshold for --dedup-against / --dedup-state "
         "(default: --near-dup-threshold)",
+    )
+    p.add_argument(
+        "--dedup-state",
+        help="persisted MinHash dedup-index root "
+        "(operators/dedup_state.py; init with jobs/dedup_state.py "
+        "--build): like --dedup-against, but the reference side is the "
+        "stored index — only THIS crawl increment is sketched, the "
+        "reference corpus never re-reads.  Mutually exclusive with "
+        "--dedup-against",
+    )
+    p.add_argument(
+        "--dedup-state-append", action="store_true",
+        help="after writing the kept corpus, append its documents to the "
+        "--dedup-state index so the next increment dedups against the "
+        "dump plus every prior increment (requires --dedup-state)",
     )
     p.add_argument(
         "--expect",
@@ -104,7 +127,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None, spark=None) -> dict:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.dedup_against and args.dedup_state:
+        parser.error("--dedup-against and --dedup-state are mutually "
+                     "exclusive (the state root IS the reference)")
+    if args.dedup_state_append and not args.dedup_state:
+        parser.error("--dedup-state-append requires --dedup-state")
 
     if spark is None:
         from pyspark.sql import SparkSession
@@ -211,20 +240,28 @@ def main(argv=None, spark=None) -> dict:
     # Jaccard verify — never corpus x corpus here; ids only ride the LSH
     # and anti-join streams, the text never reshuffles).
     n_refdup_dropped = 0
-    if args.dedup_against:
-        from postal_address_spark.operators.dedup import cross_corpus_near_dups
-
-        ref = read_table(spark, args.dedup_against)
+    if args.dedup_against or args.dedup_state:
         thr = (
             args.dedup_against_threshold
             if args.dedup_against_threshold is not None
             else args.near_dup_threshold
         )
-        matched = (
-            cross_corpus_near_dups(kept, ref, threshold=thr)
-            .select(F.col("id_a").alias("doc_id"))
-            .distinct()
-        )
+        if args.dedup_state:
+            # incremental form: the reference side is the persisted band
+            # index — only this increment sketches (dedup_state.py)
+            from postal_address_spark.operators.dedup_state import (
+                dedup_against_state,
+            )
+
+            pairs = dedup_against_state(kept, args.dedup_state, threshold=thr)
+        else:
+            from postal_address_spark.operators.dedup import (
+                cross_corpus_near_dups,
+            )
+
+            ref = read_table(spark, args.dedup_against)
+            pairs = cross_corpus_near_dups(kept, ref, threshold=thr)
+        matched = pairs.select(F.col("id_a").alias("doc_id")).distinct()
         refdup = kept.join(matched, "doc_id", "left_semi").withColumn(
             "reasons", F.lit("reference_near_dup")
         )
@@ -293,6 +330,22 @@ def main(argv=None, spark=None) -> dict:
         }
         packed.unpersist()
 
+    # 7. optional index append: make this increment part of the dedup
+    # state so the NEXT crawl dedups against it too.  The payload is
+    # RE-READ from the just-written corpus, never the lazy `kept` plan
+    # (engine rule 10: the probe above reads the state dir lazily — an
+    # append sourced from that plan would re-list the state mid-execution
+    # and match every kept doc against itself).
+    n_state_appended = None
+    if args.dedup_state_append:
+        from postal_address_spark.operators.dedup_state import (
+            append_dedup_state,
+        )
+
+        written = spark.read.parquet(corpus_path).select("doc_id", "text")
+        append_dedup_state(written, args.dedup_state)
+        n_state_appended = written.count()
+
     out = spark.read.parquet(corpus_path)
     split_counts = {
         r["split"]: r["n"]
@@ -320,6 +373,13 @@ def main(argv=None, spark=None) -> dict:
         summary["packing"] = pack_counts
     if expect_results is not None:
         summary["expectations"] = expect_results
+    if args.dedup_state:
+        summary["dedup_state"] = {
+            "root": args.dedup_state,
+            "appended": (
+                int(n_state_appended) if n_state_appended is not None else 0
+            ),
+        }
     print(json.dumps(summary))
     return summary
 

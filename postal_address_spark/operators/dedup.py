@@ -315,6 +315,61 @@ def cross_corpus_near_dups(
     one column) — and the exact shingle-set Jaccard verify joins each
     side's grams back on the deduped candidate ids only.
     """
+    bands_b, shingles_b = minhash_state_frames(
+        reference, text_col, id_col, num_hashes, bands, shingle_n, seed
+    )
+    return cross_dups_against_state_frames(
+        corpus, bands_b, shingles_b, text_col, id_col, num_hashes, bands,
+        shingle_n, threshold, seed,
+    )
+
+
+def minhash_state_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+):
+    """The persistable MinHash index of one corpus: ``(bands_df,
+    shingles_df)`` — ``(id, band_idx, band_hash)`` rows for LSH candidate
+    joins plus ``(id, shingles array<long>)`` gram-hash sets for the
+    exact-Jaccard verify.  Both are MERGEABLE by plain append (each row
+    is a pure function of one document), which is what makes the
+    dedup-against index incremental: sketch each crawl increment once,
+    append, and never re-read the reference corpus text again
+    (``operators/dedup_state.py`` owns the disk layout)."""
+    rows_per_band = num_hashes // bands
+    bands_df = _banded(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed),
+        id_col, bands, rows_per_band,
+    )
+    shingles_df = with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col), "shingles"
+    )
+    return bands_df, shingles_df
+
+
+def cross_dups_against_state_frames(
+    corpus: DataFrame,
+    state_bands: DataFrame,
+    state_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`cross_corpus_near_dups` with the reference side PRECOMPUTED
+    (:func:`minhash_state_frames` output, fresh or reloaded from disk):
+    only the corpus increment is sketched; the reference corpus never
+    re-reads or re-shingles.  Exactly equal to the from-scratch
+    two-corpus result (pytest-pinned) because both state frames are pure
+    deterministic functions of the reference documents."""
     rows_per_band = num_hashes // bands
     band_a = _banded(
         minhash_signatures(
@@ -322,12 +377,9 @@ def cross_corpus_near_dups(
         ),
         id_col, bands, rows_per_band,
     ).select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    band_b = _banded(
-        minhash_signatures(
-            reference, text_col, id_col, num_hashes, shingle_n, seed
-        ),
-        id_col, bands, rows_per_band,
-    ).select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    band_b = state_bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
     cands = (
         band_a.join(band_b, ["band_idx", "band_hash"])
         .select("id_a", "id_b")
@@ -336,7 +388,7 @@ def cross_corpus_near_dups(
     sets_a = with_shingle_hashes(corpus, text_col, shingle_n).select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
-    sets_b = with_shingle_hashes(reference, text_col, shingle_n).select(
+    sets_b = state_shingles.select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
     return (

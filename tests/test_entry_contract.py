@@ -68,6 +68,7 @@ EXPECTED_QUERIES = {
     # round-4 session additions: assignment linkage, data-quality suite,
     # cross-corpus dedup, rarity curation stats
     "link_mutual_best", "data_expectations", "cross_corpus_dups",
+    "dedup_state_dups",
     "doc_rarity", "er_monge_elkan",
 }
 
