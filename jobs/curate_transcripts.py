@@ -164,10 +164,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sft-max-context", type=int, default=8)
     p.add_argument("--sft-min-response-chars", type=int, default=1)
     p.add_argument("--pack-budget", type=int, default=0,
-                   help="also write <output-root>/packed_manifest: the "
-                   "kept conversations packed next-fit into bins of at "
-                   "most this many whitespace tokens, per split "
-                   "(operators/packing.py); 0 = off")
+                   help="also write <output-root>/packed_manifest: packed "
+                   "next-fit into bins of at most this many whitespace "
+                   "tokens, per split (operators/packing.py); with "
+                   "--sft-output the packed items are the kept SFT pairs "
+                   "counted at their chat-template rendering (what the "
+                   "trainer tokenizes), otherwise whole kept "
+                   "conversations; 0 = off")
     p.add_argument("--pack-shards", type=int, default=256,
                    help="parallel packing shards (bins never span shards)")
     p.add_argument("--split-salt", type=int, default=2024)
@@ -551,13 +554,19 @@ def main(argv=None, spark=None) -> dict:
         if args.sft_chat_output:
             sft_counts["chat_path"] = args.sft_chat_output
 
-    # 6. optional sequence packing: the kept conversations (token count =
-    # whitespace tokens of the text identity, falling back to the action)
-    # packed next-fit into --pack-budget bins PER SPLIT — split joins the
-    # shuffle key (operators/packing.py group_cols), so no bin can mix
-    # train and validation content.  The manifest is (conv, split, shard,
-    # bin, pos, offset, tokens, oversize); the loader joins text back by
-    # conv id — text never enters the packing shuffle.
+    # 6. optional sequence packing into --pack-budget bins PER SPLIT —
+    # split joins the shuffle key (operators/packing.py group_cols), so
+    # no bin can mix train and validation content; the loader joins text
+    # back by id — text never enters the packing shuffle.
+    #
+    # WHAT gets packed follows what the trainer will tokenize (VERDICT
+    # r4 next-round #8): with --sft-output active, the packed items are
+    # the KEPT SFT PAIRS and the token count is the chat-template
+    # rendering of each pair (context lines + "<role>: <response>" — the
+    # exact string the messages form flattens to), so loader bins
+    # reflect real sample lengths.  Without SFT extraction the items are
+    # whole kept conversations (token count = whitespace tokens of the
+    # text identity, falling back to the action).
     pack_counts = None
     if args.pack_budget:
         from postal_address_spark.operators.packing import (
@@ -565,28 +574,53 @@ def main(argv=None, spark=None) -> dict:
             pack_sequences,
         )
 
-        tcol = F.col(text_col) if text_col else F.col(act)
-        tt = F.trim(
-            F.coalesce(
-                tcol.cast("string"), F.col(act).cast("string"), F.lit("")
+        if args.sft_output:
+            # chat-template sample: context already renders "role: text"
+            # lines; the response joins as a final assistant line.
+            sample = F.concat_ws(
+                "\n",
+                F.col("context"),
+                F.concat_ws(
+                    ": ", F.lit(args.sft_role),
+                    F.coalesce(F.col("response"), F.lit("")),
+                ),
             )
-        )
-        conv_tokens = (
-            kept_turns.select(
-                conv,
+            st = F.trim(sample)
+            items = pairs.where(F.col("is_kept")).select(
+                F.concat_ws(
+                    "#", F.col("conv").cast("string"), F.col("position")
+                ).alias("pair_id"),
                 "split",
-                F.when(tt == "", F.lit(0))
-                .otherwise(F.size(F.split(tt, r"\s+")))
+                F.when(st == "", F.lit(0))
+                .otherwise(F.size(F.split(st, r"\s+")))
                 .cast("long")
-                .alias("_t"),
+                .alias("n_tokens"),
             )
-            .groupBy(conv, "split")
-            .agg(F.sum("_t").alias("n_tokens"))
-        )
+            id_col, count_key = "pair_id", "n_pairs"
+        else:
+            tcol = F.col(text_col) if text_col else F.col(act)
+            tt = F.trim(
+                F.coalesce(
+                    tcol.cast("string"), F.col(act).cast("string"), F.lit("")
+                )
+            )
+            items = (
+                kept_turns.select(
+                    conv,
+                    "split",
+                    F.when(tt == "", F.lit(0))
+                    .otherwise(F.size(F.split(tt, r"\s+")))
+                    .cast("long")
+                    .alias("_t"),
+                )
+                .groupBy(conv, "split")
+                .agg(F.sum("_t").alias("n_tokens"))
+            )
+            id_col, count_key = conv, "n_convs"
         packed = pack_sequences(
-            conv_tokens,
+            items,
             args.pack_budget,
-            id_col=conv,
+            id_col=id_col,
             n_shards=args.pack_shards,
             seed=args.split_salt,
             group_cols=("split",),
@@ -596,10 +630,11 @@ def main(argv=None, spark=None) -> dict:
         pack_counts = {
             "budget": args.pack_budget,
             "path": pack_path,
+            "basis": "sft_pairs" if args.sft_output else "conversations",
             "splits": {
                 r["split"]: {
                     "n_bins": int(r["n_bins"]),
-                    "n_convs": int(r["n_docs"]),
+                    count_key: int(r["n_docs"]),
                     "total_tokens": int(r["total_tokens"]),
                     "n_oversize_bins": int(r["n_oversize_bins"]),
                     "utilization": (

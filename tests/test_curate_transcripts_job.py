@@ -266,6 +266,56 @@ def test_curate_transcripts_pack_budget(spark, tmp_path):
         assert v["utilization"] is not None and 0 < v["utilization"] <= 1
 
 
+def test_curate_transcripts_sft_pack_budget(spark, tmp_path):
+    """--pack-budget + --sft-output packs the KEPT SFT PAIRS at their
+    chat-template token counts (context lines + final assistant line —
+    what the trainer actually tokenizes), not whole conversations: the
+    manifest keys on pair_id = conv#position, covers exactly the is_kept
+    pairs, and every pair's n_tokens equals the whitespace token count
+    of its rendered sample."""
+    rows = []
+    for cid in range(1, 9):
+        for i in range(4):
+            role = "user" if i % 2 == 0 else "assistant"
+            rows.append((cid, i, role, f"c{cid} turn {i} some words here"))
+    inp = str(tmp_path / "turns_sftpack")
+    out_root = str(tmp_path / "out_sftpack")
+    spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    ).write.parquet(inp)
+
+    import curate_transcripts
+
+    summary = curate_transcripts.main(
+        ["--input", inp, "--output-root", out_root,
+         "--min-turns", "3", "--no-near-dup",
+         "--sft-output", str(tmp_path / "sft"),
+         "--pack-budget", "40", "--pack-shards", "2"],
+        spark=spark,
+    )
+    pk = summary["packing"]
+    assert pk["basis"] == "sft_pairs"
+    manifest = spark.read.parquet(pk["path"])
+    pairs = spark.read.parquet(str(tmp_path / "sft"))
+    kept_pairs = pairs.where("is_kept").collect()
+    want_tokens = {}
+    for r in kept_pairs:
+        sample = f"{r['context']}\nassistant: {r['response']}"
+        want_tokens[f"{r['conv']}#{r['position']}"] = len(sample.split())
+    got = {r["pair_id"]: r["n_tokens"] for r in manifest.collect()}
+    assert got == want_tokens and len(got) == len(kept_pairs)
+    # split purity + budget still hold at pair granularity
+    man_rows = manifest.collect()
+    bins = {}
+    for r in man_rows:
+        bins.setdefault((r.split, r.shard, r.bin_in_shard), []).append(r)
+    for key, rs in bins.items():
+        assert len({x.split for x in rs}) == 1, key
+        if len(rs) > 1:  # an oversize item always sits alone in its bin
+            assert sum(x.n_tokens for x in rs) <= 40, key
+    assert sum(v["n_pairs"] for v in pk["splits"].values()) == len(kept_pairs)
+
+
 def test_curate_transcripts_prefix_dedup_stage(spark, tmp_path):
     """--prefix-dedup drops incremental-logging snapshots (strict
     prefixes of a longer survivor) and ONLY those: an infix overlap and
