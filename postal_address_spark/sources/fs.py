@@ -73,6 +73,17 @@ def fs_read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def fs_glob(spark: SparkSession, pattern: str) -> list:
+    """Paths matching a Hadoop glob (e.g. ``.../_epochs/intent-*``) —
+    used by the streaming fold's crash detection to find stale
+    write-intent markers regardless of filesystem scheme."""
+    fs, jpath = _fs_path(spark, pattern)
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
+
+
 def fs_qualified(spark: SparkSession, path: str) -> str:
     """Fully-qualified URI for ``path`` (scheme + authority resolved
     against the session's default FS) — the canonical form for identity

@@ -108,25 +108,54 @@ def fold_turns(
     batch: DataFrame,
     state_dir: str,
     cfg: ConvStreamConfig = ConvStreamConfig(),
+    epoch_id: "int | None" = None,
 ) -> None:
     """Merge one batch of turn rows into the conversation state.
 
     Callable directly (incremental batch jobs) or via the
     ``foreachBatch`` sink below.  Merge = outer join on conv within the
     TOUCHED buckets only, ``array_sort(concat(...))`` of the keyed-turn
-    structs (order-insensitive), summed total-turn counts."""
+    structs (order-insensitive), summed total-turn counts.
+
+    Crash idempotence (``epoch_id`` given — the streaming path): every
+    written row carries ``last_epoch`` = the newest epoch merged into
+    it.  A fold that completed its data write but died BEFORE the epoch
+    marker landed gets REPLAYED by the stream (marker absent), and the
+    replay must not double-merge; with the stamp, a state row whose
+    ``last_epoch`` >= the replaying epoch already contains this batch's
+    turns for that conversation and passes through untouched — per-ROW
+    idempotence, so it holds even if the crash committed only some of
+    the touched bucket partitions.  (Epoch ids are replay-stable because
+    the state dir is bound to one stream checkpoint, and a commit's
+    delete-then-rename of one partition dir remains the one non-atomic
+    window — production state on Iceberg closes it transactionally;
+    proven by tests/test_conv_stream.py crash-replay tests.)  Without an
+    epoch id (direct batch calls) rows are stamped -1 and merges are
+    never skipped — exactly the old behavior."""
+    ep = F.lit(int(epoch_id) if epoch_id is not None else -1).cast("long")
     new = _fold_batch(batch, cfg).withColumn(
         "_bucket", F.pmod(F.xxhash64("conv"), F.lit(cfg.n_buckets))
     )
     state = _read_convs(spark, state_dir)
+    if state is not None and "last_epoch" not in state.columns:
+        state = state.withColumn("last_epoch", F.lit(-1).cast("long"))
     if state is not None:
         touched = new.select("_bucket").distinct()
         old = state.join(F.broadcast(touched), "_bucket")
+        # replay detection: this row already merged this (or a later)
+        # epoch — keep it byte-identical
+        if epoch_id is None:
+            skip = F.lit(False)
+        else:
+            skip = F.col("_t_old").isNotNull() & (
+                F.col("_le_old") >= F.lit(int(epoch_id))
+            )
         merged = (
             old.select(
                 "conv",
                 F.col("kts").alias("_k_old"),
                 F.col("n_total").alias("_t_old"),
+                F.col("last_epoch").alias("_le_old"),
                 "_bucket",
             )
             .join(
@@ -143,20 +172,25 @@ def fold_turns(
                 "conv",
                 # both sides are individually sorted; only the genuine
                 # merge needs the re-sort (and no empty-array typing)
-                F.when(F.col("_k_old").isNull(), F.col("_k_new"))
+                F.when(skip, F.col("_k_old"))
+                .when(F.col("_k_old").isNull(), F.col("_k_new"))
                 .when(F.col("_k_new").isNull(), F.col("_k_old"))
                 .otherwise(
                     F.array_sort(F.concat("_k_old", "_k_new"))
                 ).alias("kts"),
-                (
+                F.when(skip, F.col("_t_old"))
+                .otherwise(
                     F.coalesce("_t_old", F.lit(0))
                     + F.coalesce("_t_new", F.lit(0))
                 ).alias("n_total"),
+                F.when(
+                    skip | F.col("_t_new").isNull(), F.col("_le_old")
+                ).otherwise(ep).alias("last_epoch"),
                 F.coalesce("_bucket", "_b_new").alias("_bucket"),
             )
         )
     else:
-        merged = new
+        merged = new.withColumn("last_epoch", ep)
     # engine rule 10: the payload's lineage reads the directories the
     # write below replaces — materialize BEFORE the first write.
     payload = merged.localCheckpoint(eager=True)
@@ -203,7 +237,10 @@ def make_fold(state_dir: str, cfg: ConvStreamConfig = ConvStreamConfig()):
             return
         if batch_df.isEmpty():
             return
-        fold_turns(spark, batch_df, state_dir, cfg)
+        # epoch_id rides into the row stamps so a crash AFTER the state
+        # write but BEFORE the marker write replays idempotently (see
+        # fold_turns docstring; crash-replay pytest).
+        fold_turns(spark, batch_df, state_dir, cfg, epoch_id=epoch_id)
         fs_write_text(spark, marker, "")
 
     return fold

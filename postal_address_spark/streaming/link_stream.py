@@ -14,8 +14,13 @@ Exactly-once folding: Structured Streaming replays a micro-batch after a
 failure (at-least-once for ``foreachBatch`` sinks), and the fold mutates
 external state, so each epoch is guarded by a marker file
 (``<state_dir>/_epochs/v1-<epoch_id>``) written only after the fold's
-writes land — a replayed epoch is skipped, a half-folded epoch is the one
-known hole (documented below; production would wrap the fold in an
+writes land — a replayed epoch is skipped.  A fold that dies MID-WRITE
+leaves the four state tables mutually inconsistent, which a replay
+cannot repair (the batch's values half-exist, so its edges would never
+re-score); each fold therefore brackets its writes with an
+``intent-<epoch>`` marker and ``check_no_stale_intent`` turns any
+surviving intent into a loud stop with recovery instructions instead of
+a silently-wrong fold (production would wrap the four writes in one
 Iceberg/Delta transaction instead of markers).  Epoch ids are only unique
 WITHIN one stream checkpoint (a fresh checkpoint restarts them at 0, and
 a marker would then silently skip real folds), so ``run_available`` binds
@@ -33,7 +38,14 @@ from pyspark.sql import SparkSession
 
 from ..operators.extract import extract_mentions
 from ..plans.incremental import IncrementalConfig, incremental_link_mentions
-from ..sources.fs import fs_exists, fs_qualified, fs_read_text, fs_write_text
+from ..sources.fs import (
+    fs_delete,
+    fs_exists,
+    fs_glob,
+    fs_qualified,
+    fs_read_text,
+    fs_write_text,
+)
 from .ingest import TRANSCRIPT_DDL
 
 MENTION_DDL = (
@@ -44,6 +56,49 @@ MENTION_DDL = (
 
 def _epoch_marker(state_dir: str, epoch_id: int) -> str:
     return posixpath.join(state_dir, "_epochs", f"v1-{epoch_id}")
+
+
+def _intent_marker(state_dir: str, epoch_id: int) -> str:
+    return posixpath.join(state_dir, "_epochs", f"intent-{epoch_id}")
+
+
+def check_no_stale_intent(spark: SparkSession, state_dir: str) -> None:
+    """Refuse to fold into a state whose previous fold died MID-WRITE.
+
+    The linkage fold's write-back is a four-table sequence (three appends
+    + one dynamic partition overwrite, plans/incremental.py); a crash
+    inside that sequence leaves tables at different epochs — values
+    appended but edges unlogged — and a naive replay would then compute
+    an EMPTY new-node set (the batch's vkeys match the half-written
+    values table) and silently produce wrong labels.  So each fold
+    writes an ``intent-<epoch>`` marker before its first write and
+    removes it after the commit marker lands; a surviving intent marker
+    is proof of a mid-write crash, and the only sound recovery for
+    multi-table parquet state is restore/rebuild (re-fold the source
+    batches into a fresh state dir — they are replayable from the stream
+    input by construction; production state on Iceberg would instead
+    wrap the four writes in one transaction and roll back).  Detection
+    turns silent corruption into a loud, actionable stop
+    (tests/test_link_stream.py crash tests).
+    """
+    stale = []
+    for p in fs_glob(spark, posixpath.join(state_dir, "_epochs", "intent-*")):
+        eid = p.rsplit("intent-", 1)[-1]
+        if fs_exists(spark, _epoch_marker(state_dir, int(eid))):
+            # crash landed between the commit marker and the intent
+            # cleanup: the fold COMPLETED — self-heal the leftover
+            fs_delete(spark, p)
+        else:
+            stale.append(p)
+    if stale:
+        raise RuntimeError(
+            f"linkage state {state_dir!r} has stale write-intent markers "
+            f"{[p.rsplit('/', 1)[-1] for p in stale]}: a previous fold "
+            "crashed mid-write and the state tables may be mutually "
+            "inconsistent.  Re-fold the source batches into a fresh "
+            "state dir (stream input files are replayable), or restore "
+            "the state from a snapshot, then delete the markers."
+        )
 
 
 def make_fold(state_dir: str, config: Optional[IncrementalConfig] = None,
@@ -64,9 +119,15 @@ def make_fold(state_dir: str, config: Optional[IncrementalConfig] = None,
             return
         if batch_df.isEmpty():
             return
+        # fail loud on a predecessor's mid-write crash BEFORE touching
+        # the tables (a fold over inconsistent state is silently wrong)
+        check_no_stale_intent(spark, state_dir)
+        intent = _intent_marker(state_dir, epoch_id)
+        fs_write_text(spark, intent, "")
         mentions = extract_mentions(batch_df) if transcripts else batch_df
         incremental_link_mentions(spark, mentions, state_dir, config)
         fs_write_text(spark, marker, "")
+        fs_delete(spark, intent)
 
     return fold
 

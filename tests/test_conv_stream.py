@@ -298,3 +298,81 @@ def test_retract_conversations_equals_survivor_fold(spark, dirs):
     assert got == {(50, 1, 1, ("z",))}
     assert remaining  # sanity: the pre-wipe state wasn't empty
     turns.unpersist()
+
+
+def test_crash_between_state_write_and_marker_replays_idempotently(
+    spark, dirs
+):
+    """The largest real crash window: a fold's state write COMPLETED but
+    the driver died before its epoch marker landed.  The stream then
+    replays the epoch (marker absent); the per-row last_epoch stamps
+    must make the replay a byte-identical no-op instead of a double
+    merge (pre-fix behavior: every replayed conversation's turns
+    duplicated)."""
+    cfg = ConvStreamConfig(n_buckets=8)
+    f1 = spark.createDataFrame([(1, 0, "a"), (1, 1, "b"), (2, 0, "x")], DDL)
+    f1.coalesce(1).write.mode("append").parquet(dirs["input"])
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    ) == 1
+
+    # epoch 1's file lands, and the fold runs to completion — but the
+    # marker write never happens (the simulated SIGKILL point).  On disk
+    # this is exactly the post-crash world.
+    rows2 = [(1, 2, "c"), (3, 0, "y")]
+    spark.createDataFrame(rows2, DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    fold_turns(
+        spark, spark.createDataFrame(rows2, DDL), dirs["state"], cfg,
+        epoch_id=1,
+    )
+
+    # re-drive: the stream replays epoch 1; state must equal the batch
+    # fold over ALL turns — no duplicated c/y, no doubled totals
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    ) == 1
+    both = f1.union(spark.createDataFrame(rows2, DDL))
+    assert _fold_set(read_conversations(spark, dirs["state"], cfg)) == (
+        _fold_set(
+            _ordered_token_arrays(both, "conv_id", ("turn_idx",), "action")
+        )
+    )
+
+
+def test_partial_bucket_commit_replays_idempotently(spark, dirs):
+    """Mid-COMMIT crash at partition granularity: dynamic partition
+    overwrite replaces touched bucket dirs one by one, so a kill during
+    the commit can leave SOME buckets holding the epoch's merge and
+    others not.  Simulated by folding only one conversation's slice of
+    the epoch-1 batch (its bucket commits; the other conversation's
+    does not).  The replay must merge the missing conversation and skip
+    the committed one — per-ROW idempotence, independent of bucket
+    layout."""
+    cfg = ConvStreamConfig(n_buckets=8)
+    f1 = spark.createDataFrame([(1, 0, "a"), (2, 0, "x")], DDL)
+    f1.coalesce(1).write.mode("append").parquet(dirs["input"])
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    ) == 1
+
+    rows2 = [(1, 1, "b"), (2, 1, "y")]
+    spark.createDataFrame(rows2, DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    # crash world: only conv 1's rows reached disk, stamped epoch 1
+    fold_turns(
+        spark, spark.createDataFrame([rows2[0]], DDL), dirs["state"], cfg,
+        epoch_id=1,
+    )
+
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], DDL, cfg
+    ) == 1
+    both = f1.union(spark.createDataFrame(rows2, DDL))
+    assert _fold_set(read_conversations(spark, dirs["state"], cfg)) == (
+        _fold_set(
+            _ordered_token_arrays(both, "conv_id", ("turn_idx",), "action")
+        )
+    )

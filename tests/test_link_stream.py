@@ -141,3 +141,93 @@ def test_replayed_epoch_is_noop(spark, dirs):
     assert _labels(mention_clusters(spark, dirs["state"])) == {
         ("m1", "m1"), ("m2", "m1")
     }
+
+
+def test_mid_write_crash_detected_and_recovered(spark, dirs):
+    """A fold that died inside the four-table write-back leaves the
+    state mutually inconsistent, and a replay would silently mislabel
+    (the batch's values half-exist, so its edges never re-score).  The
+    intent markers must turn that into a loud stop — state untouched —
+    and, after operator recovery (here: clearing the marker for a state
+    known-good because the simulated crash wrote nothing), a re-drive
+    folds normally."""
+    import posixpath
+
+    from postal_address_spark.sources.fs import fs_delete, fs_write_text
+    from postal_address_spark.streaming.link_stream import MENTION_DDL
+
+    ddl = MENTION_DDL
+    rows1 = spark.createDataFrame(
+        [("m1", "12 rue de la paix", None, "75001", "Paris", "FR", None),
+         ("m2", "12 rue de la paix", None, "75001", "Paris", "FR", None)],
+        ddl,
+    )
+    rows1.coalesce(1).write.mode("append").parquet(dirs["input"])
+    cfg = IncrementalConfig(n_pb=4)
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg,
+        schema=ddl, transcripts=False,
+    ) == 1
+    from postal_address_spark.plans.incremental import mention_clusters
+
+    before = _labels(mention_clusters(spark, dirs["state"]))
+
+    # a new file lands, but the previous fold (epoch 1) "died mid-write":
+    # its intent marker survives with no commit marker
+    rows2 = spark.createDataFrame(
+        [("m3", "7 avenue victor hugo", None, "69002", "Lyon", "FR", None)],
+        ddl,
+    )
+    rows2.coalesce(1).write.mode("append").parquet(dirs["input"])
+    intent = posixpath.join(dirs["state"], "_epochs", "intent-1")
+    fs_write_text(spark, intent, "")
+    with pytest.raises(Exception, match="intent"):
+        run_available(
+            spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg,
+            schema=ddl, transcripts=False,
+        )
+    # the refused run must not have touched the state
+    assert _labels(mention_clusters(spark, dirs["state"])) == before
+
+    # operator recovery, then the re-drive folds the pending file
+    fs_delete(spark, intent)
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg,
+        schema=ddl, transcripts=False,
+    ) == 1
+    after = _labels(mention_clusters(spark, dirs["state"]))
+    assert {r for r, _ in after} == {"m1", "m2", "m3"}
+
+
+def test_completed_fold_intent_leftover_self_heals(spark, dirs):
+    """Crash between the commit marker and the intent cleanup: the fold
+    COMPLETED, so the surviving intent is not evidence of corruption —
+    the next run must self-heal it and keep folding."""
+    import posixpath
+
+    from postal_address_spark.sources.fs import fs_exists, fs_write_text
+    from postal_address_spark.streaming.link_stream import MENTION_DDL
+
+    ddl = MENTION_DDL
+    rows1 = spark.createDataFrame(
+        [("m1", "3 rue neuve", None, "75002", "Paris", "FR", None)], ddl
+    )
+    rows1.coalesce(1).write.mode("append").parquet(dirs["input"])
+    cfg = IncrementalConfig(n_pb=4)
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg,
+        schema=ddl, transcripts=False,
+    ) == 1
+    # epoch 0 committed; its intent cleanup "crashed"
+    intent = posixpath.join(dirs["state"], "_epochs", "intent-0")
+    fs_write_text(spark, intent, "")
+
+    rows2 = spark.createDataFrame(
+        [("m2", "9 grand place", None, "59000", "Lille", "FR", None)], ddl
+    )
+    rows2.coalesce(1).write.mode("append").parquet(dirs["input"])
+    assert run_available(
+        spark, dirs["input"], dirs["state"], dirs["ckpt"], cfg,
+        schema=ddl, transcripts=False,
+    ) == 1
+    assert not fs_exists(spark, intent)  # self-healed
