@@ -2297,6 +2297,53 @@ def _q_er_bridge_edges(spark, sf_dir):
     return bridge_edges(edges, asg).orderBy("src", "dst")
 
 
+def _q_er_bridge_chain(spark, sf_dir):
+    """Bridge audit HASH-GRADED on a closed-form fixture (round 5 —
+    shrinking the rows-only set): the real Tarjan low-link operator
+    (operators/cluster.py bridge_edges, the same applyInPandas path
+    er_bridge_edges runs) over the customer chain graph with one planted
+    SHORTCUT edge (base+5, base+7) per 50-run.  Bridgeness is then
+    provable in closed form: the shortcut closes a 3-edge cycle with
+    chain edges (base+5, base+6) and (base+6, base+7), so exactly those
+    three edges per complete run are non-bridges and every other chain
+    edge is a bridge — which the DuckDB oracle states directly.  The
+    positive AND negative is_bridge paths are both exercised (the
+    linkage-graph er_bridge_edges stays rows-only: its clusters are
+    variant cliques, honest all-false; pytest brute-force
+    remove-and-BFS pins the general operator)."""
+    from postal_address_spark.operators.cluster import (
+        assign_clusters,
+        bridge_edges,
+    )
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def node(c):
+        return F.concat(F.lit("n"), F.lpad(c.cast("string"), 6, "0"))
+
+    vertices = customer.select(node(F.col("c_custkey")).alias("rec_id"))
+    chain = (
+        customer.where(F.pmod(F.col("c_custkey"), F.lit(50)) != 0)
+        .where(F.col("c_custkey") > 0)
+        .select(
+            node(F.col("c_custkey") - 1).alias("src"),
+            node(F.col("c_custkey")).alias("dst"),
+        )
+    )
+    keys = customer.select(F.col("c_custkey").alias("k2"))
+    shortcut = (
+        customer.where(F.pmod(F.col("c_custkey"), F.lit(50)) == 5)
+        .join(keys, F.col("c_custkey") + 2 == F.col("k2"), "left_semi")
+        .select(
+            node(F.col("c_custkey")).alias("src"),
+            node(F.col("c_custkey") + 2).alias("dst"),
+        )
+    )
+    edges = chain.unionByName(shortcut)
+    asg = assign_clusters(vertices, edges)
+    return bridge_edges(edges, asg).orderBy("src", "dst")
+
+
 def _cc_chain(spark, sf_dir):
     """Shared fixture: the cc_clusters chain graph over customer —
     custkey k links to k-1 except where k % 50 == 0, so components are
@@ -3553,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_doc_chunks": _q_udtf_doc_chunks,
         "multimodal_features": _q_multimodal_features,
         "er_bridge_edges": _q_er_bridge_edges,
+        "er_bridge_chain": _q_er_bridge_chain,
         "fs_em_weights": _q_fs_em_weights,
         # --- reference scalar semantics (SURVEY §2.A; green r3) ---
         "postal_canon": _q_postal_canon,
@@ -3579,8 +3627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": _q_benchmark_contamination,
         "ngram_jaccard_neighbors": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
-        "text_analysis": _q_text_analysis,
         # ---- 50-entry driver-window boundary (r5) ----
+        "text_analysis": _q_text_analysis,
         "pii_redaction": _q_pii_redaction,
         "doc_repetition": _q_doc_repetition,
         "quality_filter_stats": _q_quality_filter,
@@ -4344,6 +4392,39 @@ def oracle_sql() -> dict[str, str]:
                   ELSE greatest(c_custkey - (c_custkey % 50), mn.mn)
              END AS VARCHAR), 6, '0') AS cluster_id
     FROM customer, mn ORDER BY rec_id
+    """
+
+    # -- er_bridge_chain: Tarjan bridges in closed form.  One shortcut
+    # (base+5, base+7) per run closes a 3-edge cycle with chain edges
+    # (base+5, base+6) and (base+6, base+7); exactly those three edges
+    # are non-bridges per complete run, every other chain edge is a
+    # bridge (removing it splits the path — a chain has no other way
+    # around).  Cluster label = the run's cc_clusters closed form (the
+    # shortcut never changes components).
+    sql["er_bridge_chain"] = """
+    WITH mn AS (SELECT MIN(c_custkey) AS mn FROM customer),
+    edges AS (
+      SELECT c_custkey - 1 AS a, c_custkey AS b, FALSE AS shortcut
+      FROM customer WHERE c_custkey % 50 <> 0 AND c_custkey > 0
+      UNION ALL
+      SELECT c_custkey, c_custkey + 2, TRUE
+      FROM customer c
+      WHERE c_custkey % 50 = 5
+        AND EXISTS (SELECT 1 FROM customer d
+                    WHERE d.c_custkey = c.c_custkey + 2)
+    )
+    SELECT 'n' || lpad(CAST(greatest(b - (b % 50), mn.mn) AS VARCHAR),
+                       6, '0') AS cluster_id,
+           'n' || lpad(CAST(a AS VARCHAR), 6, '0') AS src,
+           'n' || lpad(CAST(b AS VARCHAR), 6, '0') AS dst,
+           CASE WHEN shortcut THEN FALSE
+                WHEN b % 50 IN (6, 7)
+                     AND EXISTS (SELECT 1 FROM edges s
+                                 WHERE s.shortcut
+                                   AND s.a = b - (b % 50) + 5)
+                THEN FALSE
+                ELSE TRUE END AS is_bridge
+    FROM edges, mn ORDER BY src, dst
     """
 
     # -- hll_distinct_sketch: the register table replayed from the
@@ -7545,9 +7626,11 @@ def oracle_sql() -> dict[str, str]:
 
     # multimodal_features / fs_em_weights / er_bridge_edges:
     # intentionally no oracle (Spark-synthesized media payloads, the
-    # iterative EM fit and the Tarjan bridge audit are not expressible
-    # in ANSI SQL) -> driver records rows-only checks; each has dedicated
-    # pytest coverage (multimodal batch-shape, planted-parameter EM
-    # recovery — and fs_em_weights' INPUT is the hash-matched
-    # fs_pattern_counts table —, remove-and-BFS bridge ground truth).
+    # iterative EM fit and the linkage-graph Tarjan audit's general form
+    # are not expressible in ANSI SQL) -> driver records rows-only
+    # checks; each has dedicated pytest coverage (multimodal
+    # batch-shape, planted-parameter EM recovery — and fs_em_weights'
+    # INPUT is the hash-matched fs_pattern_counts table —,
+    # remove-and-BFS bridge ground truth; the SAME Tarjan code path is
+    # hash-graded by er_bridge_chain's closed-form fixture above).
     return sql

@@ -498,6 +498,18 @@ def main() -> None:
             em.queries()["cross_corpus_dups"](spark, SF),
         ),
         (
+            "dedup_state_dups — increment-only sketching against the "
+            "stored index",
+            "Look for: exactly ONE MinHash signature aggregation (the "
+            "corpus increment — the reference side arrives as the "
+            "already-banded state frames, so no second shingle/minhash "
+            "chain exists anywhere in the plan), the (band_idx, "
+            "band_hash) equi-join carrying ids only, and the verify "
+            "joining the state shingle table back on deduped candidate "
+            "ids; no CartesianProduct/BNLJ.",
+            em.queries()["dedup_state_dups"](spark, SF),
+        ),
+        (
             "doc_rarity — id-hash token stream, Expand-free df",
             "Look for: the (doc, token-hash) stream carrying 8-byte "
             "hashes (never token strings) into both aggregations; "

@@ -33,7 +33,7 @@ EXPECTED_QUERIES = {
     "er_eval_metrics",
     "er_golden_records", "er_cluster_cohesion", "er_cluster_graph",
     "er_cluster_diff", "er_stable_ids", "er_training_triplets",
-    "er_bridge_edges", "er_bcubed_stats",
+    "er_bridge_edges", "er_bridge_chain", "er_bcubed_stats",
     "er_merge_distance", "er_incremental_link", "er_retract_link",
     "er_explain_pairs", "er_streaming_link", "er_apply_review",
     "fs_pattern_truth", "link_and_dedupe",

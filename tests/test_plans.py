@@ -855,6 +855,53 @@ def test_cross_corpus_candidates_carry_ids_only(spark):
             assert "text" not in line and "shingles" not in line, line
 
 
+def test_dedup_state_probe_sketches_increment_only(spark, tmp_path):
+    """dedup_against_state (operators/dedup_state.py): the stored index
+    arrives as plain parquet scans, so the probe plan must contain the
+    CORPUS increment's shingle/minhash work only — the reference text is
+    never read, never shingled, never re-minhashed.  Measured by
+    counting shingle-tokenizer sites in the physical plan: the
+    from-scratch two-corpus plan carries both sides' (banding + verify)
+    shingle builds, the state-backed plan exactly half of them."""
+    from pyspark.sql import functions as F
+
+    from postal_address_spark.operators.dedup import cross_corpus_near_dups
+    from postal_address_spark.operators.dedup_state import (
+        build_dedup_state,
+        dedup_against_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") < 200)
+    crawl = docs.where(F.col("doc_id") >= 200)
+    root = str(tmp_path / "idx")
+    build_dedup_state(ref, root)
+
+    # formatted explain: the plain toString() truncates wide expression
+    # trees (maxToStringFields), silently dropping the tokenizer sites
+    # this test counts
+    def formatted(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    state_plan = formatted(dedup_against_state(crawl, root))
+    scratch_plan = formatted(cross_corpus_near_dups(crawl, ref))
+    assert "Cartesian" not in state_plan
+    assert "BroadcastNestedLoop" not in state_plan
+    # tokenizer sites: 'split(' marks each shingle build in the plan
+    n_state = state_plan.count("split(")
+    n_scratch = scratch_plan.count("split(")
+    assert n_state > 0 and n_scratch == 2 * n_state, (n_state, n_scratch)
+    # (the candidate-join ids-only exchange property is asserted on the
+    # shared banding path by test_cross_corpus_candidates_carry_ids_only;
+    # the verify join legitimately moves the stored shingle sets once)
+
+
 def test_mutual_best_argmaxes_without_window(spark):
     """mutual_best_links (operators/link_datasets.py): both direction
     argmaxes are min(struct) aggregations with map-side partials — no
