@@ -349,7 +349,8 @@ def render() -> None:
                     break
             plateau_note += (
                 f"\n\nThe local[{top}] row sits below local"
-                f"[{max(faster_below)}] at this job size: once the wall "
+                f"[{max(faster_below)}] at the plateau rows' job size: "
+                f"once the wall "
                 f"drops under ~90 s, the ~18 s of input-size-independent "
                 f"serial latency (stage scheduling, AQE planning, closure "
                 f"barriers — scripts/profile_stages.py) plus the 2x "
@@ -458,11 +459,11 @@ barriers — ~18s regardless of input size, located via
 measurement that lets fixed latency eat half the 4-core wall grades
 Amdahl overhead, not the pipeline.  The job size has tracked the
 engine's per-core speed across rounds: round 3 re-derived it 400k ->
-3.2M convs after the value-collapse scoring speedup, and round 4
-re-checked it at {sc['n_convs'] / 1e6:g}M — the round-4 fixture/persist
-fusions lifted the 4-core level enough that this size now clears the
-Amdahl bar with margin (see the convergence table below: the SAME 1.6M
-size graded 0.78 with the round-3 engine; the per-stage kernels scale
+3.2M convs after the value-collapse scoring speedup, round 4 graded
+1.6M after the fixture/persist fusions, and the current pass grades
+{sc['n_convs'] / 1e6:g}M with the current engine (see the convergence
+table below: the SAME 1.6M size graded 0.78 with the round-3 engine
+and 0.83 with round 4's; the per-stage kernels scale
 3.7x at 1 -> 4 cores, so the pipeline itself is compute-parallel).
 The curve keeps climbing well past the graded window (see the 8/16 rows
 above — the round-2 claim that this VM saturates at 8-16 busy cores was
@@ -470,9 +471,10 @@ an artifact of the too-small job, not a hardware truth), with gradual
 efficiency decay from fixed per-stage barriers plus the VM's shared
 data path (memory bandwidth / hypervisor cap, shared with other
 tenants).  Past the knee the 16 -> 32 step pays 2x task+python-worker
-oversubscription; at the archived 3.2M size, where compute dominates,
-local[32] still edges past local[16] (265.0k vs 249.0k turns/s), while
-at the graded size it regresses — see the knee note above.  Independent
+oversubscription; at compute-dominant 3.2M-conv sizes
+local[32] edges past local[16] (r3 archive: 265.0k vs 249.0k turns/s),
+while at the 1.6M size of the plateau rows it regresses — see the knee
+note above.  Independent
 environment evidence (`python scripts/env_probe.py`): an Arrow
 pandas-UDF pass is FLAT from 8 to 32 cores while cache-resident CPU
 compute still scales ~3.5x — the cores are real, the shared data path
